@@ -1,0 +1,109 @@
+"""Configuration for tpuvdb.
+
+The reference uses flat star-imported constant modules (Config/__init__.py:5-17,
+Config/{storage,rpc,zk}_config.py). Here config is one typed dataclass with the
+same defaults where they carry semantics (VECTOR_DIM=512, SHARD_COUNT=4,
+REPLICA_COUNT=2 — Config/storage_config.py:1-4; WAL rotation 10 MB / 7 days —
+src/utils/wal_manager.py:22-23; checkpoint every 2k puts, compaction every 200k —
+src/datanode/handler.py:313-317), plus TPU-native knobs (dtype, block sizes,
+mesh shape) the reference has no analog for.
+
+Env-var overrides use the prefix TPUVDB_, e.g. TPUVDB_VECTOR_DIM=128.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+
+def _env(name: str, default, cast):
+    v = os.environ.get(f"TPUVDB_{name}")
+    if v is None:
+        return default
+    if cast is bool:
+        return v.lower() in ("1", "true", "yes", "on")
+    return cast(v)
+
+
+@dataclasses.dataclass
+class DBConfig:
+    # -- storage semantics (reference parity) --
+    vector_dim: int = 512          # Config/storage_config.py:2
+    shard_count: int = 4           # Config/storage_config.py:3
+    replica_count: int = 2         # Config/storage_config.py:4 (hollow in ref; real here)
+    default_top_k: int = 5         # src/vector_db.thrift:25
+
+    # -- durability --
+    wal_max_bytes: int = 10 * 1024 * 1024   # src/utils/wal_manager.py:22
+    wal_retention_days: int = 7             # src/utils/wal_manager.py:23
+    wal_fsync: bool = True                  # fixed vs. ref (no fsync, clobbering rename)
+    checkpoint_every_puts: int = 2000       # src/datanode/handler.py:316
+    compact_every_puts: int = 200_000       # src/datanode/handler.py:313
+    max_checkpoints: int = 3
+
+    # -- TPU index layout --
+    shard_capacity: int = 1 << 20  # slots per shard (ref: hnswlib max_elements=1M)
+    block_size: int = 8192         # corpus rows per scan chunk (HBM->VMEM tile)
+    query_block: int = 128         # query batch tile (MXU sublane-friendly)
+    storage_dtype: str = "float32" # "float32" | "bfloat16" | "int8"
+    flush_batch: int = 1024        # staged inserts per device flush
+    use_pallas: bool = True        # fused Pallas scan kernel vs pure-XLA blockwise
+
+    # -- IVF --
+    ivf_nlist: int = 1024
+    ivf_nprobe: int = 32
+    ivf_kmeans_iters: int = 12
+    ivf_sample_per_list: int = 256
+
+    # -- mesh --
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis
+    mesh_axis: str = "shards"
+
+    # -- serving --
+    http_host: str = "127.0.0.1"
+    http_port: int = 8000          # clip/backend.py:60
+    rpc_port: int = 8081           # coordinator port, Config/rpc_config.py:2
+    rpc_timeout_s: float = 20.0    # Config/rpc_config.py:5
+    health_check_interval_s: float = 5.0  # src/utils/zk_manager.py:78
+
+    # -- paths --
+    data_dir: str = "data"
+
+    def __post_init__(self):
+        # env overrides
+        for f in dataclasses.fields(self):
+            if f.name in ("mesh_shape",):
+                continue
+            cur = getattr(self, f.name)
+            cast = type(f.default) if f.default is not None else str
+            if isinstance(cur, bool):
+                cast = bool
+            setattr(self, f.name, _env(f.name.upper(), cur, cast))
+        if self.block_size % 128 != 0:
+            raise ValueError("block_size must be a multiple of 128 (TPU lane width)")
+
+    # -- serialization (stored inside checkpoints so restores validate shape) --
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mesh_shape"] = list(self.mesh_shape) if self.mesh_shape else None
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DBConfig":
+        d = json.loads(s)
+        if d.get("mesh_shape"):
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[self.storage_dtype]
