@@ -1,0 +1,79 @@
+"""Sharded scatter-gather search on a simulated 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+
+from tpuvdb.index.layout import ShardMirror, StackedLayout
+from tpuvdb.index.exact import DeviceExactIndex
+from tpuvdb.kernels.distance import numpy_oracle
+from tpuvdb.mesh.mesh import create_mesh
+from tpuvdb.mesh.sharded import sharded_search
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_search_matches_oracle(rng):
+    mesh = create_mesh()
+    ndev = mesh.size
+    block = 128
+    rows = ndev * block * 2
+    d = 32
+    corpus = rng.standard_normal((rows, d)).astype(np.float32)
+    valid = np.ones(rows, dtype=bool)
+    valid[5] = False
+    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vecs = jax.device_put(jnp.asarray(corpus), NamedSharding(mesh, P("shards", None)))
+    sqd = jax.device_put(jnp.asarray(sq), NamedSharding(mesh, P("shards")))
+    vd = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("shards")))
+
+    dist, rows_out = sharded_search(q, vecs, sqd, vd, k=10, block_size=block, mesh=mesh)
+    odist, oidx = numpy_oracle(q, corpus, valid, 10)
+    np.testing.assert_allclose(np.asarray(dist), odist, rtol=3e-3, atol=1e-2)
+    assert 5 not in np.asarray(rows_out)
+
+
+def test_device_index_end_to_end_with_mesh(rng):
+    mesh = create_mesh()
+    dim = 16
+    mirrors = [ShardMirror(dim=dim, capacity=4096, init_cap=256, block=128) for _ in range(4)]
+    all_vecs = {}
+    for s, m in enumerate(mirrors):
+        n = 100 + 17 * s
+        for i in range(n):
+            slot = m.alloc()
+            v = rng.standard_normal(dim).astype(np.float32)
+            m.write(slot, v)
+            all_vecs[(s, slot)] = v
+    idx = DeviceExactIndex.build(mirrors, block_size=128, mesh=mesh)
+    # query = an exact stored vector -> top hit is itself at ~0 distance
+    target = all_vecs[(2, 42)]
+    dist, rows = idx.search(target[None, :], k=3)
+    shard, slot = idx.layout.shard_slot_of(int(rows[0, 0]))
+    assert (shard, slot) == (2, 42)
+    assert dist[0, 0] < 1e-2
+
+    # incremental update: add a new vector even closer (identical)
+    m = mirrors[1]
+    slot = m.alloc()
+    m.write(slot, target)
+    row = idx.layout.row_of(1, slot)
+    idx.apply_updates(
+        np.array([row], dtype=np.int32), target[None, :], np.array([True])
+    )
+    dist, rows = idx.search(target[None, :], k=2)
+    found = {idx.layout.shard_slot_of(int(r)) for r in rows[0]}
+    assert (1, slot) in found and (2, 42) in found
+
+    # delete the original
+    idx.apply_deletes(np.array([idx.layout.row_of(2, 42)], dtype=np.int32))
+    dist, rows = idx.search(target[None, :], k=2)
+    found = {idx.layout.shard_slot_of(int(r)) for r in rows[0]}
+    assert (2, 42) not in found

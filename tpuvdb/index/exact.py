@@ -1,0 +1,179 @@
+"""Device-resident exact index.
+
+Holds the stacked shard row space on device (HBM): vectors, squared norms,
+and the validity mask; applies incremental slot updates with donated-buffer
+scatters (no host round-trip of the corpus), and serves batched exact top-k
+via the streaming scan kernel. With a mesh, the row axis is sharded across
+devices and search runs as a shard_map program with a collective top-k merge
+(tpuvdb.mesh.sharded) — the single-program replacement for the reference
+coordinator's sequential per-node RPC fan-out
+(src/coordinator/handler.py:191-206).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvdb.index.layout import ShardMirror, StackedLayout
+from tpuvdb.kernels.distance import l2sq_topk_blockwise
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_update(vectors, sqnorms, valid, rows, vecs, valid_vals):
+    """Scatter rows into the corpus buffers. Out-of-range rows are dropped,
+    which lets callers pad update batches to fixed sizes (no recompiles)."""
+    vecs_f32 = vecs.astype(jnp.float32)
+    vectors = vectors.at[rows].set(vecs.astype(vectors.dtype), mode="drop")
+    sqnorms = sqnorms.at[rows].set(
+        jnp.sum(vecs_f32 * vecs_f32, axis=-1), mode="drop"
+    )
+    valid = valid.at[rows].set(valid_vals, mode="drop")
+    return vectors, sqnorms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_valid(valid, rows, valid_vals):
+    return valid.at[rows].set(valid_vals, mode="drop")
+
+
+def _pad_pow2(n: int, lo: int = 256) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+class DeviceExactIndex:
+    def __init__(
+        self,
+        layout: StackedLayout,
+        dtype=jnp.float32,
+        block_size: int = 8192,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        mesh_axis: str = "shards",
+    ):
+        self.layout = layout
+        self.dtype = dtype
+        self.block_size = block_size
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._sharding = None
+        self._sharding1d = None
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            self._sharding = jax.sharding.NamedSharding(mesh, P(mesh_axis, None))
+            self._sharding1d = jax.sharding.NamedSharding(mesh, P(mesh_axis))
+        self.vectors = self._device_put(
+            np.zeros((layout.total_rows, layout.dim), dtype=np.float32), self._sharding
+        )
+        self.sqnorms = self._device_put(
+            np.zeros(layout.total_rows, dtype=np.float32), self._sharding1d
+        )
+        self.valid = self._device_put(
+            np.zeros(layout.total_rows, dtype=bool), self._sharding1d
+        )
+
+    def _device_put(self, arr, sharding):
+        arr = jnp.asarray(arr, dtype=self.dtype if arr.ndim == 2 else arr.dtype)
+        if sharding is not None:
+            return jax.device_put(arr, sharding)
+        return jax.device_put(arr)
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        mirrors: List[ShardMirror],
+        dtype=jnp.float32,
+        block_size: int = 8192,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        mesh_axis: str = "shards",
+    ) -> "DeviceExactIndex":
+        ndev = mesh.size if mesh is not None else 1
+        layout = StackedLayout.for_mirrors(mirrors, block=block_size, min_rows_multiple=ndev)
+        idx = cls(layout, dtype=dtype, block_size=block_size, mesh=mesh, mesh_axis=mesh_axis)
+        vecs, sq, valid = layout.stack(mirrors)
+        idx.vectors = idx._device_put(vecs, idx._sharding)
+        idx.sqnorms = idx._device_put(sq, idx._sharding1d)
+        idx.valid = idx._device_put(valid, idx._sharding1d)
+        return idx
+
+    def needs_rebuild(self, mirrors: List[ShardMirror]) -> bool:
+        """True when a mirror outgrew the common physical capacity."""
+        return any(m.phys_cap > self.layout.phys_cap for m in mirrors) or (
+            len(mirrors) != self.layout.num_shards
+        )
+
+    # ---------------------------------------------------------------- updates
+
+    def apply_updates(
+        self,
+        rows: np.ndarray,          # (n,) int32 physical rows
+        vecs: np.ndarray,          # (n, dim) float32
+        valid_vals: np.ndarray,    # (n,) bool
+    ):
+        """Scatter a batch of slot writes. Batch is padded to a power-of-two
+        bucket with out-of-range rows (dropped by XLA) to bound recompiles."""
+        n = rows.shape[0]
+        if n == 0:
+            return
+        cap = _pad_pow2(n)
+        pad = cap - n
+        if pad:
+            rows = np.concatenate([rows, np.full(pad, self.layout.total_rows, np.int32)])
+            vecs = np.concatenate([vecs, np.zeros((pad, vecs.shape[1]), vecs.dtype)])
+            valid_vals = np.concatenate([valid_vals, np.zeros(pad, bool)])
+        self.vectors, self.sqnorms, self.valid = _scatter_update(
+            self.vectors,
+            self.sqnorms,
+            self.valid,
+            jnp.asarray(rows, dtype=jnp.int32),
+            jnp.asarray(vecs),
+            jnp.asarray(valid_vals),
+        )
+
+    def apply_deletes(self, rows: np.ndarray):
+        n = rows.shape[0]
+        if n == 0:
+            return
+        cap = _pad_pow2(n)
+        if cap > n:
+            rows = np.concatenate([rows, np.full(cap - n, self.layout.total_rows, np.int32)])
+        self.valid = _scatter_valid(
+            self.valid, jnp.asarray(rows, dtype=jnp.int32),
+            jnp.zeros(cap, dtype=bool),
+        )
+
+    # ----------------------------------------------------------------- search
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k over all live rows. Returns (dists, rows) as numpy,
+        dists ascending squared-L2; empty slots are +inf / -1."""
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        if self.mesh is not None and self.mesh.size > 1:
+            from tpuvdb.mesh.sharded import sharded_search
+
+            dist, rows = sharded_search(
+                q, self.vectors, self.sqnorms, self.valid,
+                k=k, block_size=self.block_size,
+                mesh=self.mesh, axis=self.mesh_axis,
+            )
+        else:
+            dist, rows = l2sq_topk_blockwise(
+                q, self.vectors, self.sqnorms, self.valid,
+                k=k, block_size=self.block_size,
+            )
+        return np.asarray(dist), np.asarray(rows)
+
+    def nbytes(self) -> int:
+        return (
+            self.vectors.size * self.vectors.dtype.itemsize
+            + self.sqnorms.size * 4
+            + self.valid.size
+        )

@@ -1,0 +1,78 @@
+"""Collective scatter-gather search as one XLA program.
+
+The reference coordinator loops over data nodes SEQUENTIALLY, issuing one
+Thrift RPC per node and merging results in Python
+(src/coordinator/handler.py:191-216) — query latency is the sum of per-node
+round trips. Here the same scatter-gather is a shard_map program: the query
+batch is replicated to every device, each device runs the streaming exact
+scan over its local row range, and the per-device (Q, k) candidates are
+merged with an `all_gather` over ICI followed by a final top-k — one
+compiled program, no host in the loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpuvdb.kernels.distance import l2sq_topk_blockwise
+
+shard_map = jax.shard_map
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_search(mesh, axis: str, k: int, block_size: int, rows_per_dev: int):
+    ndev = mesh.shape[axis]
+
+    def local(q, vecs, sq, valid):
+        my = jax.lax.axis_index(axis)
+        dist, idx = l2sq_topk_blockwise(q, vecs, sq, valid, k=k, block_size=block_size)
+        rows = jnp.where(idx >= 0, idx + my * rows_per_dev, -1)
+        neg = jnp.where(idx >= 0, -dist, -jnp.inf)
+        # (ndev, Q, k) candidate sets on every device, then a final top-k.
+        neg_all = jax.lax.all_gather(neg, axis)
+        rows_all = jax.lax.all_gather(rows, axis)
+        qn = q.shape[0]
+        neg_all = jnp.moveaxis(neg_all, 0, 1).reshape(qn, ndev * k)
+        rows_all = jnp.moveaxis(rows_all, 0, 1).reshape(qn, ndev * k)
+        top_neg, pos = jax.lax.top_k(neg_all, k)
+        top_rows = jnp.take_along_axis(rows_all, pos, axis=-1)
+        out_dist = jnp.where(top_rows >= 0, -top_neg, jnp.inf)
+        return out_dist, top_rows
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_search(
+    queries: jax.Array,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    valid: jax.Array,
+    k: int,
+    block_size: int,
+    mesh: jax.sharding.Mesh,
+    axis: str = "shards",
+) -> Tuple[jax.Array, jax.Array]:
+    """Global exact top-k over the row-sharded corpus. Returns (dists, rows)."""
+    ndev = mesh.shape[axis]
+    total_rows = vectors.shape[0]
+    if total_rows % ndev != 0:
+        raise ValueError(f"rows {total_rows} not divisible by mesh size {ndev}")
+    rows_per_dev = total_rows // ndev
+    if rows_per_dev % block_size != 0:
+        raise ValueError(
+            f"rows/device {rows_per_dev} not a multiple of block {block_size}"
+        )
+    fn = _build_sharded_search(mesh, axis, k, block_size, rows_per_dev)
+    return fn(queries, vectors, sqnorms, valid)

@@ -1,0 +1,123 @@
+"""Host document store: key -> (shard, slot, metadata, timestamp).
+
+Role parity: the reference keeps a LevelDB of key -> JSON{hnsw_id, vector,
+metadata} per data node (src/datanode/handler.py:50,287-297) and recovers
+keys from index ids with a full O(n) LevelDB scan per search hit
+(src/datanode/handler.py:136-153). Here the forward map is a dict and the
+reverse map is a dense per-shard slot->key table, so id->key is O(1).
+
+Vector payloads are NOT stored here: they live in the shard host mirror
+(tpuvdb.index.layout), slot-addressed, which also serves as the checkpoint
+image and the device rebuild source. `get` therefore reads host state only
+and never touches the device — mirroring the reference's split where `get`
+reads the doc store, not the HNSW index (src/datanode/handler.py:411-428).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import msgpack
+
+
+@dataclasses.dataclass
+class DocEntry:
+    key: str
+    shard: int
+    slot: int  # slot index within the shard
+    metadata: Dict[str, str]
+    timestamp: int
+
+
+class DocStore:
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._docs: Dict[str, DocEntry] = {}
+        # reverse map: shard -> list where index==slot, value==key or None
+        self._slots: Dict[int, List[Optional[str]]] = {}
+
+    # ------------------------------------------------------------------- ops
+
+    def put(self, entry: DocEntry) -> Optional[DocEntry]:
+        """Insert/overwrite. Returns the previous entry for this key, if any."""
+        with self._lock:
+            prev = self._docs.get(entry.key)
+            self._docs[entry.key] = entry
+            slots = self._slots.setdefault(entry.shard, [])
+            if entry.slot >= len(slots):
+                slots.extend([None] * (entry.slot + 1 - len(slots)))
+            slots[entry.slot] = entry.key
+            if prev is not None and (prev.shard, prev.slot) != (entry.shard, entry.slot):
+                pslots = self._slots.get(prev.shard)
+                if pslots and prev.slot < len(pslots) and pslots[prev.slot] == entry.key:
+                    pslots[prev.slot] = None
+            return prev
+
+    def get(self, key: str) -> Optional[DocEntry]:
+        with self._lock:
+            return self._docs.get(key)
+
+    def delete(self, key: str) -> Optional[DocEntry]:
+        with self._lock:
+            e = self._docs.pop(key, None)
+            if e is not None:
+                slots = self._slots.get(e.shard)
+                if slots and e.slot < len(slots) and slots[e.slot] == key:
+                    slots[e.slot] = None
+            return e
+
+    def key_at(self, shard: int, slot: int) -> Optional[str]:
+        """O(1) reverse lookup (fixes the reference's O(n) scan)."""
+        with self._lock:
+            slots = self._slots.get(shard)
+            if slots is None or slot >= len(slots):
+                return None
+            return slots[slot]
+
+    def __len__(self) -> int:
+        return len(self._docs)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._docs
+
+    def keys(self) -> List[str]:
+        with self._lock:
+            return list(self._docs.keys())
+
+    def entries(self) -> Iterator[DocEntry]:
+        with self._lock:
+            return iter(list(self._docs.values()))
+
+    def shard_count_used(self) -> int:
+        with self._lock:
+            return max(self._slots.keys(), default=-1) + 1
+
+    # ---------------------------------------------------------- serialization
+
+    def dump(self, path: str) -> None:
+        with self._lock:
+            payload = {
+                "docs": [
+                    (e.key, e.shard, e.slot, e.metadata, e.timestamp)
+                    for e in self._docs.values()
+                ]
+            }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(msgpack.packb(payload, use_bin_type=True))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "DocStore":
+        store = cls()
+        with open(path, "rb") as f:
+            payload = msgpack.unpackb(f.read(), raw=False)
+        for key, shard, slot, metadata, ts in payload["docs"]:
+            store.put(DocEntry(key=key, shard=shard, slot=slot,
+                               metadata=dict(metadata), timestamp=ts))
+        return store

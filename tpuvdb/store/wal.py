@@ -1,0 +1,263 @@
+"""Write-ahead log.
+
+Parity target: src/utils/wal_manager.py (JSON-lines ops, 10 MB rotation,
+7-day retention, full replay with last-op-per-key dedup, incremental replay
+past a checkpoint timestamp, backup).
+
+Deliberate fixes over the reference (SURVEY.md §2.1 #9):
+  * append-only writes with optional fsync — the reference's "atomic"
+    temp-file+rename (wal_manager.py:100-105) rewrote a fresh file over the
+    live log, silently discarding all prior records in that segment;
+  * a per-log lock so concurrent writers can't interleave partial records
+    (the reference WAL had no lock at all, SURVEY.md §5.2);
+  * a binary msgpack codec ("msgpack", default) for ingest throughput, with
+    the JSON-lines codec ("jsonl") retained for debuggability/parity.
+
+Record schema (both codecs): {op, key, vector?, metadata?, timestamp}.
+msgpack segments are framed as [u32 little-endian length][msgpack bytes];
+a truncated trailing frame (crash mid-write) is tolerated and dropped.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import threading
+import time
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import msgpack
+import numpy as np
+
+from tpuvdb.core import errors
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class WriteAheadLog:
+    def __init__(
+        self,
+        wal_dir: str,
+        max_bytes: int = 10 * 1024 * 1024,
+        retention_days: int = 7,
+        fsync: bool = True,
+        codec: str = "msgpack",
+    ):
+        if codec not in ("msgpack", "jsonl"):
+            raise ValueError(f"unknown WAL codec: {codec}")
+        self.wal_dir = wal_dir
+        self.max_bytes = max_bytes
+        self.retention_days = retention_days
+        self.fsync = fsync
+        self.codec = codec
+        self._lock = threading.Lock()
+        self._fh = None
+        self._cur_path: Optional[str] = None
+        self._cur_bytes = 0
+        os.makedirs(wal_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ write
+
+    def _ext(self) -> str:
+        return ".wal" if self.codec == "msgpack" else ".log"
+
+    def _open_segment(self):
+        ts = _now_ms()
+        path = os.path.join(self.wal_dir, f"wal_{ts}{self._ext()}")
+        # avoid collisions when rotating twice within 1 ms
+        i = 0
+        while os.path.exists(path):
+            i += 1
+            path = os.path.join(self.wal_dir, f"wal_{ts}_{i}{self._ext()}")
+        self._fh = open(path, "ab", buffering=0)
+        self._cur_path = path
+        self._cur_bytes = 0
+
+    def _encode(self, rec: Dict[str, Any]) -> bytes:
+        if self.codec == "msgpack":
+            body = msgpack.packb(rec, use_bin_type=True)
+            return struct.pack("<I", len(body)) + body
+        return (json.dumps(rec, separators=(",", ":")) + "\n").encode("utf-8")
+
+    def append(
+        self,
+        op: str,
+        key: str,
+        vector: Optional[np.ndarray] = None,
+        metadata: Optional[Dict[str, str]] = None,
+        timestamp: Optional[int] = None,
+    ) -> int:
+        """Append one record; returns its timestamp (ms)."""
+        ts = timestamp if timestamp is not None else _now_ms()
+        rec: Dict[str, Any] = {"op": op, "key": key, "timestamp": ts}
+        if vector is not None:
+            if self.codec == "msgpack":
+                v = np.asarray(vector, dtype=np.float32)
+                rec["vector"] = v.tobytes()
+                rec["dim"] = int(v.shape[-1])
+            else:
+                rec["vector"] = [float(x) for x in np.asarray(vector).reshape(-1)]
+        if metadata:
+            rec["metadata"] = dict(metadata)
+        data = self._encode(rec)
+        with self._lock:
+            if self._fh is None or self._cur_bytes + len(data) > self.max_bytes:
+                self._rotate_locked()
+            self._fh.write(data)
+            if self.fsync:
+                os.fsync(self._fh.fileno())
+            self._cur_bytes += len(data)
+        return ts
+
+    def append_batch(self, records: List[Dict[str, Any]]) -> None:
+        """Group-commit: encode all records, one write + one fsync."""
+        if not records:
+            return
+        blobs = []
+        for rec in records:
+            r = dict(rec)
+            r.setdefault("timestamp", _now_ms())
+            v = r.get("vector")
+            if v is not None and self.codec == "msgpack" and not isinstance(v, bytes):
+                v = np.asarray(v, dtype=np.float32)
+                r["dim"] = int(v.shape[-1])
+                r["vector"] = v.tobytes()
+            blobs.append(self._encode(r))
+        data = b"".join(blobs)
+        with self._lock:
+            if self._fh is None or self._cur_bytes + len(data) > self.max_bytes:
+                self._rotate_locked()
+            self._fh.write(data)
+            if self.fsync:
+                os.fsync(self._fh.fileno())
+            self._cur_bytes += len(data)
+
+    def _rotate_locked(self):
+        if self._fh is not None:
+            self._fh.close()
+        self._open_segment()
+        self._gc_locked()
+
+    def _gc_locked(self):
+        """Drop segments older than the retention window (ref: 7 days)."""
+        cutoff = time.time() - self.retention_days * 86400
+        for path in self._segments():
+            if path == self._cur_path:
+                continue
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    os.remove(path)
+            except OSError:
+                pass
+
+    # ------------------------------------------------------------------- read
+
+    def _segments(self) -> List[str]:
+        segs = glob.glob(os.path.join(self.wal_dir, "wal_*"))
+        return sorted(segs)  # name embeds ms timestamp -> lexicographic == temporal
+
+    def _iter_segment(self, path: str) -> Iterator[Dict[str, Any]]:
+        if path.endswith(".log"):
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        yield json.loads(line)
+                    except json.JSONDecodeError:
+                        # torn tail line from a crash — stop this segment
+                        return
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
+            off = 0
+            n = len(data)
+            while off + 4 <= n:
+                (ln,) = struct.unpack_from("<I", data, off)
+                if off + 4 + ln > n:
+                    return  # truncated trailing frame
+                try:
+                    rec = msgpack.unpackb(data[off + 4 : off + 4 + ln], raw=False)
+                except Exception as e:  # corrupt frame mid-file: hard error
+                    raise errors.WalCorruption(f"{path} @ {off}: {e}")
+                yield rec
+                off += 4 + ln
+
+    def iter_records(self, after_ts: Optional[int] = None) -> Iterator[Dict[str, Any]]:
+        """All records in temporal order, optionally only those newer than after_ts."""
+        for path in self._segments():
+            for rec in self._iter_segment(path):
+                if after_ts is not None and rec.get("timestamp", 0) <= after_ts:
+                    continue
+                yield self._decode_vector(rec)
+
+    @staticmethod
+    def _decode_vector(rec: Dict[str, Any]) -> Dict[str, Any]:
+        v = rec.get("vector")
+        if isinstance(v, bytes):
+            rec = dict(rec)
+            rec["vector"] = np.frombuffer(v, dtype=np.float32).copy()
+        elif isinstance(v, list):
+            rec = dict(rec)
+            rec["vector"] = np.asarray(v, dtype=np.float32)
+        return rec
+
+    def replay(self, after_ts: Optional[int] = None) -> List[Dict[str, Any]]:
+        """Deduped replay plan: the LAST op per key wins (ref semantics,
+        wal_manager.py:116-182), returned in timestamp order."""
+        last: Dict[str, Dict[str, Any]] = {}
+        for rec in self.iter_records(after_ts=after_ts):
+            last[rec["key"]] = rec
+        return sorted(last.values(), key=lambda r: r.get("timestamp", 0))
+
+    # ------------------------------------------------------------------- misc
+
+    def last_timestamp(self) -> int:
+        ts = 0
+        for rec in self.iter_records():
+            ts = max(ts, rec.get("timestamp", 0))
+        return ts
+
+    def backup(self, dest_dir: str) -> List[str]:
+        """Copy all segments to dest_dir (ref: backup_wal, wal_manager.py:249-255)."""
+        import shutil
+
+        os.makedirs(dest_dir, exist_ok=True)
+        out = []
+        with self._lock:
+            for path in self._segments():
+                dst = os.path.join(dest_dir, os.path.basename(path))
+                shutil.copy2(path, dst)
+                out.append(dst)
+        return out
+
+    def truncate_through(self, ts: int) -> int:
+        """Remove whole segments whose records are all <= ts (post-checkpoint GC).
+        Returns number of segments removed."""
+        removed = 0
+        with self._lock:
+            for path in self._segments():
+                if path == self._cur_path:
+                    continue
+                try:
+                    max_ts = max(
+                        (r.get("timestamp", 0) for r in self._iter_segment(path)),
+                        default=0,
+                    )
+                except errors.WalCorruption:
+                    continue
+                if max_ts <= ts:
+                    os.remove(path)
+                    removed += 1
+        return removed
+
+    def close(self):
+        with self._lock:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
