@@ -1,0 +1,86 @@
+"""WAL: append/replay/dedup/rotation/truncation/crash-tolerance."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from tpuvdb.store.wal import WriteAheadLog
+
+
+def test_append_and_replay_dedup(tmp_path):
+    wal = WriteAheadLog(str(tmp_path), fsync=False)
+    v1 = np.arange(4, dtype=np.float32)
+    wal.append("put", "a", vector=v1, metadata={"x": "1"})
+    wal.append("put", "b", vector=v1 * 2)
+    wal.append("delete", "a")
+    wal.append("put", "b", vector=v1 * 3)  # overwrite: last op wins
+    plan = wal.replay()
+    assert len(plan) == 2
+    ops = {r["key"]: r for r in plan}
+    assert ops["a"]["op"] == "delete"
+    assert ops["b"]["op"] == "put"
+    np.testing.assert_array_equal(ops["b"]["vector"], v1 * 3)
+    assert ops["b"]["metadata"] if "metadata" in ops["b"] else True
+
+
+def test_seq_monotonic_across_reopen(tmp_path):
+    wal = WriteAheadLog(str(tmp_path), fsync=False)
+    wal.append("put", "a", vector=np.zeros(2, np.float32))
+    s1 = wal.last_seq
+    wal.close()
+    wal2 = WriteAheadLog(str(tmp_path), fsync=False)
+    wal2.append("put", "b", vector=np.zeros(2, np.float32))
+    assert wal2.last_seq == s1 + 1
+    assert [r["seq"] for r in wal2.iter_records()] == [s1, s1 + 1]
+
+
+def test_rotation_and_truncate(tmp_path):
+    wal = WriteAheadLog(str(tmp_path), max_bytes=600, fsync=False)
+    for i in range(20):
+        wal.append("put", f"k{i}", vector=np.zeros(16, np.float32))
+    segs = [f for f in os.listdir(tmp_path) if f.startswith("wal_")]
+    assert len(segs) > 1
+    # all 20 records still replayable despite rotation (ref bug fixed)
+    assert len(wal.replay()) == 20
+    mid_seq = 10
+    wal.truncate_through(mid_seq)
+    remaining = list(wal.iter_records())
+    # records with seq <= 10 may be gone only when the whole segment qualified
+    assert all(r["seq"] > 0 for r in remaining)
+    assert {r["seq"] for r in remaining} >= {11, 20}
+
+
+def test_torn_tail_tolerated(tmp_path):
+    wal = WriteAheadLog(str(tmp_path), fsync=False)
+    wal.append("put", "a", vector=np.zeros(4, np.float32))
+    wal.append("put", "b", vector=np.ones(4, np.float32))
+    wal.close()
+    seg = [os.path.join(tmp_path, f) for f in os.listdir(tmp_path)][0]
+    data = open(seg, "rb").read()
+    # simulate crash mid-write: chop the last record in half
+    with open(seg, "wb") as f:
+        f.write(data[: len(data) - 7])
+    wal2 = WriteAheadLog(str(tmp_path), fsync=False)
+    plan = wal2.replay()
+    assert [r["key"] for r in plan] == ["a"]
+
+
+def test_jsonl_codec_roundtrip(tmp_path):
+    wal = WriteAheadLog(str(tmp_path), fsync=False, codec="jsonl")
+    wal.append("put", "a", vector=np.array([1.5, 2.5], np.float32), metadata={"m": "v"})
+    recs = list(wal.iter_records())
+    assert recs[0]["op"] == "put"
+    np.testing.assert_allclose(recs[0]["vector"], [1.5, 2.5])
+    assert recs[0]["metadata"] == {"m": "v"}
+
+
+def test_batch_append(tmp_path):
+    wal = WriteAheadLog(str(tmp_path), fsync=False)
+    wal.append_batch(
+        [{"op": "put", "key": f"k{i}", "vector": np.full(3, i, np.float32)} for i in range(5)]
+    )
+    recs = list(wal.iter_records())
+    assert len(recs) == 5
+    assert [r["seq"] for r in recs] == [1, 2, 3, 4, 5]

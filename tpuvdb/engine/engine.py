@@ -1,0 +1,438 @@
+"""The database engine: put / get / delete / search orchestration.
+
+This is the single-program equivalent of the reference's entire
+coordinator + datanode pair:
+
+  * key routing by MD5 shard hash        <- src/coordinator/handler.py:117-136
+  * dim check / overwrite=soft-delete+reinsert <- src/datanode/handler.py:228,253-261
+  * soft deletes + periodic compaction   <- src/datanode/handler.py:123-133,313-314
+  * WAL on every mutation + checkpoint cadence <- src/datanode/handler.py:299-317
+  * `get` served from the host doc store, never the index
+                                         <- src/datanode/handler.py:411-428
+  * search = broadcast + global top-k merge, dedup, ascending sort
+                                         <- src/coordinator/handler.py:173-228
+
+Unlike the reference there is no RPC between these layers: mutations stage
+in host mirrors and scatter to the device index in batches; search flushes
+staged writes then runs one XLA program over the whole (optionally
+mesh-sharded) corpus. Filter/threshold are honored (the reference accepted
+but ignored them, src/coordinator/handler.py:186-189).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpuvdb.core import errors
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import (
+    Response,
+    SearchHit,
+    SearchRequest,
+    SearchResult,
+    VectorData,
+    now_ms,
+)
+from tpuvdb.index.exact import DeviceExactIndex
+from tpuvdb.index.layout import ShardMirror
+from tpuvdb.store.checkpoint import CheckpointManager
+from tpuvdb.store.kv import DocEntry, DocStore
+from tpuvdb.store.wal import WriteAheadLog
+from tpuvdb.utils.sharding_utils import get_shard_id
+
+
+class VectorDBEngine:
+    def __init__(
+        self,
+        config: Optional[DBConfig] = None,
+        data_dir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.config = config or DBConfig()
+        self.data_dir = data_dir
+        self.mesh = mesh
+        self._lock = threading.RLock()
+
+        cfg = self.config
+        self.docstore = DocStore()
+        self.mirrors: List[ShardMirror] = [
+            ShardMirror(cfg.vector_dim, cfg.shard_capacity, block=128)
+            for _ in range(cfg.shard_count)
+        ]
+        self.wal: Optional[WriteAheadLog] = None
+        self.ckpts: Optional[CheckpointManager] = None
+        self._index: Optional[DeviceExactIndex] = None
+
+        # staged (shard, slot) writes/deletes not yet scattered to device
+        self._staged_updates: List[Tuple[int, int]] = []
+        self._staged_deletes: List[Tuple[int, int]] = []
+
+        self._puts_since_ckpt = 0
+        self._puts_since_compact = 0
+        self.stats: Dict[str, int] = {
+            "puts": 0, "gets": 0, "deletes": 0, "searches": 0,
+            "flushes": 0, "compactions": 0, "checkpoints": 0,
+            "wal_replayed": 0,
+        }
+
+        if data_dir is not None:
+            os.makedirs(data_dir, exist_ok=True)
+            self.ckpts = CheckpointManager(
+                os.path.join(data_dir, "checkpoints"), cfg.max_checkpoints
+            )
+            self.wal = WriteAheadLog(
+                os.path.join(data_dir, "wal"),
+                max_bytes=cfg.wal_max_bytes,
+                retention_days=cfg.wal_retention_days,
+                fsync=cfg.wal_fsync,
+            )
+            self._recover()
+
+    # --------------------------------------------------------------- recovery
+
+    def _recover(self):
+        """Checkpoint restore + WAL tail replay (ref: handler.py:181-219).
+        The checkpoint records the last WAL LSN it covers; only newer
+        records replay."""
+        wal_pos = 0
+        restored = self.ckpts.load_latest(self.config)
+        if restored is not None:
+            self.docstore, self.mirrors, wal_pos = restored
+            if len(self.mirrors) != self.config.shard_count:
+                raise errors.CheckpointError(
+                    f"checkpoint has {len(self.mirrors)} shards, "
+                    f"config wants {self.config.shard_count}"
+                )
+        for rec in self.wal.replay(after_seq=wal_pos):
+            op = rec.get("op")
+            if op == "put":
+                vd = VectorData(
+                    key=rec["key"],
+                    vector=rec["vector"],
+                    metadata=rec.get("metadata", {}),
+                    timestamp=rec.get("timestamp", 0),
+                )
+                self.put(vd, replay_mode=True)
+            elif op == "delete":
+                self.delete(rec["key"], replay_mode=True)
+            self.stats["wal_replayed"] += 1
+
+    # ------------------------------------------------------------------- puts
+
+    def put(self, data: VectorData, replay_mode: bool = False) -> Response:
+        try:
+            vec = data.vector_np(self.config.vector_dim)
+        except ValueError as e:
+            return Response.fail(str(e))
+        with self._lock:
+            try:
+                self._put_one(data.key, vec, data.metadata, data.timestamp, replay_mode)
+            except errors.CapacityExceeded as e:
+                return Response.fail(f"capacity exceeded: {e}")
+            if not replay_mode:
+                self._maybe_maintain()
+        return Response.ok(f"put {data.key}")
+
+    def put_batch(self, batch: Sequence[VectorData], replay_mode: bool = False) -> Response:
+        """Group-commit ingest: one WAL write+fsync for the whole batch."""
+        try:
+            vecs = [d.vector_np(self.config.vector_dim) for d in batch]
+        except ValueError as e:
+            return Response.fail(str(e))
+        with self._lock:
+            wal_records = []
+            for d, v in zip(batch, vecs):
+                try:
+                    self._put_one(d.key, v, d.metadata, d.timestamp,
+                                  replay_mode=True)  # WAL handled below
+                except errors.CapacityExceeded as e:
+                    if self.wal is not None and not replay_mode and wal_records:
+                        self.wal.append_batch(wal_records)
+                    return Response.fail(f"capacity exceeded after "
+                                         f"{len(wal_records)} records: {e}")
+                if not replay_mode:
+                    wal_records.append({
+                        "op": "put", "key": d.key, "vector": v,
+                        "metadata": dict(d.metadata), "timestamp": d.timestamp,
+                    })
+            if self.wal is not None and wal_records:
+                self.wal.append_batch(wal_records)
+            if not replay_mode:
+                self._maybe_maintain()
+        return Response.ok(f"put {len(batch)} records")
+
+    def _put_one(self, key, vec, metadata, timestamp, replay_mode):
+        shard = get_shard_id(key, self.config.shard_count)
+        mirror = self.mirrors[shard]
+        prev = self.docstore.get(key)
+        if prev is not None:
+            # overwrite = soft-delete old slot + insert at a fresh slot
+            self.mirrors[prev.shard].mark_deleted(prev.slot)
+            self._staged_deletes.append((prev.shard, prev.slot))
+        slot = mirror.alloc()
+        mirror.write(slot, vec)
+        if self.wal is not None and not replay_mode:
+            self.wal.append("put", key, vector=vec, metadata=metadata,
+                            timestamp=timestamp)
+        self.docstore.put(DocEntry(key=key, shard=shard, slot=slot,
+                                   metadata=dict(metadata), timestamp=timestamp))
+        self._staged_updates.append((shard, slot))
+        self.stats["puts"] += 1
+        self._puts_since_ckpt += 1
+        self._puts_since_compact += 1
+
+    def _maybe_maintain(self):
+        cfg = self.config
+        if self._puts_since_compact >= cfg.compact_every_puts:
+            self.compact()
+        if self.ckpts is not None and self._puts_since_ckpt >= cfg.checkpoint_every_puts:
+            self.save_checkpoint()
+
+    # ---------------------------------------------------------------- get/del
+
+    def get(self, key: str) -> Response:
+        with self._lock:
+            self.stats["gets"] += 1
+            e = self.docstore.get(key)
+            if e is None:
+                return Response.fail(f"key not found: {key}")
+            vec = self.mirrors[e.shard].vector_at(e.slot)
+            return Response.ok(
+                "ok",
+                vector_data=VectorData(
+                    key=key, vector=[float(x) for x in vec],
+                    metadata=dict(e.metadata), timestamp=e.timestamp,
+                ),
+            )
+
+    def delete(self, key: str, replay_mode: bool = False) -> Response:
+        with self._lock:
+            e = self.docstore.delete(key)
+            if e is None:
+                return Response.fail(f"key not found: {key}")
+            self.mirrors[e.shard].mark_deleted(e.slot)
+            self._staged_deletes.append((e.shard, e.slot))
+            if self.wal is not None and not replay_mode:
+                self.wal.append("delete", key)
+            self.stats["deletes"] += 1
+            return Response.ok(f"deleted {key}")
+
+    # ------------------------------------------------------------------ flush
+
+    def flush(self):
+        """Scatter staged mirror writes/deletes into the device index."""
+        with self._lock:
+            if self._index is None or self._index.needs_rebuild(self.mirrors):
+                self._rebuild_device_index()
+                return
+            if self._staged_updates:
+                layout = self._index.layout
+                rows = np.array(
+                    [layout.row_of(s, sl) for s, sl in self._staged_updates],
+                    dtype=np.int32,
+                )
+                vecs = np.stack(
+                    [self.mirrors[s].vector_at(sl) for s, sl in self._staged_updates]
+                )
+                valid = np.array(
+                    [self.mirrors[s].is_valid(sl) for s, sl in self._staged_updates]
+                )
+                self._index.apply_updates(rows, vecs, valid)
+                self._staged_updates.clear()
+            if self._staged_deletes:
+                layout = self._index.layout
+                rows = np.array(
+                    [layout.row_of(s, sl) for s, sl in self._staged_deletes],
+                    dtype=np.int32,
+                )
+                self._index.apply_deletes(rows)
+                self._staged_deletes.clear()
+            self.stats["flushes"] += 1
+
+    def _rebuild_device_index(self):
+        self._index = DeviceExactIndex.build(
+            self.mirrors,
+            dtype=self.config.jnp_dtype(),
+            block_size=self.config.block_size,
+            mesh=self.mesh,
+            mesh_axis=self.config.mesh_axis,
+        )
+        self._staged_updates.clear()
+        self._staged_deletes.clear()
+        self.stats["flushes"] += 1
+
+    # ----------------------------------------------------------------- search
+
+    def search(self, req: SearchRequest) -> Response:
+        try:
+            q = req.query_np(self.config.vector_dim)
+        except ValueError as e:
+            return Response.fail(str(e))
+        k = req.top_k if req.top_k > 0 else self.config.default_top_k
+        hits = self.search_hits(q, k, filter_metadata=req.filter_metadata,
+                                threshold=req.threshold)
+        return Response.ok(
+            f"{len(hits)} results",
+            search_result=SearchResult.from_hits(hits),
+        )
+
+    def search_hits(
+        self,
+        query: np.ndarray,
+        k: int,
+        filter_metadata: Optional[Dict[str, str]] = None,
+        threshold: float = 0.0,
+    ) -> List[SearchHit]:
+        if filter_metadata:
+            return self._filtered_search(query, k, filter_metadata, threshold)
+        dists, keys_rows = self.search_batch(query.reshape(1, -1), k,
+                                             overfetch=threshold > 0)
+        hits: List[SearchHit] = []
+        for key, score in zip(keys_rows[0], dists[0]):
+            if key is None:
+                continue
+            if threshold > 0 and score > threshold:
+                continue
+            e = self.docstore.get(key)
+            if e is None:
+                continue
+            vec = self.mirrors[e.shard].vector_at(e.slot)
+            hits.append(SearchHit(key=key, score=float(score),
+                                  vector=[float(x) for x in vec],
+                                  metadata=dict(e.metadata)))
+            if len(hits) >= k:
+                break
+        return hits
+
+    def _filtered_search(
+        self, query: np.ndarray, k: int,
+        filter_metadata: Dict[str, str], threshold: float,
+    ) -> List[SearchHit]:
+        """Filter pushdown via the metadata inverted index: score only the
+        candidate slots that match ALL filter terms. The reference dropped
+        filters on the floor (src/coordinator/handler.py:186-189)."""
+        with self._lock:
+            cands = self.docstore.find_by_metadata(filter_metadata)
+            if not cands:
+                return []
+            pairs = [(s, sl) for (s, sl) in cands if self.mirrors[s].is_valid(sl)]
+            if not pairs:
+                return []
+            mat = np.stack([self.mirrors[s].vector_at(sl) for s, sl in pairs])
+            q = query.reshape(-1).astype(np.float32)
+            d2 = np.sum((mat - q[None, :]) ** 2, axis=1)
+            order = np.argsort(d2, kind="stable")[: max(k, 0)]
+            hits: List[SearchHit] = []
+            for i in order:
+                score = float(d2[i])
+                if threshold > 0 and score > threshold:
+                    continue
+                s, sl = pairs[i]
+                key = self.docstore.key_at(s, sl)
+                if key is None:
+                    continue
+                e = self.docstore.get(key)
+                hits.append(SearchHit(key=key, score=score,
+                                      vector=[float(x) for x in mat[i]],
+                                      metadata=dict(e.metadata) if e else {}))
+                if len(hits) >= k:
+                    break
+            self.stats["searches"] += 1
+            return hits
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, overfetch: bool = False
+    ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
+        """Raw batched search: returns (dists (Q,fetch_k), keys list-of-lists).
+
+        With overfetch=True, fetches extra candidates so post-filters
+        (metadata/threshold) can refill — the analog of the reference's
+        knn_query k*2 (src/datanode/handler.py:359-364).
+        """
+        with self._lock:
+            if self._staged_updates or self._staged_deletes or self._index is None:
+                self.flush()
+            fetch_k = max(2 * k, k + 16) if overfetch else k
+            fetch_k = min(fetch_k, self._index.layout.total_rows)
+            self.stats["searches"] += 1
+            dists, rows = self._index.search(queries, fetch_k)
+            layout = self._index.layout
+            keys: List[List[Optional[str]]] = []
+            for qi in range(rows.shape[0]):
+                row_keys: List[Optional[str]] = []
+                for r in rows[qi]:
+                    if r < 0:
+                        row_keys.append(None)
+                        continue
+                    shard, slot = layout.shard_slot_of(int(r))
+                    row_keys.append(self.docstore.key_at(shard, slot))
+                keys.append(row_keys)
+            return dists, keys
+
+    # ------------------------------------------------------------ maintenance
+
+    def compact(self):
+        """Rebuild mirrors densely, dropping soft-deleted slots — the analog
+        of _rebuild_hnsw_index (src/datanode/handler.py:91-120), without the
+        stop-the-world full index save per put."""
+        with self._lock:
+            new_mirrors = [
+                ShardMirror(self.config.vector_dim, self.config.shard_capacity, block=128)
+                for _ in range(self.config.shard_count)
+            ]
+            for e in list(self.docstore.entries()):
+                m = new_mirrors[e.shard]
+                slot = m.alloc()
+                m.write(slot, self.mirrors[e.shard].vector_at(e.slot))
+                self.docstore.put(DocEntry(key=e.key, shard=e.shard, slot=slot,
+                                           metadata=e.metadata, timestamp=e.timestamp))
+            self.mirrors = new_mirrors
+            self._index = None
+            self._staged_updates.clear()
+            self._staged_deletes.clear()
+            self._puts_since_compact = 0
+            self.stats["compactions"] += 1
+
+    def save_checkpoint(self) -> Optional[str]:
+        if self.ckpts is None:
+            return None
+        with self._lock:
+            wal_pos = self.wal.last_seq if self.wal is not None else 0
+            path = self.ckpts.save(self.config, self.docstore, self.mirrors, wal_pos)
+            if self.wal is not None:
+                self.wal.truncate_through(wal_pos)
+            self._puts_since_ckpt = 0
+            self.stats["checkpoints"] += 1
+            return path
+
+    # ------------------------------------------------------------------ admin
+
+    def count(self) -> int:
+        return len(self.docstore)
+
+    def info(self) -> Dict:
+        with self._lock:
+            return {
+                "docs": len(self.docstore),
+                "shards": [
+                    {"used": m.used(), "live": m.live(), "deleted": m.deleted,
+                     "phys_cap": m.phys_cap}
+                    for m in self.mirrors
+                ],
+                "device_rows": self._index.layout.total_rows if self._index else 0,
+                "device_bytes": self._index.nbytes() if self._index else 0,
+                "staged": len(self._staged_updates) + len(self._staged_deletes),
+                "stats": dict(self.stats),
+            }
+
+    def close(self):
+        with self._lock:
+            if self.ckpts is not None:
+                self.save_checkpoint()
+            if self.wal is not None:
+                self.wal.close()

@@ -1,0 +1,133 @@
+"""Checkpoint / restore.
+
+Parity: the reference datanode writes `checkpoint_<ts>/{index.bin,
+leveldb_data/, deleted_ids.json, wal_pos.txt}` every 2,000 puts and at exit,
+and on startup restores the latest checkpoint then replays the WAL tail past
+the recorded timestamp (src/datanode/handler.py:156-219).
+
+Here a checkpoint is `checkpoint_<ts>/` containing:
+    config.json     — DBConfig used at save time (validated on restore)
+    docstore.msgpack— key -> (shard, slot, metadata, ts)
+    shard_<i>.npz   — per-shard mirror image (vectors[:used], valid[:used])
+    wal_pos.txt     — max WAL timestamp covered by this checkpoint
+    MANIFEST.json   — shard count/dim + completeness marker (written last,
+                      so a torn checkpoint is never restored)
+
+Retention keeps the newest `max_checkpoints` (the reference keeps all).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tpuvdb.core import errors
+from tpuvdb.core.config import DBConfig
+from tpuvdb.index.layout import ShardMirror
+from tpuvdb.store.kv import DocStore
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, max_checkpoints: int = 3):
+        self.ckpt_dir = ckpt_dir
+        self.max_checkpoints = max_checkpoints
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _paths(self) -> List[str]:
+        return sorted(glob.glob(os.path.join(self.ckpt_dir, "checkpoint_*")))
+
+    def latest(self) -> Optional[str]:
+        for path in reversed(self._paths()):
+            if os.path.exists(os.path.join(path, "MANIFEST.json")):
+                return path
+        return None
+
+    def save(
+        self,
+        config: DBConfig,
+        docstore: DocStore,
+        mirrors: List[ShardMirror],
+        wal_pos: int,
+    ) -> str:
+        ts = int(time.time() * 1000)
+        path = os.path.join(self.ckpt_dir, f"checkpoint_{ts}")
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "config.json"), "w") as f:
+            f.write(config.to_json())
+        docstore.dump(os.path.join(tmp, "docstore.msgpack"))
+        for i, m in enumerate(mirrors):
+            n = m.next_slot
+            np.savez(  # uncompressed: mirrors can be GBs; IO >> gzip here
+                os.path.join(tmp, f"shard_{i}.npz"),
+                vectors=m.vectors[:n],
+                valid=m.valid[:n],
+                next_slot=np.int64(n),
+                deleted=np.int64(m.deleted),
+            )
+        with open(os.path.join(tmp, "wal_pos.txt"), "w") as f:
+            f.write(str(int(wal_pos)))
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            json.dump(
+                {
+                    "num_shards": len(mirrors),
+                    "dim": mirrors[0].dim if mirrors else config.vector_dim,
+                    "docs": len(docstore),
+                    "timestamp": ts,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+        self._gc()
+        return path
+
+    def _gc(self):
+        paths = [p for p in self._paths() if os.path.exists(os.path.join(p, "MANIFEST.json"))]
+        for p in paths[: -self.max_checkpoints]:
+            shutil.rmtree(p, ignore_errors=True)
+        # also clear torn temp dirs
+        for p in glob.glob(os.path.join(self.ckpt_dir, "*.tmp")):
+            shutil.rmtree(p, ignore_errors=True)
+
+    def load_latest(
+        self, config: DBConfig
+    ) -> Optional[Tuple[DocStore, List[ShardMirror], int]]:
+        """Restore (docstore, mirrors, wal_pos) from the newest complete
+        checkpoint, or None if there is none."""
+        path = self.latest()
+        if path is None:
+            return None
+        with open(os.path.join(path, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+        if manifest["dim"] != config.vector_dim:
+            raise errors.CheckpointError(
+                f"checkpoint dim {manifest['dim']} != configured {config.vector_dim}"
+            )
+        docstore = DocStore.load(os.path.join(path, "docstore.msgpack"))
+        mirrors = []
+        for i in range(manifest["num_shards"]):
+            z = np.load(os.path.join(path, f"shard_{i}.npz"))
+            n = int(z["next_slot"])
+            m = ShardMirror(
+                dim=config.vector_dim,
+                capacity=config.shard_capacity,
+                init_cap=max(n, 1024),
+                block=128,
+            )
+            if n:
+                m.vectors[:n] = z["vectors"]
+                m.valid[:n] = z["valid"]
+            m.next_slot = n
+            m.deleted = int(z["deleted"])
+            mirrors.append(m)
+        with open(os.path.join(path, "wal_pos.txt")) as f:
+            wal_pos = int(f.read().strip())
+        return docstore, mirrors, wal_pos

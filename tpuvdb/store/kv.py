@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import threading
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Set, Tuple
 
 import msgpack
 
@@ -38,6 +38,27 @@ class DocStore:
         self._docs: Dict[str, DocEntry] = {}
         # reverse map: shard -> list where index==slot, value==key or None
         self._slots: Dict[int, List[Optional[str]]] = {}
+        # inverted metadata index: field -> value -> {(shard, slot)} — powers
+        # filter pushdown (the reference accepts but ignores filters,
+        # src/coordinator/handler.py:186-189)
+        self._meta: Dict[str, Dict[str, Set[Tuple[int, int]]]] = {}
+
+    def _meta_add(self, e: "DocEntry"):
+        for k, v in e.metadata.items():
+            self._meta.setdefault(k, {}).setdefault(v, set()).add((e.shard, e.slot))
+
+    def _meta_remove(self, e: "DocEntry"):
+        for k, v in e.metadata.items():
+            vals = self._meta.get(k)
+            if not vals:
+                continue
+            s = vals.get(v)
+            if s is not None:
+                s.discard((e.shard, e.slot))
+                if not s:
+                    del vals[v]
+            if not vals:
+                self._meta.pop(k, None)
 
     # ------------------------------------------------------------------- ops
 
@@ -50,10 +71,13 @@ class DocStore:
             if entry.slot >= len(slots):
                 slots.extend([None] * (entry.slot + 1 - len(slots)))
             slots[entry.slot] = entry.key
-            if prev is not None and (prev.shard, prev.slot) != (entry.shard, entry.slot):
-                pslots = self._slots.get(prev.shard)
-                if pslots and prev.slot < len(pslots) and pslots[prev.slot] == entry.key:
-                    pslots[prev.slot] = None
+            if prev is not None:
+                self._meta_remove(prev)
+                if (prev.shard, prev.slot) != (entry.shard, entry.slot):
+                    pslots = self._slots.get(prev.shard)
+                    if pslots and prev.slot < len(pslots) and pslots[prev.slot] == entry.key:
+                        pslots[prev.slot] = None
+            self._meta_add(entry)
             return prev
 
     def get(self, key: str) -> Optional[DocEntry]:
@@ -67,7 +91,25 @@ class DocStore:
                 slots = self._slots.get(e.shard)
                 if slots and e.slot < len(slots) and slots[e.slot] == key:
                     slots[e.slot] = None
+                self._meta_remove(e)
             return e
+
+    def find_by_metadata(self, flt: Dict[str, str]) -> Optional[Set[Tuple[int, int]]]:
+        """(shard, slot) set matching ALL field=value pairs; None = no filter."""
+        if not flt:
+            return None
+        with self._lock:
+            sets = []
+            for k, v in flt.items():
+                s = self._meta.get(k, {}).get(v)
+                if not s:
+                    return set()
+                sets.append(s)
+            sets.sort(key=len)
+            out = set(sets[0])
+            for s in sets[1:]:
+                out &= s
+            return out
 
     def key_at(self, shard: int, slot: int) -> Optional[str]:
         """O(1) reverse lookup (fixes the reference's O(n) scan)."""

@@ -59,6 +59,20 @@ class WriteAheadLog:
         self._cur_path: Optional[str] = None
         self._cur_bytes = 0
         os.makedirs(wal_dir, exist_ok=True)
+        # monotonic log sequence number; checkpoints record the last LSN they
+        # cover so tail replay is exact even when client timestamps are stale
+        self._next_seq = self._scan_last_seq() + 1
+
+    def _scan_last_seq(self) -> int:
+        last = 0
+        for path in self._segments():
+            for rec in self._iter_segment(path):
+                last = max(last, rec.get("seq", 0))
+        return last
+
+    @property
+    def last_seq(self) -> int:
+        return self._next_seq - 1
 
     # ------------------------------------------------------------------ write
 
@@ -103,8 +117,10 @@ class WriteAheadLog:
                 rec["vector"] = [float(x) for x in np.asarray(vector).reshape(-1)]
         if metadata:
             rec["metadata"] = dict(metadata)
-        data = self._encode(rec)
         with self._lock:
+            rec["seq"] = self._next_seq
+            self._next_seq += 1
+            data = self._encode(rec)
             if self._fh is None or self._cur_bytes + len(data) > self.max_bytes:
                 self._rotate_locked()
             self._fh.write(data)
@@ -126,9 +142,14 @@ class WriteAheadLog:
                 v = np.asarray(v, dtype=np.float32)
                 r["dim"] = int(v.shape[-1])
                 r["vector"] = v.tobytes()
-            blobs.append(self._encode(r))
-        data = b"".join(blobs)
+            blobs.append(r)
         with self._lock:
+            out = []
+            for r in blobs:
+                r["seq"] = self._next_seq
+                self._next_seq += 1
+                out.append(self._encode(r))
+            data = b"".join(out)
             if self._fh is None or self._cur_bytes + len(data) > self.max_bytes:
                 self._rotate_locked()
             self._fh.write(data)
@@ -188,13 +209,17 @@ class WriteAheadLog:
                 yield rec
                 off += 4 + ln
 
-    def iter_records(self, after_ts: Optional[int] = None) -> Iterator[Dict[str, Any]]:
-        """All records in temporal order, optionally only those newer than after_ts."""
+    def iter_records(self, after_seq: Optional[int] = None) -> Iterator[Dict[str, Any]]:
+        """All records in LSN order, optionally only those with seq > after_seq."""
+        recs = []
         for path in self._segments():
             for rec in self._iter_segment(path):
-                if after_ts is not None and rec.get("timestamp", 0) <= after_ts:
+                if after_seq is not None and rec.get("seq", 0) <= after_seq:
                     continue
-                yield self._decode_vector(rec)
+                recs.append(rec)
+        recs.sort(key=lambda r: r.get("seq", 0))
+        for rec in recs:
+            yield self._decode_vector(rec)
 
     @staticmethod
     def _decode_vector(rec: Dict[str, Any]) -> Dict[str, Any]:
@@ -207,13 +232,13 @@ class WriteAheadLog:
             rec["vector"] = np.asarray(v, dtype=np.float32)
         return rec
 
-    def replay(self, after_ts: Optional[int] = None) -> List[Dict[str, Any]]:
+    def replay(self, after_seq: Optional[int] = None) -> List[Dict[str, Any]]:
         """Deduped replay plan: the LAST op per key wins (ref semantics,
-        wal_manager.py:116-182), returned in timestamp order."""
+        wal_manager.py:116-182), returned in LSN order."""
         last: Dict[str, Dict[str, Any]] = {}
-        for rec in self.iter_records(after_ts=after_ts):
+        for rec in self.iter_records(after_seq=after_seq):
             last[rec["key"]] = rec
-        return sorted(last.values(), key=lambda r: r.get("timestamp", 0))
+        return sorted(last.values(), key=lambda r: r.get("seq", 0))
 
     # ------------------------------------------------------------------- misc
 
@@ -236,22 +261,22 @@ class WriteAheadLog:
                 out.append(dst)
         return out
 
-    def truncate_through(self, ts: int) -> int:
-        """Remove whole segments whose records are all <= ts (post-checkpoint GC).
-        Returns number of segments removed."""
+    def truncate_through(self, seq: int) -> int:
+        """Remove whole segments whose records all have LSN <= seq
+        (post-checkpoint GC). Returns number of segments removed."""
         removed = 0
         with self._lock:
             for path in self._segments():
                 if path == self._cur_path:
                     continue
                 try:
-                    max_ts = max(
-                        (r.get("timestamp", 0) for r in self._iter_segment(path)),
+                    max_seq = max(
+                        (r.get("seq", 0) for r in self._iter_segment(path)),
                         default=0,
                     )
                 except errors.WalCorruption:
                     continue
-                if max_ts <= ts:
+                if max_seq <= seq:
                     os.remove(path)
                     removed += 1
         return removed
