@@ -146,11 +146,10 @@ def test_recovery_from_checkpoint_plus_tail(rng, tmp_data_dir):
 def test_checkpoint_cadence(rng, tmp_data_dir):
     cfg = small_config(checkpoint_every_puts=20)
     eng = VectorDBEngine(cfg, data_dir=tmp_data_dir)
-    # maintenance runs per batch commit; three 15-put batches cross the
-    # 20-put threshold twice
-    fill(eng, rng, 15, prefix="a")
-    fill(eng, rng, 15, prefix="b")
-    fill(eng, rng, 15, prefix="c")
+    # maintenance runs per batch commit; four 15-put batches cross the
+    # 20-put threshold twice (15+15 -> ckpt, reset, 15+15 -> ckpt)
+    for p in "abcd":
+        fill(eng, rng, 15, prefix=p)
     assert eng.stats["checkpoints"] >= 2
 
 
