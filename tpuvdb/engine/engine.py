@@ -261,6 +261,8 @@ class VectorDBEngine:
             block_size=self.config.block_size,
             mesh=self.mesh,
             mesh_axis=self.config.mesh_axis,
+            search_mode=self.config.search_mode,
+            recall_target=self.config.recall_target,
         )
         self._staged_updates.clear()
         self._staged_deletes.clear()

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuvdb.index.layout import ShardMirror, StackedLayout
-from tpuvdb.kernels.distance import l2sq_topk_blockwise
+from tpuvdb.kernels.distance import l2sq_topk
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -56,12 +56,16 @@ class DeviceExactIndex:
         block_size: int = 8192,
         mesh: Optional[jax.sharding.Mesh] = None,
         mesh_axis: str = "shards",
+        search_mode: str = "approx",
+        recall_target: float = 0.95,
     ):
         self.layout = layout
         self.dtype = dtype
         self.block_size = block_size
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        self.search_mode = search_mode
+        self.recall_target = recall_target
         self._sharding = None
         self._sharding1d = None
         if mesh is not None:
@@ -94,10 +98,14 @@ class DeviceExactIndex:
         block_size: int = 8192,
         mesh: Optional[jax.sharding.Mesh] = None,
         mesh_axis: str = "shards",
+        search_mode: str = "approx",
+        recall_target: float = 0.95,
     ) -> "DeviceExactIndex":
         ndev = mesh.size if mesh is not None else 1
         layout = StackedLayout.for_mirrors(mirrors, block=block_size, min_rows_multiple=ndev)
-        idx = cls(layout, dtype=dtype, block_size=block_size, mesh=mesh, mesh_axis=mesh_axis)
+        idx = cls(layout, dtype=dtype, block_size=block_size, mesh=mesh,
+                  mesh_axis=mesh_axis, search_mode=search_mode,
+                  recall_target=recall_target)
         vecs, sq, valid = layout.stack(mirrors)
         idx.vectors = idx._device_put(vecs, idx._sharding)
         idx.sqnorms = idx._device_put(sq, idx._sharding1d)
@@ -163,11 +171,13 @@ class DeviceExactIndex:
                 q, self.vectors, self.sqnorms, self.valid,
                 k=k, block_size=self.block_size,
                 mesh=self.mesh, axis=self.mesh_axis,
+                mode=self.search_mode, recall_target=self.recall_target,
             )
         else:
-            dist, rows = l2sq_topk_blockwise(
+            dist, rows = l2sq_topk(
                 q, self.vectors, self.sqnorms, self.valid,
                 k=k, block_size=self.block_size,
+                mode=self.search_mode, recall_target=self.recall_target,
             )
         return np.asarray(dist), np.asarray(rows)
 

@@ -19,18 +19,20 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from tpuvdb.kernels.distance import l2sq_topk_blockwise
+from tpuvdb.kernels.distance import l2sq_topk
 
 shard_map = jax.shard_map
 
 
 @functools.lru_cache(maxsize=32)
-def _build_sharded_search(mesh, axis: str, k: int, block_size: int, rows_per_dev: int):
+def _build_sharded_search(mesh, axis: str, k: int, block_size: int,
+                          rows_per_dev: int, mode: str, recall_target: float):
     ndev = mesh.shape[axis]
 
     def local(q, vecs, sq, valid):
         my = jax.lax.axis_index(axis)
-        dist, idx = l2sq_topk_blockwise(q, vecs, sq, valid, k=k, block_size=block_size)
+        dist, idx = l2sq_topk(q, vecs, sq, valid, k=k, block_size=block_size,
+                              mode=mode, recall_target=recall_target)
         rows = jnp.where(idx >= 0, idx + my * rows_per_dev, -1)
         neg = jnp.where(idx >= 0, -dist, -jnp.inf)
         # (ndev, Q, k) candidate sets on every device, then a final top-k.
@@ -63,16 +65,19 @@ def sharded_search(
     block_size: int,
     mesh: jax.sharding.Mesh,
     axis: str = "shards",
+    mode: str = "approx",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Global exact top-k over the row-sharded corpus. Returns (dists, rows)."""
+    """Global top-k over the row-sharded corpus. Returns (dists, rows)."""
     ndev = mesh.shape[axis]
     total_rows = vectors.shape[0]
     if total_rows % ndev != 0:
         raise ValueError(f"rows {total_rows} not divisible by mesh size {ndev}")
     rows_per_dev = total_rows // ndev
-    if rows_per_dev % block_size != 0:
+    if mode == "exact" and rows_per_dev % block_size != 0 and rows_per_dev > block_size:
         raise ValueError(
             f"rows/device {rows_per_dev} not a multiple of block {block_size}"
         )
-    fn = _build_sharded_search(mesh, axis, k, block_size, rows_per_dev)
+    fn = _build_sharded_search(mesh, axis, k, block_size, rows_per_dev,
+                               mode, recall_target)
     return fn(queries, vectors, sqnorms, valid)
