@@ -1,0 +1,158 @@
+"""Service facade: one object exposing every reference RPC.
+
+The reference splits its surface across two Thrift services —
+CoordinatorService {register_node, list_nodes, put, delete, get, search}
+(src/vector_db.thrift:90-120) and VectorNodeService (node-internal ops).
+Here the node layer is the in-process engine, so one facade serves the full
+coordinator surface plus the application-layer text/image search that the
+reference exposes over FastAPI (clip/backend.py:37-57). Both the HTTP
+server and the embedded CLI mode dispatch through `handle()`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import Response, SearchRequest, VectorData
+from tpuvdb.cluster.membership import NodeRegistry
+from tpuvdb.engine.engine import VectorDBEngine
+
+
+class DBService:
+    def __init__(
+        self,
+        config: Optional[DBConfig] = None,
+        data_dir: Optional[str] = None,
+        mesh=None,
+        embedder=None,
+        image_root: Optional[str] = None,
+    ):
+        self.config = config or DBConfig()
+        self.engine = VectorDBEngine(self.config, data_dir=data_dir, mesh=mesh)
+        self.registry = NodeRegistry(
+            shard_count=self.config.shard_count,
+            replica_count=self.config.replica_count,
+            health_interval_s=self.config.health_check_interval_s,
+        )
+        n_virtual = mesh.size if mesh is not None else self.config.shard_count
+        self.registry.register_virtual_nodes(n_virtual)
+        self._embedder = embedder
+        self.image_root = image_root
+
+    # ------------------------------------------------------------- embedder
+
+    @property
+    def embedder(self):
+        if self._embedder is None:
+            from tpuvdb.embed.clip import load_default_embedder
+
+            self._embedder = load_default_embedder(self.config.vector_dim)
+        return self._embedder
+
+    # ------------------------------------------------------------- dispatch
+
+    def handle(self, method: str, params: Dict[str, Any]) -> Dict[str, Any]:
+        fn = getattr(self, f"rpc_{method}", None)
+        if fn is None:
+            return Response.fail(f"unknown method: {method}").to_dict()
+        try:
+            return fn(params)
+        except Exception as e:  # surface as a failed Response, not a 500
+            return Response.fail(f"{type(e).__name__}: {e}").to_dict()
+
+    # ----------------------------------------------------- coordinator RPCs
+
+    def rpc_put(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        vd = VectorData.from_dict(p)
+        return self.engine.put(vd).to_dict()
+
+    def rpc_put_batch(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        batch = [VectorData.from_dict(d) for d in p.get("records", [])]
+        return self.engine.put_batch(batch).to_dict()
+
+    def rpc_get(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        return self.engine.get(p["key"]).to_dict()
+
+    def rpc_delete(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        return self.engine.delete(p["key"]).to_dict()
+
+    def rpc_search(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        req = SearchRequest.from_dict(p)
+        return self.engine.search(req).to_dict()
+
+    def rpc_register_node(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        self.registry.register_node(p["node_id"], p["address"])
+        return Response.ok(f"registered {p['node_id']}").to_dict()
+
+    def rpc_list_nodes(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        # the reference smuggles the node list through VectorData.metadata
+        # (src/coordinator/handler.py:105-114); here it's a proper field
+        nodes = [
+            {
+                "node_id": n.node_id,
+                "address": n.address,
+                "online": n.online,
+                "virtual": n.is_virtual,
+            }
+            for n in self.registry.list_nodes()
+        ]
+        d = Response.ok(f"{len(nodes)} nodes").to_dict()
+        d["nodes"] = nodes
+        d["shard_map"] = {str(k): v for k, v in self.registry.shard_map().items()}
+        return d
+
+    def rpc_info(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        d = Response.ok("info").to_dict()
+        d["info"] = self.engine.info()
+        return d
+
+    def rpc_flush(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        self.engine.flush()
+        return Response.ok("flushed").to_dict()
+
+    def rpc_compact(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        self.engine.compact()
+        return Response.ok("compacted").to_dict()
+
+    def rpc_checkpoint(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        path = self.engine.save_checkpoint()
+        return Response.ok(path or "no durable storage configured").to_dict()
+
+    # ------------------------------------------------- application layer
+
+    def text_search(self, text: str, topk: int = 5) -> Dict[str, Any]:
+        """Text -> image search (parity: clip/db_operation.py:123-161 +
+        clip/backend.py:37-57). Returns {results: [{file_path, score}]}."""
+        qvec = self.embedder.text2vec(text)
+        hits = self.engine.search_hits(qvec, topk)
+        results = []
+        for h in hits:
+            results.append({
+                "key": h.key,
+                "file_path": h.metadata.get("file_path", h.key),
+                "score": h.score,
+                "metadata": h.metadata,
+            })
+        return {"results": results}
+
+    def put_image(self, image_path: str, key: Optional[str] = None,
+                  dataset: str = "default") -> Dict[str, Any]:
+        """Embed + ingest one image (parity: clip/db_operation.py:49-85)."""
+        vec = self.embedder.image2vec(image_path)
+        key = key or os.path.basename(image_path)
+        vd = VectorData(
+            key=key,
+            vector=vec,
+            metadata={
+                "file_path": image_path,
+                "dataset": dataset,
+                "dim": str(self.config.vector_dim),
+            },
+        )
+        return self.engine.put(vd).to_dict()
+
+    def close(self):
+        self.registry.stop_health_loop()
+        self.engine.close()

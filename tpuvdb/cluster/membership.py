@@ -1,0 +1,198 @@
+"""Cluster membership, shard mapping, and health — the ZK-manager analog.
+
+The reference uses a ZooKeeper ensemble for membership (ephemeral znodes),
+a shard->(master, slaves) map, node watches, and a 5-second TCP-probe
+health loop that force-deletes dead nodes (src/utils/zk_manager.py:14-164).
+Registration rewrites the whole shard map round-robin with no data
+migration (src/coordinator/handler.py:93-103).
+
+On TPU the *data plane* needs none of that — every shard lives in one XLA
+program over a static mesh. What remains is the reference's EXTERNAL
+semantics, kept for API/CLI parity and for multi-host serving frontends:
+
+  * register_node(node_id, address) -> recompute shard map (same round-robin
+    master+slaves layout, tpuvdb.utils.sharding_utils.assign_shards_to_nodes)
+  * list_nodes with online/offline status
+  * an optional active TCP health-probe loop marking unreachable nodes
+    offline (interval parity: 5 s)
+
+In single-process deployments the registry tracks "virtual" nodes — one per
+mesh device (or one per logical shard) — which are always online.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import socket
+import threading
+import time
+from typing import Dict, List, Optional
+
+from tpuvdb.utils.sharding_utils import assign_shards_to_nodes
+
+
+@dataclasses.dataclass
+class NodeInfo:
+    node_id: str
+    address: str  # "host:port" or "device:<n>" for in-process virtual nodes
+    online: bool = True
+    registered_at: float = dataclasses.field(default_factory=time.time)
+    last_seen: float = dataclasses.field(default_factory=time.time)
+
+    @property
+    def is_virtual(self) -> bool:
+        return self.address.startswith("device:")
+
+
+class NodeRegistry:
+    def __init__(
+        self,
+        shard_count: int,
+        replica_count: int,
+        health_interval_s: float = 5.0,
+        probe_timeout_s: float = 1.0,
+    ):
+        self.shard_count = shard_count
+        self.replica_count = replica_count
+        self.health_interval_s = health_interval_s
+        self.probe_timeout_s = probe_timeout_s
+        self._lock = threading.RLock()
+        self._nodes: Dict[str, NodeInfo] = {}
+        self._shard_map: Dict[int, Dict[str, List[str]]] = {
+            i: {"master": [], "slaves": []} for i in range(shard_count)
+        }
+        self._health_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------------ membership
+
+    def register_node(self, node_id: str, address: str) -> Dict[int, Dict[str, List[str]]]:
+        """Register (or refresh) a node and rebuild the shard map — the same
+        full round-robin reassignment the reference performs
+        (src/coordinator/handler.py:96-99)."""
+        with self._lock:
+            self._nodes[node_id] = NodeInfo(node_id=node_id, address=address)
+            self._rebuild_shard_map_locked()
+            return dict(self._shard_map)
+
+    def deregister_node(self, node_id: str) -> bool:
+        with self._lock:
+            if self._nodes.pop(node_id, None) is None:
+                return False
+            self._rebuild_shard_map_locked()
+            return True
+
+    def register_virtual_nodes(self, n: int, prefix: str = "shard"):
+        """One always-online virtual node per mesh device / logical shard."""
+        with self._lock:
+            for i in range(n):
+                nid = f"{prefix}_{i}"
+                self._nodes[nid] = NodeInfo(node_id=nid, address=f"device:{i}")
+            self._rebuild_shard_map_locked()
+
+    def _rebuild_shard_map_locked(self):
+        online = [nid for nid, n in sorted(self._nodes.items()) if n.online]
+        self._shard_map = assign_shards_to_nodes(
+            online, self.shard_count, self.replica_count
+        )
+
+    def list_nodes(self) -> List[NodeInfo]:
+        with self._lock:
+            return [dataclasses.replace(n) for n in self._nodes.values()]
+
+    def get_node(self, node_id: str) -> Optional[NodeInfo]:
+        with self._lock:
+            n = self._nodes.get(node_id)
+            return dataclasses.replace(n) if n else None
+
+    def online_nodes(self) -> List[str]:
+        with self._lock:
+            return [nid for nid, n in self._nodes.items() if n.online]
+
+    # ------------------------------------------------------------- shard map
+
+    def get_shard_nodes(self, shard_id: int) -> Dict[str, List[str]]:
+        """Master + slaves for a shard, with master->first-online-slave
+        failover (parity: src/utils/zk_manager.py:139-157 — but here the
+        failover is real because replicas actually hold data)."""
+        with self._lock:
+            entry = self._shard_map.get(shard_id, {"master": [], "slaves": []})
+            masters = entry.get("master", [])
+            if masters:
+                m = self._nodes.get(masters[0])
+                if m is not None and m.online:
+                    return {"master": list(masters), "slaves": list(entry["slaves"])}
+            for s in entry.get("slaves", []):
+                n = self._nodes.get(s)
+                if n is not None and n.online:
+                    return {"master": [s], "slaves": [x for x in entry["slaves"] if x != s]}
+            return {"master": [], "slaves": []}
+
+    def shard_map(self) -> Dict[int, Dict[str, List[str]]]:
+        with self._lock:
+            return {k: {"master": list(v["master"]), "slaves": list(v["slaves"])}
+                    for k, v in self._shard_map.items()}
+
+    # ---------------------------------------------------------------- health
+
+    def mark_offline(self, node_id: str):
+        """Parity: the coordinator marks a node offline when a connection
+        fails (src/coordinator/handler.py:128-130)."""
+        with self._lock:
+            n = self._nodes.get(node_id)
+            if n is not None and n.online:
+                n.online = False
+                self._rebuild_shard_map_locked()
+
+    def mark_online(self, node_id: str):
+        with self._lock:
+            n = self._nodes.get(node_id)
+            if n is not None and not n.online:
+                n.online = True
+                n.last_seen = time.time()
+                self._rebuild_shard_map_locked()
+
+    def probe(self, node: NodeInfo) -> bool:
+        """TCP-connect probe (parity: src/utils/zk_manager.py:85-99).
+        Virtual in-process nodes are always healthy."""
+        if node.is_virtual:
+            return True
+        try:
+            host, port_s = node.address.rsplit(":", 1)
+            with socket.create_connection((host, int(port_s)), timeout=self.probe_timeout_s):
+                return True
+        except OSError:
+            return False
+
+    def check_health_once(self) -> Dict[str, bool]:
+        results = {}
+        for node in self.list_nodes():
+            ok = self.probe(node)
+            results[node.node_id] = ok
+            if ok:
+                self.mark_online(node.node_id)
+            else:
+                self.mark_offline(node.node_id)
+        return results
+
+    def start_health_loop(self):
+        if self._health_thread is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.wait(self.health_interval_s):
+                try:
+                    self.check_health_once()
+                except Exception:
+                    pass
+
+        self._health_thread = threading.Thread(target=loop, daemon=True,
+                                               name="tpuvdb-health")
+        self._health_thread.start()
+
+    def stop_health_loop(self):
+        self._stop.set()
+        if self._health_thread is not None:
+            self._health_thread.join(timeout=2)
+            self._health_thread = None
