@@ -1,0 +1,90 @@
+"""Engine with index_type=ivf: delta region, deletes, rebuild threshold."""
+
+import numpy as np
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+
+
+def ivf_config(**kw):
+    d = dict(
+        vector_dim=16,
+        shard_count=4,
+        shard_capacity=8192,
+        block_size=128,
+        index_type="ivf",
+        ivf_nlist=8,
+        ivf_nprobe=8,
+        ivf_kmeans_iters=5,
+        ivf_delta_max=64,
+        checkpoint_every_puts=10_000,
+        compact_every_puts=1_000_000,
+    )
+    d.update(kw)
+    return DBConfig(**d)
+
+
+def fill(eng, rng, n, prefix="k"):
+    vecs = {}
+    batch = []
+    for i in range(n):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"{prefix}{i}"] = v
+        batch.append(VectorData(key=f"{prefix}{i}", vector=v))
+    assert eng.put_batch(batch).success
+    return vecs
+
+
+def test_ivf_engine_end_to_end(rng):
+    eng = VectorDBEngine(ivf_config())
+    vecs = fill(eng, rng, 400)
+    r = eng.search(SearchRequest(query_vector=vecs["k123"], top_k=5))
+    assert r.success
+    assert r.search_result.keys[0] == "k123"
+    assert r.search_result.scores[0] < 1e-2
+    assert eng.info()["ivf"] is not None
+
+
+def test_ivf_delta_inserts_visible(rng):
+    eng = VectorDBEngine(ivf_config())
+    fill(eng, rng, 300)
+    eng.flush()  # builds the IVF
+    # small insert -> goes to delta (below ivf_delta_max), still findable
+    v = rng.standard_normal(16).astype(np.float32)
+    eng.put(VectorData(key="fresh", vector=v))
+    r = eng.search(SearchRequest(query_vector=v, top_k=1))
+    assert r.search_result.keys == ["fresh"]
+    assert eng.info()["ivf_delta"] == 1
+
+
+def test_ivf_delta_overflow_triggers_rebuild(rng):
+    eng = VectorDBEngine(ivf_config(ivf_delta_max=16))
+    fill(eng, rng, 200)
+    eng.flush()
+    fill(eng, rng, 50, prefix="d")  # > delta_max -> re-cluster on next flush
+    eng.flush()
+    assert eng.info()["ivf_delta"] == 0
+    q = eng.get("d25").vector_data.vector
+    r = eng.search(SearchRequest(query_vector=q, top_k=1))
+    assert r.search_result.keys == ["d25"]
+
+
+def test_ivf_delete_and_overwrite(rng):
+    eng = VectorDBEngine(ivf_config())
+    vecs = fill(eng, rng, 200)
+    eng.flush()
+    eng.delete("k10")
+    r = eng.search(SearchRequest(query_vector=vecs["k10"], top_k=3))
+    assert "k10" not in r.search_result.keys
+
+    v2 = rng.standard_normal(16).astype(np.float32)
+    eng.put(VectorData(key="k11", vector=v2, metadata={"v": "2"}))
+    r = eng.search(SearchRequest(query_vector=v2, top_k=1))
+    assert r.search_result.keys == ["k11"]
+    # old k11 vector must not resolve to k11 anymore
+    r = eng.search(SearchRequest(query_vector=vecs["k11"], top_k=2))
+    if "k11" in r.search_result.keys:
+        i = r.search_result.keys.index("k11")
+        old_d = float(np.sum((np.asarray(vecs["k11"]) - np.asarray(v2)) ** 2))
+        assert abs(r.search_result.scores[i] - old_d) < 1e-2

@@ -1,0 +1,99 @@
+"""IVF: k-means quality, recall vs exact oracle, deletes, spill handling."""
+
+import numpy as np
+import pytest
+
+from tpuvdb.index.ivf import IVFIndex
+from tpuvdb.kernels.distance import numpy_oracle
+from tpuvdb.kernels.kmeans import kmeans
+
+
+def clustered_data(rng, n_clusters=16, per=256, d=32):
+    centers = rng.standard_normal((n_clusters, d)) * 5
+    data = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((per, d)) for i in range(n_clusters)
+    ]).astype(np.float32)
+    return data
+
+
+def test_kmeans_converges_on_clusters(rng):
+    data = clustered_data(rng)
+    cents, assign = kmeans(data, np.ones(len(data), bool), nlist=16,
+                           iters=20, block_size=1024)
+    assert cents.shape == (16, 32)
+    assert assign.shape == (len(data),)
+    # points in the same true cluster should mostly share an assignment
+    agree = 0
+    for c in range(16):
+        seg = assign[c * 256 : (c + 1) * 256]
+        agree += (seg == np.bincount(seg[seg >= 0]).argmax()).mean()
+    assert agree / 16 > 0.9
+
+
+def test_kmeans_invalid_rows_excluded(rng):
+    data = clustered_data(rng, n_clusters=4, per=64)
+    valid = np.ones(len(data), bool)
+    valid[::2] = False
+    cents, assign = kmeans(data, valid, nlist=4, iters=8, block_size=256)
+    assert (assign[::2] == -1).all()
+    assert (assign[1::2] >= 0).all()
+
+
+def test_ivf_recall_vs_oracle(rng):
+    data = clustered_data(rng, n_clusters=32, per=128, d=32)
+    valid = np.ones(len(data), bool)
+    idx = IVFIndex.build(data, valid, nlist=32, nprobe=8, kmeans_iters=10)
+    q = data[rng.choice(len(data), 64, replace=False)] + \
+        0.05 * rng.standard_normal((64, 32)).astype(np.float32)
+    dist, rows = idx.search(q, k=10)
+    odist, oidx = numpy_oracle(q, data, valid, 10)
+    recall = np.mean([
+        len(set(rows[i][rows[i] >= 0]) & set(oidx[i])) / 10 for i in range(64)
+    ])
+    assert recall >= 0.9, f"recall {recall}"
+    # distances of returned rows must be exact
+    for i in range(4):
+        for j in range(10):
+            r = rows[i, j]
+            if r >= 0:
+                true = float(np.sum((q[i] - data[r]) ** 2))
+                assert abs(true - dist[i, j]) < 1e-2
+
+
+def test_ivf_full_nprobe_is_exhaustive(rng):
+    data = rng.standard_normal((1000, 16)).astype(np.float32)
+    valid = np.ones(1000, bool)
+    idx = IVFIndex.build(data, valid, nlist=8, nprobe=8, kmeans_iters=5)
+    q = data[:8]
+    dist, rows = idx.search(q, k=1)
+    # probing every cell == exact: each query finds itself
+    assert (rows[:, 0] == np.arange(8)).all()
+    assert (dist[:, 0] < 1e-2).all()
+
+
+def test_ivf_invalidate_rows(rng):
+    data = rng.standard_normal((512, 16)).astype(np.float32)
+    valid = np.ones(512, bool)
+    idx = IVFIndex.build(data, valid, nlist=4, nprobe=4, kmeans_iters=5)
+    q = data[7:8]
+    _, rows = idx.search(q, k=1)
+    assert rows[0, 0] == 7
+    idx.invalidate_rows(np.array([7]))
+    _, rows = idx.search(q, k=1)
+    assert rows[0, 0] != 7
+
+
+def test_ivf_spill_region_scanned(rng):
+    # skewed data: one dominant cluster forces spill with a low quantile cap
+    data = np.concatenate([
+        rng.standard_normal((900, 16)) * 0.1,          # dense blob
+        rng.standard_normal((100, 16)) * 0.1 + 10.0,   # far blob
+    ]).astype(np.float32)
+    valid = np.ones(1000, bool)
+    idx = IVFIndex.build(data, valid, nlist=8, nprobe=2, kmeans_iters=8,
+                         cell_cap_quantile=0.5)
+    assert idx.stats().spill_rows > 0
+    # spilled rows must still be findable
+    q = data[:16]
+    _, rows = idx.search(q, k=1)
+    assert (rows[:, 0] == np.arange(16)).sum() >= 14

@@ -55,11 +55,15 @@ class DBConfig:
                                    # "exact" = bitwise-exact top-k merge
     recall_target: float = 0.95    # approx_max_k knob (BASELINE: recall>=0.95)
 
+    # -- index selection --
+    index_type: str = "flat"       # "flat" (approx_max_k scan) | "ivf"
+
     # -- IVF --
     ivf_nlist: int = 1024
     ivf_nprobe: int = 32
     ivf_kmeans_iters: int = 12
-    ivf_sample_per_list: int = 256
+    ivf_train_sample: int = 262_144
+    ivf_delta_max: int = 16384     # fresh inserts before re-clustering
 
     # -- mesh --
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis

@@ -46,6 +46,12 @@ from tpuvdb.store.wal import WriteAheadLog
 from tpuvdb.utils.sharding_utils import get_shard_id
 
 
+def dataclasses_asdict_safe(obj):
+    import dataclasses as _dc
+
+    return _dc.asdict(obj) if _dc.is_dataclass(obj) else obj
+
+
 class VectorDBEngine:
     def __init__(
         self,
@@ -67,6 +73,12 @@ class VectorDBEngine:
         self.wal: Optional[WriteAheadLog] = None
         self.ckpts: Optional[CheckpointManager] = None
         self._index: Optional[DeviceExactIndex] = None
+        # IVF state (config.index_type == "ivf"): main clustered index +
+        # a delta region of fresh inserts searched exactly until the next
+        # re-clustering (the LSM-ish analog of hnswlib's incremental insert)
+        self._ivf = None
+        self._ivf_layout = None
+        self._ivf_delta: Dict[Tuple[int, int], np.ndarray] = {}
 
         # staged (shard, slot) writes/deletes not yet scattered to device
         self._staged_updates: List[Tuple[int, int]] = []
@@ -225,8 +237,14 @@ class VectorDBEngine:
     # ------------------------------------------------------------------ flush
 
     def flush(self):
-        """Scatter staged mirror writes/deletes into the device index."""
+        """Apply staged mirror writes/deletes to the active device index."""
         with self._lock:
+            if self.config.index_type == "ivf":
+                self._flush_ivf()
+            else:
+                self._flush_flat()
+
+    def _flush_flat(self):
             if self._index is None or self._index.needs_rebuild(self.mirrors):
                 self._rebuild_device_index()
                 return
@@ -253,6 +271,53 @@ class VectorDBEngine:
                 self._index.apply_deletes(rows)
                 self._staged_deletes.clear()
             self.stats["flushes"] += 1
+
+    def _flush_ivf(self):
+        from tpuvdb.index.ivf import IVFIndex
+        from tpuvdb.index.layout import StackedLayout
+
+        cfg = self.config
+        needs_rebuild = (
+            self._ivf is None
+            or self._ivf_layout is None
+            or any(m.phys_cap > self._ivf_layout.phys_cap for m in self.mirrors)
+            or len(self._ivf_delta) + len(self._staged_updates) > cfg.ivf_delta_max
+        )
+        if needs_rebuild:
+            layout = StackedLayout.for_mirrors(self.mirrors, block=128)
+            vecs, _, valid = layout.stack(self.mirrors)
+            live = int(valid.sum())
+            if live == 0:
+                self._ivf = None
+                self._ivf_layout = layout
+            else:
+                nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
+                self._ivf = IVFIndex.build(
+                    vecs, valid,
+                    nlist=nlist,
+                    nprobe=min(cfg.ivf_nprobe, nlist),
+                    kmeans_iters=cfg.ivf_kmeans_iters,
+                    train_sample=cfg.ivf_train_sample,
+                    dtype=cfg.jnp_dtype(),
+                    recall_target=cfg.recall_target,
+                )
+                self._ivf_layout = layout
+            self._ivf_delta.clear()
+            self._staged_updates.clear()
+            self._staged_deletes.clear()
+        else:
+            for s, sl in self._staged_updates:
+                if self.mirrors[s].is_valid(sl):
+                    self._ivf_delta[(s, sl)] = self.mirrors[s].vector_at(sl).copy()
+            self._staged_updates.clear()
+            if self._staged_deletes:
+                rows = []
+                for s, sl in self._staged_deletes:
+                    self._ivf_delta.pop((s, sl), None)
+                    rows.append(self._ivf_layout.row_of(s, sl))
+                self._ivf.invalidate_rows(np.asarray(rows, np.int64))
+                self._staged_deletes.clear()
+        self.stats["flushes"] += 1
 
     def _rebuild_device_index(self):
         self._index = DeviceExactIndex.build(
@@ -357,13 +422,19 @@ class VectorDBEngine:
         knn_query k*2 (src/datanode/handler.py:359-364).
         """
         with self._lock:
-            if self._staged_updates or self._staged_deletes or self._index is None:
+            ivf_mode = self.config.index_type == "ivf"
+            if self._staged_updates or self._staged_deletes or (
+                self._ivf is None if ivf_mode else self._index is None
+            ):
                 self.flush()
+            layout = self._ivf_layout if ivf_mode else self._index.layout
             fetch_k = max(2 * k, k + 16) if overfetch else k
-            fetch_k = min(fetch_k, self._index.layout.total_rows)
+            fetch_k = min(fetch_k, layout.total_rows)
             self.stats["searches"] += 1
-            dists, rows = self._index.search(queries, fetch_k)
-            layout = self._index.layout
+            if ivf_mode:
+                dists, rows = self._ivf_search_rows(queries, fetch_k)
+            else:
+                dists, rows = self._index.search(queries, fetch_k)
             keys: List[List[Optional[str]]] = []
             for qi in range(rows.shape[0]):
                 row_keys: List[Optional[str]] = []
@@ -375,6 +446,35 @@ class VectorDBEngine:
                     row_keys.append(self.docstore.key_at(shard, slot))
                 keys.append(row_keys)
             return dists, keys
+
+    def _ivf_search_rows(self, queries: np.ndarray, k: int):
+        """IVF main search + exact scan of the delta region, merged.
+        Empty engine (no IVF yet) returns all-empty results."""
+        qn = queries.shape[0]
+        if self._ivf is None:
+            return (np.full((qn, k), np.inf, np.float32),
+                    np.full((qn, k), -1, np.int64))
+        dists, rows = self._ivf.search(queries, k)
+        if self._ivf_delta:
+            pairs = list(self._ivf_delta.keys())
+            mat = np.stack([self._ivf_delta[p] for p in pairs])
+            q = np.asarray(queries, np.float32)
+            d2 = (
+                np.sum(q * q, axis=1, keepdims=True)
+                + np.einsum("nd,nd->n", mat, mat)[None, :]
+                - 2.0 * (q @ mat.T)
+            )
+            drows = np.array(
+                [self._ivf_layout.row_of(s, sl) for s, sl in pairs], np.int64
+            )
+            all_d = np.concatenate([dists, d2], axis=1)
+            all_r = np.concatenate(
+                [rows, np.broadcast_to(drows, (qn, len(pairs)))], axis=1
+            )
+            order = np.argsort(all_d, axis=1, kind="stable")[:, :k]
+            dists = np.take_along_axis(all_d, order, axis=1)
+            rows = np.take_along_axis(all_r, order, axis=1)
+        return dists, rows
 
     # ------------------------------------------------------------ maintenance
 
@@ -395,6 +495,9 @@ class VectorDBEngine:
                                            metadata=e.metadata, timestamp=e.timestamp))
             self.mirrors = new_mirrors
             self._index = None
+            self._ivf = None
+            self._ivf_layout = None
+            self._ivf_delta.clear()
             self._staged_updates.clear()
             self._staged_deletes.clear()
             self._puts_since_compact = 0
@@ -426,8 +529,11 @@ class VectorDBEngine:
                      "phys_cap": m.phys_cap}
                     for m in self.mirrors
                 ],
+                "index_type": self.config.index_type,
                 "device_rows": self._index.layout.total_rows if self._index else 0,
                 "device_bytes": self._index.nbytes() if self._index else 0,
+                "ivf": dataclasses_asdict_safe(self._ivf.stats()) if self._ivf else None,
+                "ivf_delta": len(self._ivf_delta),
                 "staged": len(self._staged_updates) + len(self._staged_deletes),
                 "stats": dict(self.stats),
             }

@@ -1,0 +1,294 @@
+"""IVF-Flat index: k-means coarse quantizer + cluster-pruned scan.
+
+Role parity: the reference's per-node hnswlib HNSW graph
+(src/datanode/handler.py:75-89) provides sublinear ANN. Graph traversal is
+TPU-hostile (pointer chasing, data-dependent branching), so the TPU-native
+sublinear structure is IVF: vectors grouped into nlist centroid cells laid
+out CONTIGUOUSLY in HBM, queries scored against centroids first (one small
+GEMM), then scanned only against the nprobe nearest cells.
+
+Layout: cell i owns rows [i*P, (i+1)*P) of the grouped arrays, where P is
+the padded cell capacity (a lane-aligned multiple of 128). Each grouped row
+remembers its original physical row id, so results map straight back to the
+engine's (shard, slot) space. Rows that overflow a cell land in a spill
+region that is always scanned (exact, small).
+
+When to use which (measured on v5e):
+  * throughput serving (large query batches): the flat approx_max_k scan is
+    already HBM-bound and hits ~680k QPS/chip on 1M x 128 — IVF can't beat
+    the memory floor when the batch's probed cells cover the corpus.
+  * latency serving (batch <= ~16): IVF reads nprobe*P rows instead of N —
+    a (nlist/nprobe)x reduction in HBM traffic per query.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvdb.kernels.kmeans import kmeans
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "cell_pad", "recall_target"))
+def _ivf_search(
+    queries: jax.Array,        # (Q, d) f32
+    centroids: jax.Array,      # (nlist, d) f32
+    grouped: jax.Array,        # (nlist*P, d) storage dtype
+    grouped_sq: jax.Array,     # (nlist*P,) f32
+    grouped_valid: jax.Array,  # (nlist*P,) bool
+    spill: jax.Array,          # (S, d)
+    spill_sq: jax.Array,       # (S,)
+    spill_valid: jax.Array,    # (S,) bool
+    nprobe: int,
+    k: int,
+    cell_pad: int,
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (dist, grouped_row) where grouped_row indexes grouped rows,
+    or nlist*P + j for spill row j; -1 for empty."""
+    qf = queries.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+
+    # 1. coarse: nearest nprobe cells per query
+    c_sq = jnp.sum(centroids * centroids, axis=-1)
+    c_scores = 2.0 * jnp.dot(qf, centroids.T,
+                             preferred_element_type=jnp.float32) - c_sq[None, :]
+    _, cells = jax.lax.top_k(c_scores, nprobe)  # (Q, nprobe)
+
+    # 2. candidate rows: nprobe contiguous cells of P rows each
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
+    cand = (cells[:, :, None] * cell_pad + offs).reshape(queries.shape[0], -1)
+
+    # 3. gather + score (R = nprobe*P candidates per query)
+    cvecs = jnp.take(grouped, cand, axis=0)          # (Q, R, d)
+    csq = jnp.take(grouped_sq, cand, axis=0)         # (Q, R)
+    cval = jnp.take(grouped_valid, cand, axis=0)     # (Q, R)
+    qc = queries.astype(grouped.dtype)
+    dots = jnp.einsum("qd,qrd->qr", qc, cvecs,
+                      preferred_element_type=jnp.float32)
+    neg = 2.0 * dots - csq
+    neg = jnp.where(cval, neg, -jnp.inf)
+
+    # 4. spill region: exact scan, always
+    sdots = jnp.dot(qc, spill.T.astype(grouped.dtype),
+                    preferred_element_type=jnp.float32)
+    sneg = 2.0 * sdots - spill_sq[None, :]
+    sneg = jnp.where(spill_valid[None, :], sneg, -jnp.inf)
+    spill_ids = grouped.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, spill.shape[0]), 1
+    )
+    all_neg = jnp.concatenate([neg, jnp.broadcast_to(
+        sneg, (queries.shape[0], sneg.shape[1]))], axis=1)
+    all_ids = jnp.concatenate(
+        [cand, jnp.broadcast_to(spill_ids, (queries.shape[0], spill_ids.shape[1]))],
+        axis=1,
+    )
+
+    kk = min(k, all_neg.shape[1])
+    top_neg, pos = jax.lax.approx_max_k(all_neg, kk, recall_target=recall_target)
+    top_ids = jnp.take_along_axis(all_ids, pos.astype(jnp.int32), axis=1)
+    if kk < k:
+        top_neg = jnp.pad(top_neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    top_ids = jnp.where(top_neg == -jnp.inf, -1, top_ids)
+    dist = jnp.where(top_ids >= 0, q_sq - top_neg, jnp.inf)
+    return dist, top_ids
+
+
+@dataclasses.dataclass
+class IVFStats:
+    nlist: int
+    cell_pad: int
+    spill_rows: int
+    grouped_rows: int
+    fill: float  # live rows / padded capacity
+
+
+class IVFIndex:
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        grouped: jax.Array,
+        grouped_sq: jax.Array,
+        grouped_valid: jax.Array,
+        row_ids: np.ndarray,      # grouped row -> original physical row (-1 pad)
+        spill: jax.Array,
+        spill_sq: jax.Array,
+        spill_valid: jax.Array,
+        spill_row_ids: np.ndarray,
+        cell_pad: int,
+        nprobe: int = 32,
+        recall_target: float = 0.95,
+    ):
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.grouped = grouped
+        self.grouped_sq = grouped_sq
+        self.grouped_valid = grouped_valid
+        self.row_ids = row_ids
+        self.spill = spill
+        self.spill_sq = spill_sq
+        self.spill_valid = spill_valid
+        self.spill_row_ids = spill_row_ids
+        self.cell_pad = cell_pad
+        self.nprobe = nprobe
+        self.recall_target = recall_target
+        self.nlist = int(centroids.shape[0])
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,      # (N, d) f32 — physical row space
+        valid: np.ndarray,        # (N,) bool
+        nlist: int = 1024,
+        nprobe: int = 32,
+        kmeans_iters: int = 12,
+        train_sample: int = 262_144,
+        cell_cap_quantile: float = 0.98,
+        dtype=jnp.float32,
+        seed: int = 0,
+        recall_target: float = 0.95,
+    ) -> "IVFIndex":
+        n, d = vectors.shape
+        live_idx = np.flatnonzero(valid)
+        if len(live_idx) == 0:
+            raise ValueError("cannot build IVF over empty corpus")
+        rng = np.random.default_rng(seed)
+
+        # 1. train the coarse quantizer on a sample (TPU k-means)
+        if len(live_idx) > train_sample:
+            tr = rng.choice(live_idx, size=train_sample, replace=False)
+        else:
+            tr = live_idx
+        centroids, _ = kmeans(vectors[tr], np.ones(len(tr), bool),
+                              nlist=nlist, iters=kmeans_iters, seed=seed)
+
+        # 2. assign every live row
+        from tpuvdb.kernels.kmeans import assign_blockwise
+
+        pad_n = _round_up(n, 65536)
+        vp = np.zeros((pad_n, d), np.float32)
+        vp[:n] = vectors
+        assign = np.asarray(
+            assign_blockwise(jnp.asarray(vp), jnp.asarray(centroids))
+        )[:n]
+        assign = np.where(valid, assign, -1)
+
+        # 3. cell capacity: quantile cap, overflow -> spill
+        sizes = np.bincount(assign[assign >= 0], minlength=nlist)
+        cap = int(np.quantile(sizes, cell_cap_quantile)) if nlist > 1 else int(sizes.max())
+        cell_pad = max(_round_up(max(cap, 1), 128), 128)
+
+        grouped_rows = nlist * cell_pad
+        gvec = np.zeros((grouped_rows, d), np.float32)
+        gval = np.zeros(grouped_rows, bool)
+        grow = np.full(grouped_rows, -1, np.int64)
+        spill_rows = []
+        fill = np.zeros(nlist, np.int64)
+        for row in live_idx:
+            c = assign[row]
+            if fill[c] < cell_pad:
+                pos = c * cell_pad + fill[c]
+                gvec[pos] = vectors[row]
+                gval[pos] = True
+                grow[pos] = row
+                fill[c] += 1
+            else:
+                spill_rows.append(row)
+
+        s = max(len(spill_rows), 1)
+        s_pad = _round_up(s, 128)
+        svec = np.zeros((s_pad, d), np.float32)
+        sval = np.zeros(s_pad, bool)
+        srow = np.full(s_pad, -1, np.int64)
+        for j, row in enumerate(spill_rows):
+            svec[j] = vectors[row]
+            sval[j] = True
+            srow[j] = row
+
+        gsq = np.einsum("nd,nd->n", gvec, gvec).astype(np.float32)
+        ssq = np.einsum("nd,nd->n", svec, svec).astype(np.float32)
+        return cls(
+            centroids=centroids,
+            grouped=jnp.asarray(gvec, dtype),
+            grouped_sq=jnp.asarray(gsq),
+            grouped_valid=jnp.asarray(gval),
+            row_ids=grow,
+            spill=jnp.asarray(svec, dtype),
+            spill_sq=jnp.asarray(ssq),
+            spill_valid=jnp.asarray(sval),
+            spill_row_ids=srow,
+            cell_pad=cell_pad,
+            nprobe=nprobe,
+            recall_target=recall_target,
+        )
+
+    # ----------------------------------------------------------------- search
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
+        max_batch: int = 32,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (dists, physical_rows); -1 rows for empty slots.
+        Queries are chunked to bound the (Q, nprobe*P, d) gather."""
+        nprobe = min(nprobe or self.nprobe, self.nlist)
+        q = np.asarray(queries, np.float32)
+        out_d, out_r = [], []
+        for start in range(0, q.shape[0], max_batch):
+            qc = q[start : start + max_batch]
+            dist, gid = _ivf_search(
+                jnp.asarray(qc), self.centroids,
+                self.grouped, self.grouped_sq, self.grouped_valid,
+                self.spill, self.spill_sq, self.spill_valid,
+                nprobe=nprobe, k=k, cell_pad=self.cell_pad,
+                recall_target=self.recall_target,
+            )
+            gid = np.asarray(gid)
+            dist = np.asarray(dist)
+            # map grouped/spill ids back to physical rows
+            rows = np.full_like(gid, -1, dtype=np.int64)
+            g = gid >= 0
+            in_spill = gid >= self.grouped.shape[0]
+            rows[g & ~in_spill] = self.row_ids[gid[g & ~in_spill]]
+            sp = g & in_spill
+            rows[sp] = self.spill_row_ids[gid[sp] - self.grouped.shape[0]]
+            out_d.append(dist)
+            out_r.append(rows)
+        return np.concatenate(out_d), np.concatenate(out_r)
+
+    # ------------------------------------------------------------- mutations
+
+    def invalidate_rows(self, physical_rows: np.ndarray):
+        """Soft-delete: mark grouped/spill slots of these physical rows
+        invalid (cheap; full rebuild happens at compaction)."""
+        phys = set(int(r) for r in physical_rows)
+        g_hits = np.flatnonzero(np.isin(self.row_ids, list(phys)))
+        s_hits = np.flatnonzero(np.isin(self.spill_row_ids, list(phys)))
+        if len(g_hits):
+            gv = np.array(self.grouped_valid)  # copy: jax buffers are read-only
+            gv[g_hits] = False
+            self.grouped_valid = jnp.asarray(gv)
+        if len(s_hits):
+            sv = np.array(self.spill_valid)
+            sv[s_hits] = False
+            self.spill_valid = jnp.asarray(sv)
+
+    def stats(self) -> IVFStats:
+        gval = np.asarray(self.grouped_valid)
+        return IVFStats(
+            nlist=self.nlist,
+            cell_pad=self.cell_pad,
+            spill_rows=int(np.asarray(self.spill_valid).sum()),
+            grouped_rows=int(self.grouped.shape[0]),
+            fill=float(gval.mean()),
+        )
