@@ -1,0 +1,91 @@
+"""Int8 quantized storage: kernel recall, engine round trip, mesh path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+from tpuvdb.index.layout import ShardMirror
+from tpuvdb.index.exact import DeviceExactIndex
+from tpuvdb.kernels.distance import numpy_oracle
+from tpuvdb.kernels.quant import l2sq_topk_int8_xla, quantize_batch, quantize_rows_np
+
+
+def test_quantize_roundtrip(rng):
+    x = rng.standard_normal((64, 32)).astype(np.float32) * 3
+    q, s = quantize_rows_np(x)
+    rec = q.astype(np.float32) * s[:, None]
+    rel = np.abs(rec - x).max() / np.abs(x).max()
+    assert rel < 0.01
+    # zero rows don't divide by zero
+    q0, s0 = quantize_rows_np(np.zeros((2, 8), np.float32))
+    assert (q0 == 0).all() and (s0 == 1.0).all()
+
+
+def test_int8_kernel_recall(rng):
+    n, d, k = 2048, 64, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    ci8, scales = quantize_rows_np(corpus)
+    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
+    valid = np.ones(n, bool)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    dist, idx = l2sq_topk_int8_xla(
+        jnp.asarray(q), jnp.asarray(ci8), jnp.asarray(scales),
+        jnp.asarray(sq), jnp.asarray(valid), k=k,
+    )
+    idx = np.asarray(idx)
+    _, oidx = numpy_oracle(q, corpus, valid, k)
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(16)])
+    assert recall >= 0.9, recall
+
+
+def test_int8_device_index_updates(rng):
+    mirrors = [ShardMirror(dim=32, capacity=2048, init_cap=256, block=128)
+               for _ in range(2)]
+    stored = {}
+    for s, m in enumerate(mirrors):
+        for i in range(100):
+            slot = m.alloc()
+            v = rng.standard_normal(32).astype(np.float32)
+            m.write(slot, v)
+            stored[(s, slot)] = v
+    idx = DeviceExactIndex.build(mirrors, dtype=jnp.int8, block_size=128)
+    assert idx.quantized and idx.row_scales is not None
+    t = stored[(1, 50)]
+    dist, rows = idx.search(t[None, :], k=1)
+    assert idx.layout.shard_slot_of(int(rows[0, 0])) == (1, 50)
+    assert dist[0, 0] < 0.05  # int8 noise, not exact zero
+
+    # incremental quantized update
+    m = mirrors[0]
+    slot = m.alloc()
+    m.write(slot, t)
+    row = idx.layout.row_of(0, slot)
+    idx.apply_updates(np.array([row], np.int32), t[None, :], np.array([True]))
+    _, rows = idx.search(t[None, :], k=2)
+    found = {idx.layout.shard_slot_of(int(r)) for r in rows[0]}
+    assert (0, slot) in found and (1, 50) in found
+
+
+def test_int8_engine_and_mesh(rng):
+    from tpuvdb.mesh.mesh import create_mesh
+
+    cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=4096,
+                   block_size=128, storage_dtype="int8",
+                   checkpoint_every_puts=10**6, compact_every_puts=10**6)
+    eng = VectorDBEngine(cfg, mesh=create_mesh())
+    vecs = {}
+    batch = []
+    for i in range(300):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+    r = eng.search(SearchRequest(query_vector=vecs["k42"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k42"
+    # get returns the EXACT vector (host mirror, unquantized)
+    g = eng.get("k42")
+    np.testing.assert_allclose(g.vector_data.vector, vecs["k42"], rtol=1e-6)

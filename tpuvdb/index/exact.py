@@ -36,6 +36,22 @@ def _scatter_update(vectors, sqnorms, valid, rows, vecs, valid_vals):
     return vectors, sqnorms, valid
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_update_int8(vectors, scales, sqnorms, valid, rows, vecs, valid_vals):
+    """Int8 storage variant: per-row quantize incoming vectors on device."""
+    vecs_f32 = vecs.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(vecs_f32), axis=-1)
+    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    qv = jnp.clip(jnp.round(vecs_f32 / s[:, None]), -127, 127).astype(jnp.int8)
+    vectors = vectors.at[rows].set(qv, mode="drop")
+    scales = scales.at[rows].set(s, mode="drop")
+    sqnorms = sqnorms.at[rows].set(
+        jnp.sum(vecs_f32 * vecs_f32, axis=-1), mode="drop"
+    )
+    valid = valid.at[rows].set(valid_vals, mode="drop")
+    return vectors, scales, sqnorms, valid
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_valid(valid, rows, valid_vals):
     return valid.at[rows].set(valid_vals, mode="drop")
@@ -72,8 +88,14 @@ class DeviceExactIndex:
             P = jax.sharding.PartitionSpec
             self._sharding = jax.sharding.NamedSharding(mesh, P(mesh_axis, None))
             self._sharding1d = jax.sharding.NamedSharding(mesh, P(mesh_axis))
+        self.quantized = dtype == jnp.int8
         self.vectors = self._device_put(
             np.zeros((layout.total_rows, layout.dim), dtype=np.float32), self._sharding
+        )
+        # per-row dequant scales (int8 storage only; see kernels.quant)
+        self.row_scales = (
+            self._device_put(np.ones(layout.total_rows, np.float32), self._sharding1d)
+            if self.quantized else None
         )
         self.sqnorms = self._device_put(
             np.zeros(layout.total_rows, dtype=np.float32), self._sharding1d
@@ -107,7 +129,14 @@ class DeviceExactIndex:
                   mesh_axis=mesh_axis, search_mode=search_mode,
                   recall_target=recall_target)
         vecs, sq, valid = layout.stack(mirrors)
-        idx.vectors = idx._device_put(vecs, idx._sharding)
+        if idx.quantized:
+            from tpuvdb.kernels.quant import quantize_rows_np
+
+            qv, scales = quantize_rows_np(vecs)
+            idx.vectors = idx._device_put(qv, idx._sharding)
+            idx.row_scales = idx._device_put(scales, idx._sharding1d)
+        else:
+            idx.vectors = idx._device_put(vecs, idx._sharding)
         idx.sqnorms = idx._device_put(sq, idx._sharding1d)
         idx.valid = idx._device_put(valid, idx._sharding1d)
         return idx
@@ -137,14 +166,24 @@ class DeviceExactIndex:
             rows = np.concatenate([rows, np.full(pad, self.layout.total_rows, np.int32)])
             vecs = np.concatenate([vecs, np.zeros((pad, vecs.shape[1]), vecs.dtype)])
             valid_vals = np.concatenate([valid_vals, np.zeros(pad, bool)])
-        self.vectors, self.sqnorms, self.valid = _scatter_update(
-            self.vectors,
-            self.sqnorms,
-            self.valid,
-            jnp.asarray(rows, dtype=jnp.int32),
-            jnp.asarray(vecs),
-            jnp.asarray(valid_vals),
-        )
+        if self.quantized:
+            self.vectors, self.row_scales, self.sqnorms, self.valid = (
+                _scatter_update_int8(
+                    self.vectors, self.row_scales, self.sqnorms, self.valid,
+                    jnp.asarray(rows, dtype=jnp.int32),
+                    jnp.asarray(vecs),
+                    jnp.asarray(valid_vals),
+                )
+            )
+        else:
+            self.vectors, self.sqnorms, self.valid = _scatter_update(
+                self.vectors,
+                self.sqnorms,
+                self.valid,
+                jnp.asarray(rows, dtype=jnp.int32),
+                jnp.asarray(vecs),
+                jnp.asarray(valid_vals),
+            )
 
     def apply_deletes(self, rows: np.ndarray):
         n = rows.shape[0]
@@ -172,6 +211,14 @@ class DeviceExactIndex:
                 k=k, block_size=self.block_size,
                 mesh=self.mesh, axis=self.mesh_axis,
                 mode=self.search_mode, recall_target=self.recall_target,
+                row_scales=self.row_scales,
+            )
+        elif self.quantized:
+            from tpuvdb.kernels.quant import l2sq_topk_int8_xla
+
+            dist, rows = l2sq_topk_int8_xla(
+                q, self.vectors, self.row_scales, self.sqnorms, self.valid,
+                k=k, recall_target=self.recall_target,
             )
         else:
             dist, rows = l2sq_topk(

@@ -1,0 +1,71 @@
+"""Int8 symmetric quantization for corpus storage.
+
+BASELINE config 5 (LAION-100M CLIP 768-d) calls for int8 shards: halving
+bytes/row doubles the HBM-bound scan ceiling (the flat scan is bandwidth-
+limited at ~800 GB/s on v5e). Scheme:
+
+  corpus row x  ->  x_int8 = round(x / s_r),  s_r = max|x| / 127  (per row)
+  query batch q ->  q_int8 = round(q / s_q),  s_q = max|Q| / 127  (per batch)
+
+A single batch-global query scale keeps the score expression
+  2 * s_q * s_r * (q_int8 . x_int8) - ||x||^2
+free of per-query outer products inside the kernel (one SMEM scalar);
+embeddings are L2-normalized in the CLIP pipeline so per-query dynamic
+range is homogeneous. Squared norms are kept in f32 from the ORIGINAL
+vectors, so the norm term is exact and only the dot is quantized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_rows_np(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row int8 quantization (host path, used at index build)."""
+    x = np.asarray(x, np.float32)
+    absmax = np.max(np.abs(x), axis=-1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(x / scales[:, None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+@jax.jit
+def quantize_batch(q: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batch-global int8 quantization for queries. Returns (q_int8, scale)."""
+    absmax = jnp.max(jnp.abs(q))
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    qi = jnp.clip(jnp.round(q / scale), -127, 127).astype(jnp.int8)
+    return qi, scale.reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def l2sq_topk_int8_xla(
+    queries: jax.Array,       # (Q, d) f32
+    corpus_i8: jax.Array,     # (N, d) int8
+    row_scales: jax.Array,    # (N,) f32
+    corpus_sqnorms: jax.Array,  # (N,) f32 (exact, from original vectors)
+    valid: jax.Array,         # (N,) bool
+    k: int,
+    recall_target: float = 0.95,
+):
+    """XLA int8 scan: int8 x int8 -> int32 dots on the MXU, exact norm
+    correction, approx_max_k top-k. Same contract as l2sq_topk."""
+    qi, qscale = quantize_batch(queries)
+    dots = jax.lax.dot_general(
+        qi, corpus_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    scores = 2.0 * qscale * row_scales[None, :] * dots - corpus_sqnorms[None, :]
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    neg, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    idx = idx.astype(jnp.int32)
+    idx = jnp.where(neg == -jnp.inf, -1, idx)
+    q_sq = jnp.sum(jnp.square(queries), axis=-1, keepdims=True)
+    dist = jnp.where(idx >= 0, q_sq - neg, jnp.inf)
+    return dist, idx

@@ -26,13 +26,22 @@ shard_map = jax.shard_map
 
 @functools.lru_cache(maxsize=32)
 def _build_sharded_search(mesh, axis: str, k: int, block_size: int,
-                          rows_per_dev: int, mode: str, recall_target: float):
+                          rows_per_dev: int, mode: str, recall_target: float,
+                          quantized: bool = False):
     ndev = mesh.shape[axis]
 
-    def local(q, vecs, sq, valid):
+    def local_topk(q, vecs, sq, valid, scales=None):
+        if quantized:
+            from tpuvdb.kernels.quant import l2sq_topk_int8_xla
+
+            return l2sq_topk_int8_xla(q, vecs, scales, sq, valid, k=k,
+                                      recall_target=recall_target)
+        return l2sq_topk(q, vecs, sq, valid, k=k, block_size=block_size,
+                         mode=mode, recall_target=recall_target)
+
+    def local(q, vecs, sq, valid, *rest):
         my = jax.lax.axis_index(axis)
-        dist, idx = l2sq_topk(q, vecs, sq, valid, k=k, block_size=block_size,
-                              mode=mode, recall_target=recall_target)
+        dist, idx = local_topk(q, vecs, sq, valid, *rest)
         rows = jnp.where(idx >= 0, idx + my * rows_per_dev, -1)
         neg = jnp.where(idx >= 0, -dist, -jnp.inf)
         # (ndev, Q, k) candidate sets on every device, then a final top-k.
@@ -46,10 +55,13 @@ def _build_sharded_search(mesh, axis: str, k: int, block_size: int,
         out_dist = jnp.where(top_rows >= 0, -top_neg, jnp.inf)
         return out_dist, top_rows
 
+    in_specs = (P(), P(axis, None), P(axis), P(axis))
+    if quantized:
+        in_specs = in_specs + (P(axis),)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -67,8 +79,10 @@ def sharded_search(
     axis: str = "shards",
     mode: str = "approx",
     recall_target: float = 0.95,
+    row_scales=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Global top-k over the row-sharded corpus. Returns (dists, rows)."""
+    """Global top-k over the row-sharded corpus. Returns (dists, rows).
+    Pass row_scales for int8-quantized corpora."""
     ndev = mesh.shape[axis]
     total_rows = vectors.shape[0]
     if total_rows % ndev != 0:
@@ -78,6 +92,9 @@ def sharded_search(
         raise ValueError(
             f"rows/device {rows_per_dev} not a multiple of block {block_size}"
         )
+    quantized = row_scales is not None
     fn = _build_sharded_search(mesh, axis, k, block_size, rows_per_dev,
-                               mode, recall_target)
+                               mode, recall_target, quantized)
+    if quantized:
+        return fn(queries, vectors, sqnorms, valid, row_scales)
     return fn(queries, vectors, sqnorms, valid)
