@@ -57,7 +57,9 @@ def test_int8_device_index_updates(rng):
     t = stored[(1, 50)]
     dist, rows = idx.search(t[None, :], k=1)
     assert idx.layout.shard_slot_of(int(rows[0, 0])) == (1, 50)
-    assert dist[0, 0] < 0.05  # int8 noise, not exact zero
+    # int8 dot noise ~2%% of ||x||^2 (~32 here): self-distance is small but
+    # not exact zero; random pairs sit at ~64
+    assert dist[0, 0] < 2.0
 
     # incremental quantized update
     m = mirrors[0]
