@@ -1,17 +1,26 @@
-"""Headline benchmark: exact-scan QPS/chip on a SIFT1M-scale corpus.
+"""Headline benchmark: scan QPS/chip on a SIFT1M-scale corpus (1M x 128).
 
-BASELINE.md config 2: SIFT1M 128-d, one chip — target >= 50k QPS/chip exact
-at recall@10 >= 0.95 vs brute force. The reference publishes no numbers
-(BASELINE.json published:{}), so vs_baseline is measured against that
-north-star target.
+BASELINE.md config 2 targets: >= 50k QPS/chip exact and >= 500k QPS/chip
+IVF-flat, both at recall@10 >= 0.95 vs brute force. The reference itself
+publishes no numbers (BASELINE.json published:{}), so vs_baseline compares
+against those north-star targets.
 
-Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N/50000, ...}
-Diagnostics go to stderr.
+Measures three production paths and reports the fastest that clears the
+recall bar:
+  * approx  — XLA fused GEMM + hardware PartialReduce (approx_max_k), bf16
+  * pallas  — fused Mosaic scan kernel (bucketed streaming top-k), bf16
+  * int8    — XLA int8 x int8 scan with exact norm correction
+
+Timing note: the remote-execution relay makes per-call block_until_ready
+unreliable, so iterations are chained ON DEVICE with a data dependency
+(fori_loop) and only a scalar is read back; cost = (t[1+N] - t[1]) / N.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -28,94 +37,114 @@ def main():
     import jax.numpy as jnp
 
     from tpuvdb.kernels.distance import l2sq_topk, numpy_oracle
+    from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk
+    from tpuvdb.kernels.quant import l2sq_topk_int8_xla, quantize_rows_np
 
     n, dim, k = 1_000_000, 128, 10
     q_batch = 256
     block = 65536
     recall_target = 0.95
-    storage_dtype = jnp.bfloat16
+    on_tpu = jax.default_backend() == "tpu"
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    # pad the 1M corpus to the next block multiple; padding slots are invalid
     n_pad = ((n + block - 1) // block) * block
     rng = np.random.default_rng(0)
     corpus_np = rng.standard_normal((n, dim)).astype(np.float32)
-    sq_np = np.zeros(n_pad, dtype=np.float32)
+    padded = np.zeros((n_pad, dim), np.float32)
+    padded[:n] = corpus_np
+    sq_np = np.zeros(n_pad, np.float32)
     sq_np[:n] = np.einsum("nd,nd->n", corpus_np, corpus_np)
+    valid_np = np.zeros(n_pad, bool)
+    valid_np[:n] = True
     queries_np = rng.standard_normal((q_batch, dim)).astype(np.float32)
 
-    padded = np.zeros((n_pad, dim), dtype=np.float32)
-    padded[:n] = corpus_np
-    valid_np = np.zeros(n_pad, dtype=bool)
-    valid_np[:n] = True
-
-    corpus = jax.device_put(jnp.asarray(padded, dtype=storage_dtype))
+    corpus_bf16 = jax.device_put(jnp.asarray(padded, dtype=jnp.bfloat16))
+    ci8_np, scales_np = quantize_rows_np(padded)
+    corpus_i8 = jax.device_put(jnp.asarray(ci8_np))
+    row_scales = jax.device_put(jnp.asarray(scales_np))
     sqnorms = jax.device_put(jnp.asarray(sq_np))
     valid = jax.device_put(jnp.asarray(valid_np))
     queries = jax.device_put(jnp.asarray(queries_np))
 
-    def run(q):
-        return l2sq_topk(q, corpus, sqnorms, valid, k=k, block_size=block,
-                         mode="approx", recall_target=recall_target)
+    # each path: (fn(q, *arrays), arrays) — arrays must be jit ARGUMENTS, not
+    # closure captures, or the corpus gets baked into the compile payload
+    paths = {
+        "approx_bf16": (
+            lambda q, c, s, v: l2sq_topk(q, c, s, v, k=k, block_size=block,
+                                         mode="approx",
+                                         recall_target=recall_target),
+            (corpus_bf16, sqnorms, valid),
+        ),
+        "int8": (
+            lambda q, c, r, s, v: l2sq_topk_int8_xla(
+                q, c, r, s, v, k=k, recall_target=recall_target),
+            (corpus_i8, row_scales, sqnorms, valid),
+        ),
+    }
+    if on_tpu:
+        paths["pallas_bf16"] = (
+            lambda q, c, s, v: pallas_l2sq_topk(q, c, s, v, k=k,
+                                                block_rows=16384, n_buckets=512),
+            (corpus_bf16, sqnorms, valid),
+        )
 
-    # compile + warmup
-    t0 = time.perf_counter()
-    dist, idx = run(queries)
-    jax.block_until_ready((dist, idx))
-    log(f"first call (compile+run): {time.perf_counter() - t0:.2f}s")
-
-    # recall@10 vs numpy float64 oracle on a query subset
+    # oracle for recall
     n_check = 64
-    odist, oidx = numpy_oracle(queries_np[:n_check], corpus_np, np.ones(n, bool), k)
-    got = np.asarray(idx)[:n_check]
-    recall = np.mean(
-        [len(set(got[i]) & set(oidx[i])) / k for i in range(n_check)]
-    )
-    log(f"recall@{k} vs oracle: {recall:.4f}")
+    _, oidx = numpy_oracle(queries_np[:n_check], corpus_np,
+                           np.ones(n, bool), k)
 
-    # steady-state timing: the remote-execution relay makes per-call
-    # block_until_ready unreliable, so chain iterations on-device with a
-    # data dependency and read back one scalar
-    import functools
+    results = {}
+    for name, (fn, arrays) in paths.items():
+        t0 = time.perf_counter()
+        dist, idx = fn(queries, *arrays)
+        jax.block_until_ready((dist, idx))
+        log(f"{name}: first call {time.perf_counter() - t0:.1f}s")
+        got = np.asarray(idx)[:n_check]
+        recall = float(np.mean(
+            [len(set(got[i]) & set(oidx[i])) / k for i in range(n_check)]
+        ))
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def timed_loop(q, corpus, sqnorms, valid, iters):
-        def body(_, carry):
-            d, i = l2sq_topk(q + carry * 1e-30, corpus, sqnorms, valid,
-                             k=k, block_size=block, mode="approx",
-                             recall_target=recall_target)
-            return jnp.sum(d * 0.0) + jnp.float32(jnp.sum(i) % 7) * 1e-30 + carry
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def timed(q, *arrs, iters, fn=fn):
+            def body(_, carry):
+                d, i = fn(q + carry * 1e-30, *arrs)
+                return jnp.sum(d * 0.0) + jnp.float32(jnp.sum(i) % 7) * 1e-30 + carry
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    iters = 50
-    float(timed_loop(queries, corpus, sqnorms, valid, iters=1))
-    float(timed_loop(queries, corpus, sqnorms, valid, iters=1 + iters))
-    best = float("inf")
-    for _ in range(3):
-        t1 = time.perf_counter()
-        float(timed_loop(queries, corpus, sqnorms, valid, iters=1))
-        t1 = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        float(timed_loop(queries, corpus, sqnorms, valid, iters=1 + iters))
-        t2 = time.perf_counter() - t2
-        best = min(best, (t2 - t1) / iters)
-    qps = q_batch / best
-    lat_ms = best * 1000
-    log(f"{lat_ms:.3f} ms/batch of {q_batch} -> {qps:,.0f} QPS")
+        iters = 20
+        float(timed(queries, *arrays, iters=1))
+        float(timed(queries, *arrays, iters=1 + iters))
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter(); float(timed(queries, *arrays, iters=1))
+            t1 = time.perf_counter() - t1
+            t2 = time.perf_counter(); float(timed(queries, *arrays, iters=1 + iters))
+            t2 = time.perf_counter() - t2
+            best = min(best, (t2 - t1) / iters)
+        qps = q_batch / best
+        results[name] = {"qps": round(qps, 1), "recall_at_10": round(recall, 4),
+                         "batch_latency_ms": round(best * 1000, 3)}
+        log(f"{name}: {best*1000:.3f} ms/batch -> {qps:,.0f} QPS, "
+            f"recall@10 {recall:.4f}")
 
+    qualifying = {k_: v for k_, v in results.items()
+                  if v["recall_at_10"] >= 0.95}
+    best_name = max(qualifying or results,
+                    key=lambda k_: (qualifying or results)[k_]["qps"])
+    best = results[best_name]
     target = 50_000.0
     print(json.dumps({
         "metric": "scan_qps_per_chip_sift1m_shape",
-        "value": round(qps, 1),
+        "value": best["qps"],
         "unit": "qps",
-        "vs_baseline": round(qps / target, 3),
-        "recall_at_10": round(float(recall), 4),
+        "vs_baseline": round(best["qps"] / target, 2),
+        "recall_at_10": best["recall_at_10"],
+        "best_path": best_name,
         "batch": q_batch,
         "corpus": [n, dim],
-        "storage_dtype": "bfloat16",
-        "batch_latency_ms": round(lat_ms, 3),
+        "paths": results,
     }))
 
 

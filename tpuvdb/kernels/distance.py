@@ -211,6 +211,21 @@ def l2sq_topk(
             return l2sq_full(queries, corpus, corpus_sqnorms, valid, k)
         return l2sq_topk_blockwise(queries, corpus, corpus_sqnorms, valid,
                                    k=k, block_size=block_size)
+    if mode == "pallas":
+        # the fused Mosaic kernel needs a TPU backend and a block-divisible
+        # corpus; anything else falls back to the XLA approx path
+        if jax.default_backend() == "tpu":
+            from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk
+
+            br = 16384
+            while br > 128 and n % br != 0:
+                br //= 2
+            if n % br == 0 and br >= 512:
+                return pallas_l2sq_topk(
+                    queries, corpus, corpus_sqnorms, valid, k=k,
+                    block_rows=br, n_buckets=min(512, br),
+                )
+        mode = "approx"
     if mode != "approx":
         raise ValueError(f"unknown search mode: {mode}")
     if n <= _FULL_PATH_MAX_ROWS:
