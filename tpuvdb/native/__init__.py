@@ -1,0 +1,206 @@
+"""ctypes bindings for the native host runtime (see src/tpuvdb_native.cpp).
+
+Builds the shared library on first use with g++ (no pybind11 in this
+environment; plain C ABI + ctypes). Everything degrades gracefully: callers
+check `available()` and fall back to the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "src", "tpuvdb_native.cpp")
+_BUILD_DIR = os.path.join(_HERE, "build")
+_SO = os.path.join(_BUILD_DIR, "libtpuvdb_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def _load():
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        so = _build()
+        if so is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        c = ctypes
+        lib.wal_open.restype = c.c_void_p
+        lib.wal_open.argtypes = [c.c_char_p, c.c_int]
+        lib.wal_append.restype = c.c_uint64
+        lib.wal_append.argtypes = [c.c_void_p, c.c_char_p, c.c_uint64]
+        lib.wal_sync.restype = c.c_int
+        lib.wal_sync.argtypes = [c.c_void_p, c.c_uint64]
+        lib.wal_durable.restype = c.c_uint64
+        lib.wal_durable.argtypes = [c.c_void_p]
+        lib.wal_close.argtypes = [c.c_void_p]
+
+        lib.kv_create.restype = c.c_void_p
+        lib.kv_destroy.argtypes = [c.c_void_p]
+        lib.kv_put.restype = c.c_int
+        lib.kv_put.argtypes = [c.c_void_p, c.c_char_p, c.c_uint32, c.c_int32,
+                               c.c_int64, c.c_int64, c.c_char_p, c.c_uint32]
+        lib.kv_get.restype = c.c_int
+        lib.kv_get.argtypes = [c.c_void_p, c.c_char_p, c.c_uint32,
+                               c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+                               c.POINTER(c.c_int64), c.c_char_p, c.c_uint32,
+                               c.POINTER(c.c_uint32)]
+        lib.kv_del.restype = c.c_int
+        lib.kv_del.argtypes = [c.c_void_p, c.c_char_p, c.c_uint32]
+        lib.kv_size.restype = c.c_uint64
+        lib.kv_size.argtypes = [c.c_void_p]
+        lib.kv_dump.restype = c.c_int
+        lib.kv_dump.argtypes = [c.c_void_p, c.c_char_p]
+        lib.kv_load.restype = c.c_int
+        lib.kv_load.argtypes = [c.c_void_p, c.c_char_p]
+
+        lib.vf_open.restype = c.c_void_p
+        lib.vf_open.argtypes = [c.c_char_p, c.c_uint64, c.c_uint64]
+        lib.vf_data.restype = c.POINTER(c.c_uint8)
+        lib.vf_data.argtypes = [c.c_void_p]
+        lib.vf_write.restype = c.c_int
+        lib.vf_write.argtypes = [c.c_void_p, c.c_uint64, c.c_char_p]
+        lib.vf_read.restype = c.c_int
+        lib.vf_read.argtypes = [c.c_void_p, c.c_uint64, c.c_char_p]
+        lib.vf_flush.restype = c.c_int
+        lib.vf_flush.argtypes = [c.c_void_p]
+        lib.vf_close.argtypes = [c.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeWalWriter:
+    """Group-commit append file: many threads append, one C++ thread
+    writes+fsyncs, producers block only until THEIR ticket is durable."""
+
+    def __init__(self, path: str, fsync: bool = True):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.wal_open(path.encode(), 1 if fsync else 0)
+        if not self._h:
+            raise OSError(f"wal_open failed: {path}")
+
+    def append(self, data: bytes) -> int:
+        return self._lib.wal_append(self._h, data, len(data))
+
+    def sync(self, ticket: int) -> bool:
+        return bool(self._lib.wal_sync(self._h, ticket))
+
+    def append_sync(self, data: bytes) -> None:
+        self.sync(self.append(data))
+
+    def close(self):
+        if self._h:
+            self._lib.wal_close(self._h)
+            self._h = None
+
+
+class NativeKv:
+    """String key -> (shard, slot, ts, value-blob) map in C++."""
+
+    _VAL_CAP = 1 << 20
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.kv_create()
+        self._buf = ctypes.create_string_buffer(self._VAL_CAP)
+
+    def put(self, key: str, shard: int, slot: int, ts: int, value: bytes = b"") -> bool:
+        k = key.encode()
+        return bool(self._lib.kv_put(self._h, k, len(k), shard, slot, ts,
+                                     value, len(value)))
+
+    def get(self, key: str) -> Optional[Tuple[int, int, int, bytes]]:
+        k = key.encode()
+        shard = ctypes.c_int32()
+        slot = ctypes.c_int64()
+        ts = ctypes.c_int64()
+        vlen = ctypes.c_uint32()
+        ok = self._lib.kv_get(self._h, k, len(k), ctypes.byref(shard),
+                              ctypes.byref(slot), ctypes.byref(ts), self._buf,
+                              self._VAL_CAP, ctypes.byref(vlen))
+        if not ok:
+            return None
+        return (shard.value, slot.value, ts.value, self._buf.raw[: vlen.value])
+
+    def delete(self, key: str) -> bool:
+        k = key.encode()
+        return bool(self._lib.kv_del(self._h, k, len(k)))
+
+    def __len__(self) -> int:
+        return self._lib.kv_size(self._h)
+
+    def dump(self, path: str) -> bool:
+        return bool(self._lib.kv_dump(self._h, path.encode()))
+
+    def load(self, path: str) -> bool:
+        return bool(self._lib.kv_load(self._h, path.encode()))
+
+    def close(self):
+        if self._h:
+            self._lib.kv_destroy(self._h)
+            self._h = None
+
+
+class NativeVectorFile:
+    """mmap-backed (rows, row_bytes) store; exposes a zero-copy numpy view."""
+
+    def __init__(self, path: str, rows: int, row_bytes: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.vf_open(path.encode(), rows, row_bytes)
+        if not self._h:
+            raise OSError(f"vf_open failed: {path}")
+        self.rows = rows
+        self.row_bytes = row_bytes
+
+    def as_array(self, dtype, cols: int):
+        import numpy as np
+
+        ptr = self._lib.vf_data(self._h)
+        buf = ctypes.cast(
+            ptr, ctypes.POINTER(ctypes.c_uint8 * (self.rows * self.row_bytes))
+        ).contents
+        return np.frombuffer(buf, dtype=dtype).reshape(self.rows, cols)
+
+    def flush(self) -> bool:
+        return bool(self._lib.vf_flush(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.vf_close(self._h)
+            self._h = None

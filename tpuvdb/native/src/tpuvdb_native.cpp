@@ -1,0 +1,413 @@
+// tpuvdb native host runtime: group-commit WAL writer, compact KV store,
+// mmap-backed vector file.
+//
+// Role parity with the reference's native dependencies (SURVEY.md §2.2):
+// the reference leans on LevelDB (C++ doc store) and hnswlib (C++ index);
+// tpuvdb keeps the index on the TPU, and these host-side pieces cover what
+// remains native-worthy:
+//   * WalWriter  — durability append path with a dedicated writer thread
+//     doing group fsync (amortizes ~ms-scale fsyncs across concurrent
+//     producers; the reference fsyncs never and clobbers its own log,
+//     src/utils/wal_manager.py:100-105).
+//   * KvStore    — open-addressing string->record map with binary
+//     snapshot, the LevelDB-role key->(shard,slot,meta) store without a
+//     per-op Python dict overhead at 100M-key scale.
+//   * VectorFile — mmap row store backing shard mirrors so checkpoints
+//     are msync + rename instead of GB-scale npz copies.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- WalWriter
+
+struct WalWriter {
+  int fd = -1;
+  bool do_fsync = true;
+  std::mutex mu;
+  std::condition_variable cv_data;   // producer -> writer
+  std::condition_variable cv_done;   // writer -> waiters
+  std::vector<uint8_t> pending;
+  uint64_t enqueued_seq = 0;  // bytes enqueued (ticket space)
+  uint64_t durable_seq = 0;   // bytes written (+fsynced if enabled)
+  bool stop = false;
+  std::thread writer;
+
+  void run() {
+    std::vector<uint8_t> batch;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_data.wait(lk, [&] { return stop || !pending.empty(); });
+        if (pending.empty() && stop) return;
+        batch.swap(pending);
+      }
+      size_t off = 0;
+      while (off < batch.size()) {
+        ssize_t w = ::write(fd, batch.data() + off, batch.size() - off);
+        if (w < 0) {
+          if (errno == EINTR) continue;
+          break;  // durable_seq will not advance; callers time out upstream
+        }
+        off += static_cast<size_t>(w);
+      }
+      if (do_fsync) ::fsync(fd);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        durable_seq += off;
+      }
+      cv_done.notify_all();
+      batch.clear();
+    }
+  }
+};
+
+void* wal_open(const char* path, int do_fsync) {
+  int fd = ::open(path, O_WRONLY | O_CREAT | O_APPEND, 0644);
+  if (fd < 0) return nullptr;
+  auto* w = new WalWriter();
+  w->fd = fd;
+  w->do_fsync = do_fsync != 0;
+  w->writer = std::thread([w] { w->run(); });
+  return w;
+}
+
+// Enqueue a record; returns a ticket to pass to wal_sync.
+uint64_t wal_append(void* h, const uint8_t* data, uint64_t len) {
+  auto* w = static_cast<WalWriter*>(h);
+  uint64_t ticket;
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->pending.insert(w->pending.end(), data, data + len);
+    w->enqueued_seq += len;
+    ticket = w->enqueued_seq;
+  }
+  w->cv_data.notify_one();
+  return ticket;
+}
+
+// Block until the given ticket is durable. Returns 1 on success.
+int wal_sync(void* h, uint64_t ticket) {
+  auto* w = static_cast<WalWriter*>(h);
+  std::unique_lock<std::mutex> lk(w->mu);
+  w->cv_done.wait(lk, [&] { return w->durable_seq >= ticket || w->stop; });
+  return w->durable_seq >= ticket ? 1 : 0;
+}
+
+uint64_t wal_durable(void* h) {
+  auto* w = static_cast<WalWriter*>(h);
+  std::lock_guard<std::mutex> lk(w->mu);
+  return w->durable_seq;
+}
+
+void wal_close(void* h) {
+  auto* w = static_cast<WalWriter*>(h);
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->stop = true;
+  }
+  w->cv_data.notify_all();
+  w->writer.join();
+  // drain anything left (stop raced with producers)
+  if (!w->pending.empty()) {
+    size_t off = 0;
+    while (off < w->pending.size()) {
+      ssize_t n = ::write(w->fd, w->pending.data() + off,
+                          w->pending.size() - off);
+      if (n <= 0) break;
+      off += static_cast<size_t>(n);
+    }
+    if (w->do_fsync) ::fsync(w->fd);
+  }
+  ::close(w->fd);
+  w->cv_done.notify_all();
+  delete w;
+}
+
+// ------------------------------------------------------------------ KvStore
+//
+// Open-addressing (linear probing) map: string key -> fixed header
+// (shard, slot, timestamp) + variable value blob. Keys and blobs live in an
+// arena; the table stores offsets. Tombstones are compacted on rehash.
+
+struct KvEntry {
+  uint64_t hash = 0;
+  uint64_t key_off = 0;   // arena offset; 0 = empty (arena starts at 1)
+  uint32_t key_len = 0;
+  uint64_t val_off = 0;
+  uint32_t val_len = 0;
+  int32_t shard = 0;
+  int64_t slot = 0;
+  int64_t ts = 0;
+  uint8_t state = 0;  // 0 empty, 1 used, 2 tombstone
+};
+
+struct KvStore {
+  std::vector<KvEntry> table;
+  std::vector<uint8_t> arena;  // [0] unused so offset 0 == null
+  uint64_t used = 0;
+  uint64_t tombstones = 0;
+  std::mutex mu;
+
+  KvStore() : table(1024), arena(1) {}
+
+  static uint64_t hash_key(const uint8_t* k, uint32_t len) {
+    uint64_t h = 1469598103934665603ULL;  // FNV-1a
+    for (uint32_t i = 0; i < len; i++) {
+      h ^= k[i];
+      h *= 1099511628211ULL;
+    }
+    return h | 1;  // never 0
+  }
+
+  uint64_t put_blob(const uint8_t* data, uint32_t len) {
+    uint64_t off = arena.size();
+    arena.insert(arena.end(), data, data + len);
+    return off;
+  }
+
+  bool key_equals(const KvEntry& e, const uint8_t* k, uint32_t len) const {
+    return e.key_len == len &&
+           memcmp(arena.data() + e.key_off, k, len) == 0;
+  }
+
+  void rehash(size_t new_cap) {
+    std::vector<KvEntry> old;
+    old.swap(table);
+    table.assign(new_cap, KvEntry());
+    tombstones = 0;
+    for (auto& e : old) {
+      if (e.state != 1) continue;
+      size_t mask = table.size() - 1;
+      size_t i = e.hash & mask;
+      while (table[i].state == 1) i = (i + 1) & mask;
+      table[i] = e;
+    }
+  }
+
+  KvEntry* find(const uint8_t* k, uint32_t len, uint64_t h) {
+    size_t mask = table.size() - 1;
+    size_t i = h & mask;
+    while (true) {
+      KvEntry& e = table[i];
+      if (e.state == 0) return nullptr;
+      if (e.state == 1 && e.hash == h && key_equals(e, k, len)) return &e;
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+void* kv_create() { return new KvStore(); }
+void kv_destroy(void* h) { delete static_cast<KvStore*>(h); }
+
+// Returns 1 if the key existed (overwrite), 0 if new.
+int kv_put(void* h, const uint8_t* key, uint32_t key_len, int32_t shard,
+           int64_t slot, int64_t ts, const uint8_t* val, uint32_t val_len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t hash = KvStore::hash_key(key, key_len);
+  if ((kv->used + kv->tombstones + 1) * 10 >= kv->table.size() * 7) {
+    kv->rehash(kv->table.size() * 2);
+  }
+  size_t mask = kv->table.size() - 1;
+  size_t i = hash & mask;
+  ssize_t first_tomb = -1;
+  while (true) {
+    KvEntry& e = kv->table[i];
+    if (e.state == 0) break;
+    if (e.state == 2 && first_tomb < 0) first_tomb = static_cast<ssize_t>(i);
+    if (e.state == 1 && e.hash == hash && kv->key_equals(e, key, key_len)) {
+      e.shard = shard;
+      e.slot = slot;
+      e.ts = ts;
+      e.val_off = kv->put_blob(val, val_len);
+      e.val_len = val_len;
+      return 1;
+    }
+    i = (i + 1) & mask;
+  }
+  size_t target = first_tomb >= 0 ? static_cast<size_t>(first_tomb) : i;
+  KvEntry& e = kv->table[target];
+  if (e.state == 2) kv->tombstones--;
+  e.hash = hash;
+  e.key_off = kv->put_blob(key, key_len);
+  e.key_len = key_len;
+  e.val_off = kv->put_blob(val, val_len);
+  e.val_len = val_len;
+  e.shard = shard;
+  e.slot = slot;
+  e.ts = ts;
+  e.state = 1;
+  kv->used++;
+  return 0;
+}
+
+// Returns 1 + fills outputs if found; val buffer must hold *val_cap bytes.
+int kv_get(void* h, const uint8_t* key, uint32_t key_len, int32_t* shard,
+           int64_t* slot, int64_t* ts, uint8_t* val, uint32_t val_cap,
+           uint32_t* val_len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t hash = KvStore::hash_key(key, key_len);
+  KvEntry* e = kv->find(key, key_len, hash);
+  if (!e) return 0;
+  *shard = e->shard;
+  *slot = e->slot;
+  *ts = e->ts;
+  *val_len = e->val_len;
+  if (e->val_len && val_cap >= e->val_len) {
+    memcpy(val, kv->arena.data() + e->val_off, e->val_len);
+  }
+  return 1;
+}
+
+int kv_del(void* h, const uint8_t* key, uint32_t key_len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t hash = KvStore::hash_key(key, key_len);
+  KvEntry* e = kv->find(key, key_len, hash);
+  if (!e) return 0;
+  e->state = 2;
+  kv->used--;
+  kv->tombstones++;
+  return 1;
+}
+
+uint64_t kv_size(void* h) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  return kv->used;
+}
+
+// Binary snapshot: [u64 count] then per-entry
+// [u32 klen][key][i32 shard][i64 slot][i64 ts][u32 vlen][val]
+int kv_dump(void* h, const char* path) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = fopen(tmp.c_str(), "wb");
+  if (!f) return 0;
+  uint64_t count = kv->used;
+  fwrite(&count, 8, 1, f);
+  for (auto& e : kv->table) {
+    if (e.state != 1) continue;
+    fwrite(&e.key_len, 4, 1, f);
+    fwrite(kv->arena.data() + e.key_off, 1, e.key_len, f);
+    fwrite(&e.shard, 4, 1, f);
+    fwrite(&e.slot, 8, 1, f);
+    fwrite(&e.ts, 8, 1, f);
+    fwrite(&e.val_len, 4, 1, f);
+    if (e.val_len) fwrite(kv->arena.data() + e.val_off, 1, e.val_len, f);
+  }
+  fflush(f);
+  fsync(fileno(f));
+  fclose(f);
+  return rename(tmp.c_str(), path) == 0 ? 1 : 0;
+}
+
+int kv_load(void* h, const char* path) {
+  auto* kv = static_cast<KvStore*>(h);
+  FILE* f = fopen(path, "rb");
+  if (!f) return 0;
+  uint64_t count = 0;
+  if (fread(&count, 8, 1, f) != 1) { fclose(f); return 0; }
+  std::vector<uint8_t> kbuf, vbuf;
+  for (uint64_t n = 0; n < count; n++) {
+    uint32_t klen = 0, vlen = 0;
+    int32_t shard = 0;
+    int64_t slot = 0, ts = 0;
+    if (fread(&klen, 4, 1, f) != 1) break;
+    kbuf.resize(klen);
+    if (klen && fread(kbuf.data(), 1, klen, f) != klen) break;
+    if (fread(&shard, 4, 1, f) != 1) break;
+    if (fread(&slot, 8, 1, f) != 1) break;
+    if (fread(&ts, 8, 1, f) != 1) break;
+    if (fread(&vlen, 4, 1, f) != 1) break;
+    vbuf.resize(vlen);
+    if (vlen && fread(vbuf.data(), 1, vlen, f) != vlen) break;
+    kv_put(h, kbuf.data(), klen, shard, slot, ts, vbuf.data(), vlen);
+  }
+  fclose(f);
+  return 1;
+}
+
+// --------------------------------------------------------------- VectorFile
+
+struct VectorFile {
+  int fd = -1;
+  uint8_t* base = nullptr;
+  uint64_t rows = 0;
+  uint64_t row_bytes = 0;
+  uint64_t mapped = 0;
+};
+
+void* vf_open(const char* path, uint64_t rows, uint64_t row_bytes) {
+  int fd = ::open(path, O_RDWR | O_CREAT, 0644);
+  if (fd < 0) return nullptr;
+  uint64_t size = rows * row_bytes;
+  struct stat st;
+  fstat(fd, &st);
+  if (static_cast<uint64_t>(st.st_size) < size) {
+    if (ftruncate(fd, static_cast<off_t>(size)) != 0) {
+      ::close(fd);
+      return nullptr;
+    }
+  }
+  void* base = mmap(nullptr, size, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+  if (base == MAP_FAILED) {
+    ::close(fd);
+    return nullptr;
+  }
+  auto* vf = new VectorFile();
+  vf->fd = fd;
+  vf->base = static_cast<uint8_t*>(base);
+  vf->rows = rows;
+  vf->row_bytes = row_bytes;
+  vf->mapped = size;
+  return vf;
+}
+
+uint8_t* vf_data(void* h) { return static_cast<VectorFile*>(h)->base; }
+
+int vf_write(void* h, uint64_t row, const uint8_t* data) {
+  auto* vf = static_cast<VectorFile*>(h);
+  if (row >= vf->rows) return 0;
+  memcpy(vf->base + row * vf->row_bytes, data, vf->row_bytes);
+  return 1;
+}
+
+int vf_read(void* h, uint64_t row, uint8_t* out) {
+  auto* vf = static_cast<VectorFile*>(h);
+  if (row >= vf->rows) return 0;
+  memcpy(out, vf->base + row * vf->row_bytes, vf->row_bytes);
+  return 1;
+}
+
+int vf_flush(void* h) {
+  auto* vf = static_cast<VectorFile*>(h);
+  return msync(vf->base, vf->mapped, MS_SYNC) == 0 ? 1 : 0;
+}
+
+void vf_close(void* h) {
+  auto* vf = static_cast<VectorFile*>(h);
+  munmap(vf->base, vf->mapped);
+  ::close(vf->fd);
+  delete vf;
+}
+
+}  // extern "C"

@@ -46,6 +46,7 @@ class WriteAheadLog:
         retention_days: int = 7,
         fsync: bool = True,
         codec: str = "msgpack",
+        native_backend: bool = True,
     ):
         if codec not in ("msgpack", "jsonl"):
             raise ValueError(f"unknown WAL codec: {codec}")
@@ -54,6 +55,17 @@ class WriteAheadLog:
         self.retention_days = retention_days
         self.fsync = fsync
         self.codec = codec
+        # native group-commit writer (tpuvdb/native): concurrent producers
+        # share one fsync per flush instead of paying one each
+        self._native = False
+        if native_backend:
+            try:
+                from tpuvdb import native as _native_mod
+
+                self._native = _native_mod.available()
+                self._native_mod = _native_mod
+            except Exception:
+                self._native = False
         self._lock = threading.Lock()
         self._fh = None
         self._cur_path: Optional[str] = None
@@ -87,7 +99,10 @@ class WriteAheadLog:
         while os.path.exists(path):
             i += 1
             path = os.path.join(self.wal_dir, f"wal_{ts}_{i}{self._ext()}")
-        self._fh = open(path, "ab", buffering=0)
+        if self._native:
+            self._fh = self._native_mod.NativeWalWriter(path, fsync=self.fsync)
+        else:
+            self._fh = open(path, "ab", buffering=0)
         self._cur_path = path
         self._cur_bytes = 0
 
@@ -123,10 +138,7 @@ class WriteAheadLog:
             data = self._encode(rec)
             if self._fh is None or self._cur_bytes + len(data) > self.max_bytes:
                 self._rotate_locked()
-            self._fh.write(data)
-            if self.fsync:
-                os.fsync(self._fh.fileno())
-            self._cur_bytes += len(data)
+            self._write_locked(data)
         return ts
 
     def append_batch(self, records: List[Dict[str, Any]]) -> None:
@@ -152,10 +164,24 @@ class WriteAheadLog:
             data = b"".join(out)
             if self._fh is None or self._cur_bytes + len(data) > self.max_bytes:
                 self._rotate_locked()
+            self._write_locked(data)
+
+    def _write_locked(self, data: bytes):
+        if self._native:
+            self._last_ticket = self._fh.append(data)
+            if self.fsync:
+                self._fh.sync(self._last_ticket)  # group-commit fsync
+        else:
             self._fh.write(data)
             if self.fsync:
                 os.fsync(self._fh.fileno())
-            self._cur_bytes += len(data)
+        self._cur_bytes += len(data)
+
+    def _read_barrier(self):
+        """Make async native writes visible before any segment read."""
+        with self._lock:
+            if self._native and self._fh is not None:
+                self._fh.sync(getattr(self, "_last_ticket", 0))
 
     def _rotate_locked(self):
         if self._fh is not None:
@@ -211,6 +237,7 @@ class WriteAheadLog:
 
     def iter_records(self, after_seq: Optional[int] = None) -> Iterator[Dict[str, Any]]:
         """All records in LSN order, optionally only those with seq > after_seq."""
+        self._read_barrier()
         recs = []
         for path in self._segments():
             for rec in self._iter_segment(path):
