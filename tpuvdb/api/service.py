@@ -120,6 +120,59 @@ class DBService:
         path = self.engine.save_checkpoint()
         return Response.ok(path or "no durable storage configured").to_dict()
 
+    # ---------------------------------------------- node-internal RPC parity
+    # The reference IDL declares these on VectorNodeService
+    # (src/vector_db.thrift:76-86) but the handler never implements them —
+    # calling them raises at dispatch (SURVEY.md §2.5). Implemented here.
+
+    def rpc_offline(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Mark a node offline (graceful drain)."""
+        node_id = p["node_id"]
+        if self.registry.get_node(node_id) is None:
+            return Response.fail(f"unknown node: {node_id}").to_dict()
+        self.registry.mark_offline(node_id)
+        return Response.ok(f"{node_id} offline").to_dict()
+
+    def rpc_replay_wal(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Re-apply the WAL tail past a given LSN (0 = full replay)."""
+        if self.engine.wal is None:
+            return Response.fail("no durable storage configured").to_dict()
+        after = int(p.get("after_seq", 0))
+        n = 0
+        from tpuvdb.core.types import VectorData as VD
+
+        for rec in self.engine.wal.replay(after_seq=after):
+            if rec.get("op") == "put":
+                self.engine.put(VD(key=rec["key"], vector=rec["vector"],
+                                   metadata=rec.get("metadata", {}),
+                                   timestamp=rec.get("timestamp", 0)),
+                                replay_mode=True)
+            elif rec.get("op") == "delete":
+                self.engine.delete(rec["key"], replay_mode=True)
+            n += 1
+        return Response.ok(f"replayed {n} records").to_dict()
+
+    def rpc_get_all_keys(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Enumerate stored keys (the get_all_vectors analog; vectors are
+        fetched per key to keep responses bounded)."""
+        limit = int(p.get("limit", 10_000))
+        keys = self.engine.docstore.keys()[:limit]
+        d = Response.ok(f"{len(keys)} keys").to_dict()
+        d["keys"] = keys
+        return d
+
+    def rpc_replicate(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Apply a replicated op from a peer (multi-host deployments).
+        In-mesh replication is handled by the 2-D device mesh
+        (tpuvdb.mesh.replicated); this endpoint covers host-level copies."""
+        op = p.get("op_type", "put")
+        if op == "put":
+            vd = VectorData.from_dict(p["data"])
+            return self.engine.put(vd, replay_mode=bool(p.get("no_wal"))).to_dict()
+        if op == "delete":
+            return self.engine.delete(p["data"]["key"]).to_dict()
+        return Response.fail(f"unknown op_type: {op}").to_dict()
+
     # ------------------------------------------------- application layer
 
     def text_search(self, text: str, topk: int = 5) -> Dict[str, Any]:

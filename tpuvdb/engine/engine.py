@@ -84,6 +84,9 @@ class VectorDBEngine:
         self._staged_updates: List[Tuple[int, int]] = []
         self._staged_deletes: List[Tuple[int, int]] = []
 
+        from tpuvdb.utils.tracing import StageTimer
+
+        self.timers = StageTimer()
         self._puts_since_ckpt = 0
         self._puts_since_compact = 0
         self.stats: Dict[str, int] = {
@@ -426,15 +429,17 @@ class VectorDBEngine:
             if self._staged_updates or self._staged_deletes or (
                 self._ivf is None if ivf_mode else self._index is None
             ):
-                self.flush()
+                with self.timers.stage("search.flush"):
+                    self.flush()
             layout = self._ivf_layout if ivf_mode else self._index.layout
             fetch_k = max(2 * k, k + 16) if overfetch else k
             fetch_k = min(fetch_k, layout.total_rows)
             self.stats["searches"] += 1
-            if ivf_mode:
-                dists, rows = self._ivf_search_rows(queries, fetch_k)
-            else:
-                dists, rows = self._index.search(queries, fetch_k)
+            with self.timers.stage("search.device"):
+                if ivf_mode:
+                    dists, rows = self._ivf_search_rows(queries, fetch_k)
+                else:
+                    dists, rows = self._index.search(queries, fetch_k)
             keys: List[List[Optional[str]]] = []
             for qi in range(rows.shape[0]):
                 row_keys: List[Optional[str]] = []
@@ -536,6 +541,7 @@ class VectorDBEngine:
                 "ivf_delta": len(self._ivf_delta),
                 "staged": len(self._staged_updates) + len(self._staged_deletes),
                 "stats": dict(self.stats),
+                "latency": self.timers.snapshot(),
             }
 
     def close(self):
