@@ -76,10 +76,16 @@ class WriteAheadLog:
         self._next_seq = self._scan_last_seq() + 1
 
     def _scan_last_seq(self) -> int:
+        """Best-effort on open: a corrupt segment must not brick the log —
+        replay paths surface WalCorruption strictly, but the writer can
+        keep appending past it."""
         last = 0
         for path in self._segments():
-            for rec in self._iter_segment(path):
-                last = max(last, rec.get("seq", 0))
+            try:
+                for rec in self._iter_segment(path):
+                    last = max(last, rec.get("seq", 0))
+            except errors.WalCorruption:
+                continue
         return last
 
     @property
