@@ -88,9 +88,11 @@ def test_delete_during_search_stream(rng):
 
     def searcher():
         while not stop.is_set():
+            # sample the happened-before marker BEFORE issuing the search:
+            # only searches that STARTED after delete() returned must miss k50
+            was_deleted = deleted.is_set()
             r = eng.search(SearchRequest(query_vector=vecs["k50"], top_k=3))
-            # once delete(k50) returns, k50 must never surface again
-            if deleted.is_set() and "k50" in r.search_result.keys:
+            if was_deleted and "k50" in r.search_result.keys:
                 seen_deleted.append(True)
 
     deleted = threading.Event()

@@ -38,6 +38,8 @@ class DBService:
         )
         n_virtual = mesh.size if mesh is not None else self.config.shard_count
         self.registry.register_virtual_nodes(n_virtual)
+        # long-running server: drain staged writes off the query path
+        self.engine.start_background_flush()
         self._embedder = embedder
         self.image_root = image_root
 

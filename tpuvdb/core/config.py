@@ -46,6 +46,9 @@ class DBConfig:
 
     # -- TPU index layout --
     shard_capacity: int = 1 << 20  # slots per shard (ref: hnswlib max_elements=1M)
+    mirror_init_cap: int = 16384   # initial physical rows/shard; size to the
+                                   # expected corpus to avoid growth rebuilds
+                                   # (each growth re-uploads + recompiles)
     block_size: int = 8192         # corpus rows per scan chunk (HBM->VMEM tile)
     query_block: int = 128         # query batch tile (MXU sublane-friendly)
     storage_dtype: str = "float32" # "float32" | "bfloat16" | "int8"

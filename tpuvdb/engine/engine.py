@@ -67,7 +67,8 @@ class VectorDBEngine:
         cfg = self.config
         self.docstore = DocStore()
         self.mirrors: List[ShardMirror] = [
-            ShardMirror(cfg.vector_dim, cfg.shard_capacity, block=128)
+            ShardMirror(cfg.vector_dim, cfg.shard_capacity,
+                        init_cap=cfg.mirror_init_cap, block=128)
             for _ in range(cfg.shard_count)
         ]
         self.wal: Optional[WriteAheadLog] = None
@@ -83,10 +84,18 @@ class VectorDBEngine:
         # staged (shard, slot) writes/deletes not yet scattered to device
         self._staged_updates: List[Tuple[int, int]] = []
         self._staged_deletes: List[Tuple[int, int]] = []
+        # batches mid-scatter: still served by the host delta scan until the
+        # device write lands (read-your-writes across the async flush)
+        self._inflight: Dict[int, Tuple[list, list]] = {}
+        self._inflight_token = 0
+        self._flush_lock = threading.Lock()  # serializes device scatters
 
         from tpuvdb.utils.tracing import StageTimer
 
         self.timers = StageTimer()
+        # bumped whenever slot identity changes (compaction); lock-free
+        # searches validate against it before mapping rows -> keys
+        self._generation = 0
         self._puts_since_ckpt = 0
         self._puts_since_compact = 0
         self.stats: Dict[str, int] = {
@@ -241,39 +250,49 @@ class VectorDBEngine:
 
     def flush(self):
         """Apply staged mirror writes/deletes to the active device index."""
-        with self._lock:
-            if self.config.index_type == "ivf":
+        if self.config.index_type == "ivf":
+            with self._lock:
                 self._flush_ivf()
-            else:
-                self._flush_flat()
+            return
+        self._flush_flat()
 
     def _flush_flat(self):
+        """Flat-index flush. The device scatter runs OUTSIDE the engine lock
+        (serialized by _flush_lock) so puts/searches proceed during it; the
+        batch being scattered stays visible to the host delta scan via
+        _inflight until the scatter lands."""
+        with self._lock:
             if self._index is None or self._index.needs_rebuild(self.mirrors):
                 self._rebuild_device_index()
                 return
-            if self._staged_updates:
-                layout = self._index.layout
-                rows = np.array(
-                    [layout.row_of(s, sl) for s, sl in self._staged_updates],
-                    dtype=np.int32,
-                )
-                vecs = np.stack(
-                    [self.mirrors[s].vector_at(sl) for s, sl in self._staged_updates]
-                )
-                valid = np.array(
-                    [self.mirrors[s].is_valid(sl) for s, sl in self._staged_updates]
-                )
-                self._index.apply_updates(rows, vecs, valid)
-                self._staged_updates.clear()
-            if self._staged_deletes:
-                layout = self._index.layout
-                rows = np.array(
-                    [layout.row_of(s, sl) for s, sl in self._staged_deletes],
-                    dtype=np.int32,
-                )
-                self._index.apply_deletes(rows)
-                self._staged_deletes.clear()
-            self.stats["flushes"] += 1
+            if not (self._staged_updates or self._staged_deletes):
+                return
+            ups = self._staged_updates
+            dels = self._staged_deletes
+            self._staged_updates = []
+            self._staged_deletes = []
+            self._inflight_token += 1
+            token = self._inflight_token
+            self._inflight[token] = (ups, dels)
+            layout = self._index.layout
+            index = self._index
+            rows = np.array([layout.row_of(s, sl) for s, sl in ups], np.int32)
+            vecs = (np.stack([self.mirrors[s].vector_at(sl) for s, sl in ups])
+                    if ups else np.zeros((0, layout.dim), np.float32))
+            valid = np.array([self.mirrors[s].is_valid(sl) for s, sl in ups],
+                             bool)
+            del_rows = np.array([layout.row_of(s, sl) for s, sl in dels],
+                                np.int32)
+        try:
+            with self._flush_lock:
+                if ups:
+                    index.apply_updates(rows, vecs, valid)
+                if dels:
+                    index.apply_deletes(del_rows)
+        finally:
+            with self._lock:
+                self._inflight.pop(token, None)
+                self.stats["flushes"] += 1
 
     def _flush_ivf(self):
         from tpuvdb.index.ivf import IVFIndex
@@ -424,33 +443,111 @@ class VectorDBEngine:
         (metadata/threshold) can refill — the analog of the reference's
         knn_query k*2 (src/datanode/handler.py:359-364).
         """
-        with self._lock:
-            ivf_mode = self.config.index_type == "ivf"
-            if self._staged_updates or self._staged_deletes or (
-                self._ivf is None if ivf_mode else self._index is None
-            ):
+        for _attempt in range(4):
+            with self._lock:
+                ivf_mode = self.config.index_type == "ivf"
+                # flush only when unavoidable (no index yet / layout outgrown
+                # / staging buffer large); small staged write sets are served
+                # by a host-side delta scan so ingest never stalls queries
+                must_flush = (
+                    (self._ivf is None if ivf_mode else self._index is None)
+                    or (not ivf_mode and self._index.needs_rebuild(self.mirrors))
+                    or len(self._staged_updates) + len(self._staged_deletes)
+                    > self.config.flush_batch
+                    or (ivf_mode and (self._staged_updates or self._staged_deletes))
+                )
+            if must_flush:
                 with self.timers.stage("search.flush"):
                     self.flush()
-            layout = self._ivf_layout if ivf_mode else self._index.layout
-            fetch_k = max(2 * k, k + 16) if overfetch else k
-            fetch_k = min(fetch_k, layout.total_rows)
-            self.stats["searches"] += 1
-            with self.timers.stage("search.device"):
-                if ivf_mode:
-                    dists, rows = self._ivf_search_rows(queries, fetch_k)
-                else:
-                    dists, rows = self._index.search(queries, fetch_k)
-            keys: List[List[Optional[str]]] = []
-            for qi in range(rows.shape[0]):
-                row_keys: List[Optional[str]] = []
-                for r in rows[qi]:
-                    if r < 0:
-                        row_keys.append(None)
-                        continue
-                    shard, slot = layout.shard_slot_of(int(r))
-                    row_keys.append(self.docstore.key_at(shard, slot))
-                keys.append(row_keys)
-            return dists, keys
+            with self._lock:
+                if (self._ivf is None if ivf_mode else self._index is None):
+                    continue  # flush raced with a compaction; retry
+                layout = self._ivf_layout if ivf_mode else self._index.layout
+                fetch_k = max(2 * k, k + 16) if overfetch else k
+                fetch_k = min(fetch_k, layout.total_rows)
+                self.stats["searches"] += 1
+                gen = self._generation
+                index = self._index
+                # host-delta snapshot: staged AND mid-scatter (inflight)
+                # slots, so freshly-put vectors stay visible across the
+                # asynchronous flush
+                delta = []
+                n_del = len(self._staged_deletes)
+                pending = list(self._staged_updates)
+                for ups, dels in self._inflight.values():
+                    pending.extend(ups)
+                    n_del += len(dels)
+                for s, sl in pending:
+                    if self.mirrors[s].is_valid(sl):
+                        delta.append((layout.row_of(s, sl),
+                                      self.mirrors[s].vector_at(sl).copy()))
+            # the device call runs OUTSIDE the engine lock: the snapshot's
+            # jax buffers are immutable and slots are append-only, so
+            # concurrent puts/deletes can't corrupt this search. A
+            # concurrent scatter may donate the snapshot's buffers away
+            # (retry on the runtime error) and a compaction reuses slots
+            # (detected via the generation counter below).
+            try:
+                with self.timers.stage("search.device"):
+                    if ivf_mode:
+                        dists, rows = self._ivf_search_rows(queries, fetch_k)
+                    else:
+                        dists, rows = self._flat_search_rows(
+                            queries, fetch_k, index, delta, n_del
+                        )
+            except RuntimeError:
+                continue  # snapshot buffer was donated mid-flight; retry
+            with self._lock:
+                if self._generation != gen:
+                    continue  # compacted mid-search: slot map changed, retry
+                keys: List[List[Optional[str]]] = []
+                for qi in range(rows.shape[0]):
+                    row_keys: List[Optional[str]] = []
+                    for r in rows[qi]:
+                        if r < 0:
+                            row_keys.append(None)
+                            continue
+                        shard, slot = layout.shard_slot_of(int(r))
+                        row_keys.append(self.docstore.key_at(shard, slot))
+                    keys.append(row_keys)
+                return dists, keys
+        raise RuntimeError("search retry limit exceeded (compaction storm)")
+
+    def _flat_search_rows(self, queries: np.ndarray, k: int, index, delta, n_del):
+        """Device scan + host delta scan over staged-but-unflushed writes.
+
+        Staged DELETES need no masking here: deletion (and overwrite)
+        already unmap the old slot in the doc store, so stale device hits
+        resolve to no key and are dropped at the key-mapping step — the
+        device fetch is padded by the staged-delete count to compensate.
+        """
+        # quantize the device fetch width to a power of two: k is a static
+        # compile arg, so letting it track the staged-delete count would
+        # recompile the search kernel on every delete-count change
+        dev_k = k + n_del
+        dev_k = 1 << (dev_k - 1).bit_length()
+        dev_k = min(dev_k, index.layout.total_rows)
+        dists, rows = index.search(queries, dev_k)
+        rows = rows.astype(np.int64)
+        if delta:
+            mat = np.stack([v for _, v in delta])
+            q = np.asarray(queries, np.float32)
+            d2 = (
+                np.sum(q * q, axis=1, keepdims=True)
+                + np.einsum("nd,nd->n", mat, mat)[None, :]
+                - 2.0 * (q @ mat.T)
+            )
+            drows = np.array([r for r, _ in delta], np.int64)
+            qn = queries.shape[0]
+            all_d = np.concatenate([dists, d2], axis=1)
+            all_r = np.concatenate(
+                [rows, np.broadcast_to(drows, (qn, len(delta)))], axis=1
+            )
+            order = np.argsort(all_d, axis=1, kind="stable")
+            all_d = np.take_along_axis(all_d, order, axis=1)
+            all_r = np.take_along_axis(all_r, order, axis=1)
+            return all_d[:, :k], all_r[:, :k]
+        return dists[:, :k], rows[:, :k]
 
     def _ivf_search_rows(self, queries: np.ndarray, k: int):
         """IVF main search + exact scan of the delta region, merged.
@@ -481,15 +578,52 @@ class VectorDBEngine:
             rows = np.take_along_axis(all_r, order, axis=1)
         return dists, rows
 
+    # ---------------------------------------------------- background flushing
+
+    def start_background_flush(self, interval_s: float = 0.05):
+        """Drain staged writes to the device off the serving path. Started
+        by long-running servers (DBService); tests/short-lived engines keep
+        the deterministic flush-on-search behavior."""
+        if getattr(self, "_bg_flush_thread", None) is not None:
+            return
+        self._bg_flush_stop = threading.Event()
+
+        def loop():
+            while not self._bg_flush_stop.wait(interval_s):
+                try:
+                    with self._lock:
+                        if not (self._staged_updates or self._staged_deletes):
+                            continue
+                    with self.timers.stage("flush.background"):
+                        self.flush()
+                except Exception:
+                    pass
+
+        self._bg_flush_thread = threading.Thread(
+            target=loop, daemon=True, name="tpuvdb-flush"
+        )
+        self._bg_flush_thread.start()
+
+    def stop_background_flush(self):
+        t = getattr(self, "_bg_flush_thread", None)
+        if t is not None:
+            self._bg_flush_stop.set()
+            t.join(timeout=2)
+            self._bg_flush_thread = None
+
     # ------------------------------------------------------------ maintenance
 
     def compact(self):
         """Rebuild mirrors densely, dropping soft-deleted slots — the analog
         of _rebuild_hnsw_index (src/datanode/handler.py:91-120), without the
-        stop-the-world full index save per put."""
-        with self._lock:
+        stop-the-world full index save per put.
+
+        Lock order: _flush_lock before the engine lock (matches flush's
+        scatter phase) so an in-flight scatter drains before slots move."""
+        with self._flush_lock, self._lock:
             new_mirrors = [
-                ShardMirror(self.config.vector_dim, self.config.shard_capacity, block=128)
+                ShardMirror(self.config.vector_dim, self.config.shard_capacity,
+                            init_cap=self.config.mirror_init_cap, block=128)
                 for _ in range(self.config.shard_count)
             ]
             for e in list(self.docstore.entries()):
@@ -499,6 +633,7 @@ class VectorDBEngine:
                 self.docstore.put(DocEntry(key=e.key, shard=e.shard, slot=slot,
                                            metadata=e.metadata, timestamp=e.timestamp))
             self.mirrors = new_mirrors
+            self._generation += 1
             self._index = None
             self._ivf = None
             self._ivf_layout = None
@@ -545,6 +680,7 @@ class VectorDBEngine:
             }
 
     def close(self):
+        self.stop_background_flush()
         with self._lock:
             if self.ckpts is not None:
                 self.save_checkpoint()

@@ -57,11 +57,10 @@ def _scatter_valid(valid, rows, valid_vals):
     return valid.at[rows].set(valid_vals, mode="drop")
 
 
-def _pad_pow2(n: int, lo: int = 256) -> int:
-    c = lo
-    while c < n:
-        c *= 2
-    return c
+# fixed scatter bucket: every update batch is chunked+padded to exactly this
+# many rows so the scatter program compiles ONCE per layout (variable batch
+# sizes would each trigger a fresh XLA compile — seconds per shape)
+_SCATTER_BUCKET = 4096
 
 
 class DeviceExactIndex:
@@ -155,13 +154,20 @@ class DeviceExactIndex:
         vecs: np.ndarray,          # (n, dim) float32
         valid_vals: np.ndarray,    # (n,) bool
     ):
-        """Scatter a batch of slot writes. Batch is padded to a power-of-two
-        bucket with out-of-range rows (dropped by XLA) to bound recompiles."""
+        """Scatter a batch of slot writes, chunked to the fixed bucket size;
+        out-of-range pad rows are dropped by XLA (mode="drop")."""
         n = rows.shape[0]
         if n == 0:
             return
-        cap = _pad_pow2(n)
-        pad = cap - n
+        for start in range(0, n, _SCATTER_BUCKET):
+            self._apply_bucket(
+                rows[start : start + _SCATTER_BUCKET],
+                vecs[start : start + _SCATTER_BUCKET],
+                valid_vals[start : start + _SCATTER_BUCKET],
+            )
+
+    def _apply_bucket(self, rows, vecs, valid_vals):
+        pad = _SCATTER_BUCKET - rows.shape[0]
         if pad:
             rows = np.concatenate([rows, np.full(pad, self.layout.total_rows, np.int32)])
             vecs = np.concatenate([vecs, np.zeros((pad, vecs.shape[1]), vecs.dtype)])
@@ -189,13 +195,17 @@ class DeviceExactIndex:
         n = rows.shape[0]
         if n == 0:
             return
-        cap = _pad_pow2(n)
-        if cap > n:
-            rows = np.concatenate([rows, np.full(cap - n, self.layout.total_rows, np.int32)])
-        self.valid = _scatter_valid(
-            self.valid, jnp.asarray(rows, dtype=jnp.int32),
-            jnp.zeros(cap, dtype=bool),
-        )
+        for start in range(0, n, _SCATTER_BUCKET):
+            chunk = rows[start : start + _SCATTER_BUCKET]
+            pad = _SCATTER_BUCKET - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.full(pad, self.layout.total_rows, np.int32)]
+                )
+            self.valid = _scatter_valid(
+                self.valid, jnp.asarray(chunk, dtype=jnp.int32),
+                jnp.zeros(_SCATTER_BUCKET, dtype=bool),
+            )
 
     # ----------------------------------------------------------------- search
 
