@@ -1,0 +1,51 @@
+"""Query coalescing: concurrent searches share one device batch and return
+the same results as direct searches."""
+
+import threading
+
+import numpy as np
+
+from tpuvdb.api.service import DBService
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import VectorData
+
+
+def test_batched_searches_match_direct(rng):
+    svc = DBService(DBConfig(vector_dim=16, shard_count=2,
+                             shard_capacity=2048, block_size=128))
+    vecs = {}
+    batch = []
+    for i in range(100):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    svc.engine.put_batch(batch)
+    svc.engine.flush()
+
+    searches_before = svc.engine.stats["searches"]
+    results = {}
+    errs = []
+
+    def one(i):
+        try:
+            r = svc.rpc_search({"query_vector": vecs[f"k{i}"].tolist(),
+                                "top_k": 3})
+            results[i] = r
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for i in range(24):
+        r = results[i]
+        assert r["success"], r
+        assert r["search_result"]["keys"][0] == f"k{i}"
+        assert r["search_result"]["scores"][0] < 1e-3
+        assert len(r["search_result"]["keys"]) == 3
+    # coalescing happened: far fewer engine searches than requests
+    assert svc.engine.stats["searches"] - searches_before < 24
+    svc.close()

@@ -1,0 +1,82 @@
+"""Query coalescing for the serving path.
+
+The scan kernels are bandwidth-bound: one corpus sweep serves a batch of
+256 queries at the same cost as a single query, so concurrent requests that
+arrive within a small window should share one device call. The reference
+has no analog — its coordinator forwards each request through its own
+Thrift round trip per node (src/coordinator/handler.py:191-197).
+
+Requests enqueue (query, k, future); a worker drains the queue every
+`max_wait_s` (or when `max_batch` accumulate), pads all queries to the max
+k in the batch, runs ONE engine.search_batch, and resolves the futures.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class BatchingSearcher:
+    def __init__(self, engine, max_batch: int = 256, max_wait_s: float = 0.002):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self._q: "queue.Queue[Tuple[np.ndarray, int, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="tpuvdb-batcher")
+        self._worker.start()
+
+    def search(self, query: np.ndarray, k: int, timeout: float = 30.0):
+        """Blocking: returns (dists (k,), keys list). Raises on timeout."""
+        fut: Future = Future()
+        self._q.put((np.asarray(query, np.float32).reshape(-1), k, fut))
+        return fut.result(timeout=timeout)
+
+    def _drain(self) -> List[Tuple[np.ndarray, int, Future]]:
+        items = []
+        try:
+            items.append(self._q.get(timeout=0.1))
+        except queue.Empty:
+            return items
+        # small coalescing window for followers
+        deadline = self.max_wait_s
+        import time
+
+        t0 = time.perf_counter()
+        while len(items) < self.max_batch:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            try:
+                queries = np.stack([q for q, _, _ in items])
+                kmax = max(k for _, k, _ in items)
+                dists, keys = self.engine.search_batch(queries, kmax)
+                for i, (_, k, fut) in enumerate(items):
+                    if not fut.set_running_or_notify_cancel():
+                        continue
+                    fut.set_result((dists[i][:k], keys[i][:k]))
+            except Exception as e:
+                for _, _, fut in items:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(e)
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=2)

@@ -42,6 +42,10 @@ class DBService:
         self.engine.start_background_flush()
         self._embedder = embedder
         self.image_root = image_root
+        # coalesce concurrent unfiltered searches into one device batch
+        from tpuvdb.api.batching import BatchingSearcher
+
+        self.batcher = BatchingSearcher(self.engine)
 
     # ------------------------------------------------------------- embedder
 
@@ -82,7 +86,36 @@ class DBService:
 
     def rpc_search(self, p: Dict[str, Any]) -> Dict[str, Any]:
         req = SearchRequest.from_dict(p)
+        if not req.filter_metadata and req.threshold <= 0:
+            # fast path: unfiltered searches share one device batch
+            try:
+                return self._batched_search_response(req).to_dict()
+            except Exception:
+                pass  # fall through to the direct path
         return self.engine.search(req).to_dict()
+
+    def _batched_search_response(self, req: SearchRequest) -> Response:
+        from tpuvdb.core.types import SearchHit, SearchResult
+
+        k = req.top_k if req.top_k > 0 else self.config.default_top_k
+        dists, keys = self.batcher.search(
+            req.query_np(self.config.vector_dim), k
+        )
+        hits = []
+        for key, score in zip(keys, dists):
+            if key is None:
+                continue
+            e = self.engine.docstore.get(key)
+            if e is None:
+                continue
+            vec = self.engine.mirrors[e.shard].vector_at(e.slot)
+            hits.append(SearchHit(key=key, score=float(score),
+                                  vector=[float(x) for x in vec],
+                                  metadata=dict(e.metadata)))
+        return Response.ok(
+            f"{len(hits)} results",
+            search_result=SearchResult.from_hits(hits),
+        )
 
     def rpc_register_node(self, p: Dict[str, Any]) -> Dict[str, Any]:
         self.registry.register_node(p["node_id"], p["address"])
@@ -210,4 +243,5 @@ class DBService:
 
     def close(self):
         self.registry.stop_health_loop()
+        self.batcher.close()
         self.engine.close()
