@@ -289,9 +289,13 @@ def ingest_images(ctx: Ctx, directory, dataset, limit):
                 ok += bool(r.get("success"))
         click.secho(f"ingested {ok}/{len(files)} images", fg="green")
     else:
-        raise click.UsageError(
-            "ingest-images needs --data-dir (embedding runs engine-side)"
-        )
+        # remote: embed locally, ship vectors to the server
+        # (parity: clip/db_operation.py batch_put_images)
+        from tpuvdb.embed.client import VectorDBOperation
+
+        op = VectorDBOperation(ctx.coord_addr)
+        out = op.batch_put_images(directory, dataset=dataset, limit=limit or 0)
+        click.secho(f"ingested {out['ingested']}/{out['total']} images", fg="green")
 
 
 @cli.command("text-search")

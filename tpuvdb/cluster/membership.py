@@ -63,6 +63,23 @@ class NodeRegistry:
         }
         self._health_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # membership-change subscribers (ZK watch parity,
+        # src/utils/zk_manager.py:47-58 — but persistent, not one-shot)
+        self._watchers: List = []
+
+    def subscribe(self, callback) -> None:
+        """callback(list_of_NodeInfo) fires after any membership or
+        online-status change."""
+        with self._lock:
+            self._watchers.append(callback)
+
+    def _notify_locked(self):
+        nodes = [dataclasses.replace(n) for n in self._nodes.values()]
+        for cb in list(self._watchers):
+            try:
+                cb(nodes)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------ membership
 
@@ -73,6 +90,7 @@ class NodeRegistry:
         with self._lock:
             self._nodes[node_id] = NodeInfo(node_id=node_id, address=address)
             self._rebuild_shard_map_locked()
+            self._notify_locked()
             return dict(self._shard_map)
 
     def deregister_node(self, node_id: str) -> bool:
@@ -80,6 +98,7 @@ class NodeRegistry:
             if self._nodes.pop(node_id, None) is None:
                 return False
             self._rebuild_shard_map_locked()
+            self._notify_locked()
             return True
 
     def register_virtual_nodes(self, n: int, prefix: str = "shard"):
@@ -143,6 +162,7 @@ class NodeRegistry:
             if n is not None and n.online:
                 n.online = False
                 self._rebuild_shard_map_locked()
+                self._notify_locked()
 
     def mark_online(self, node_id: str):
         with self._lock:
@@ -151,6 +171,7 @@ class NodeRegistry:
                 n.online = True
                 n.last_seen = time.time()
                 self._rebuild_shard_map_locked()
+                self._notify_locked()
 
     def probe(self, node: NodeInfo) -> bool:
         """TCP-connect probe (parity: src/utils/zk_manager.py:85-99).

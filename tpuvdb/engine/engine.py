@@ -43,7 +43,10 @@ from tpuvdb.index.layout import ShardMirror
 from tpuvdb.store.checkpoint import CheckpointManager
 from tpuvdb.store.kv import DocEntry, DocStore
 from tpuvdb.store.wal import WriteAheadLog
+from tpuvdb.utils.logging import get_logger
 from tpuvdb.utils.sharding_utils import get_shard_id
+
+logger = get_logger("tpuvdb.engine")
 
 
 def dataclasses_asdict_safe(obj):
@@ -116,6 +119,10 @@ class VectorDBEngine:
                 fsync=cfg.wal_fsync,
             )
             self._recover()
+            logger.info(
+                "engine opened: %d docs, data_dir=%s, index=%s, dtype=%s",
+                len(self.docstore), data_dir, cfg.index_type, cfg.storage_dtype,
+            )
 
     # --------------------------------------------------------------- recovery
 
@@ -160,6 +167,7 @@ class VectorDBEngine:
                 return Response.fail(f"capacity exceeded: {e}")
             if not replay_mode:
                 self._maybe_maintain()
+        logger.debug("put %s", data.key)
         return Response.ok(f"put {data.key}")
 
     def put_batch(self, batch: Sequence[VectorData], replay_mode: bool = False) -> Response:
@@ -244,6 +252,7 @@ class VectorDBEngine:
             if self.wal is not None and not replay_mode:
                 self.wal.append("delete", key)
             self.stats["deletes"] += 1
+            logger.debug("delete %s", key)
             return Response.ok(f"deleted {key}")
 
     # ------------------------------------------------------------------ flush
@@ -642,6 +651,7 @@ class VectorDBEngine:
             self._staged_deletes.clear()
             self._puts_since_compact = 0
             self.stats["compactions"] += 1
+            logger.info("compacted: %d live docs", len(self.docstore))
 
     def save_checkpoint(self) -> Optional[str]:
         if self.ckpts is None:
@@ -653,6 +663,7 @@ class VectorDBEngine:
                 self.wal.truncate_through(wal_pos)
             self._puts_since_ckpt = 0
             self.stats["checkpoints"] += 1
+            logger.info("checkpoint saved: %s", path)
             return path
 
     # ------------------------------------------------------------------ admin

@@ -285,6 +285,7 @@ class WriteAheadLog:
         """Copy all segments to dest_dir (ref: backup_wal, wal_manager.py:249-255)."""
         import shutil
 
+        self._read_barrier()
         os.makedirs(dest_dir, exist_ok=True)
         out = []
         with self._lock:
