@@ -176,9 +176,11 @@ class HashTokenizer:
 
     def encode(self, text: str) -> List[int]:
         toks = [self.cfg.bos_token]
+        # word ids land in [1, vocab-3], clear of pad/BOS/EOS for any vocab
+        span = max(1, self.cfg.vocab_size - 3)
         for word in text.lower().strip().split():
             h = int(hashlib.md5(word.encode()).hexdigest(), 16)
-            toks.append(1000 + h % (self.cfg.vocab_size - 3000))
+            toks.append(1 + h % span)
         toks.append(self.cfg.eos_token)
         return toks[: self.cfg.context_length]
 
