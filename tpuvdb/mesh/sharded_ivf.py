@@ -1,0 +1,270 @@
+"""Distributed IVF: per-device coarse quantizers + collective top-k merge.
+
+BASELINE config 3 (Deep10M-class IVF on an 8-shard mesh): each device owns
+a row range of the corpus and builds its OWN k-means cell structure over
+it — no global quantizer to synchronize, and cell quality tracks the local
+data distribution. A query broadcasts to all devices inside one shard_map
+program; each device scores its local centroids, scans its nprobe nearest
+cells (plus its spill region), and the per-device top-k candidates merge
+with an `all_gather` over ICI — the same collective pattern as the flat
+sharded search (tpuvdb.mesh.sharded), with IVF's (nlist/nprobe)x HBM
+traffic reduction per device.
+
+Device arrays carry a leading device axis sharded over the mesh:
+    centroids     (ndev, nlist, d)
+    grouped       (ndev, nlist * cell_pad, d)   cell c = rows [c*P, (c+1)*P)
+    grouped_sq/valid, spill*, analogous
+Grouped ids encode (device, local position); the host-side row_ids tables
+map them back to global physical rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpuvdb.kernels.kmeans import kmeans, assign_blockwise
+
+shard_map = jax.shard_map
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
+                   recall_target: float, local_rows: int, spill_rows: int):
+    ndev = mesh.shape[axis]
+
+    def local(q, cents, grouped, gsq, gval, spill, ssq, sval):
+        # leading device axis arrives as size-1 blocks
+        cents, grouped = cents[0], grouped[0]
+        gsq, gval = gsq[0], gval[0]
+        spill, ssq, sval = spill[0], ssq[0], sval[0]
+
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+        c_sq = jnp.sum(cents * cents, axis=-1)
+        c_scores = 2.0 * jnp.dot(qf, cents.T,
+                                 preferred_element_type=jnp.float32) - c_sq[None, :]
+        _, cells = jax.lax.top_k(c_scores, nprobe)
+
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
+        cand = (cells[:, :, None] * cell_pad + offs).reshape(q.shape[0], -1)
+        cvecs = jnp.take(grouped, cand, axis=0)
+        csq = jnp.take(gsq, cand, axis=0)
+        cval = jnp.take(gval, cand, axis=0)
+        qc = q.astype(grouped.dtype)
+        dots = jnp.einsum("qd,qrd->qr", qc, cvecs,
+                          preferred_element_type=jnp.float32)
+        neg = jnp.where(cval, 2.0 * dots - csq, -jnp.inf)
+
+        sdots = jnp.dot(qc, spill.T, preferred_element_type=jnp.float32)
+        sneg = jnp.where(sval[None, :], 2.0 * sdots - ssq[None, :], -jnp.inf)
+        spill_ids = local_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (1, spill.shape[0]), 1)
+        all_neg = jnp.concatenate(
+            [neg, jnp.broadcast_to(sneg, (q.shape[0], sneg.shape[1]))], axis=1)
+        all_ids = jnp.concatenate(
+            [cand, jnp.broadcast_to(spill_ids, (q.shape[0], spill_ids.shape[1]))],
+            axis=1)
+
+        kk = min(k, all_neg.shape[1])
+        lneg, pos = jax.lax.approx_max_k(all_neg, kk,
+                                         recall_target=recall_target)
+        lids = jnp.take_along_axis(all_ids, pos.astype(jnp.int32), axis=1)
+        lids = jnp.where(lneg == -jnp.inf, -1, lids)
+
+        # encode device ownership, merge across the mesh
+        me = jax.lax.axis_index(axis)
+        stride = local_rows + spill_rows
+        gids = jnp.where(lids >= 0, lids + me * stride, -1)
+        neg_all = jax.lax.all_gather(lneg, axis)
+        ids_all = jax.lax.all_gather(gids, axis)
+        qn = q.shape[0]
+        neg_all = jnp.moveaxis(neg_all, 0, 1).reshape(qn, ndev * kk)
+        ids_all = jnp.moveaxis(ids_all, 0, 1).reshape(qn, ndev * kk)
+        top_neg, tpos = jax.lax.top_k(neg_all, k)
+        top_ids = jnp.take_along_axis(ids_all, tpos, axis=-1)
+        dist = jnp.where(top_ids >= 0, q_sq - top_neg, jnp.inf)
+        return dist, top_ids
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedIVFIndex:
+    def __init__(self, mesh, axis, centroids, grouped, gsq, gval,
+                 spill, ssq, sval, row_ids, spill_row_ids,
+                 cell_pad, nprobe, recall_target):
+        self.mesh = mesh
+        self.axis = axis
+        self.centroids = centroids
+        self.grouped = grouped
+        self.gsq = gsq
+        self.gval = gval
+        self.spill = spill
+        self.ssq = ssq
+        self.sval = sval
+        self.row_ids = row_ids            # (ndev, local_rows) -> global row
+        self.spill_row_ids = spill_row_ids  # (ndev, spill_rows)
+        self.cell_pad = cell_pad
+        self.nprobe = nprobe
+        self.recall_target = recall_target
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,   # (N, d): device i owns rows [i*N/ndev, ...)
+        valid: np.ndarray,
+        mesh: jax.sharding.Mesh,
+        axis: str = "shards",
+        nlist: int = 64,       # cells PER DEVICE
+        nprobe: int = 16,
+        kmeans_iters: int = 8,
+        cell_cap_quantile: float = 0.98,
+        dtype=jnp.float32,
+        seed: int = 0,
+        recall_target: float = 0.95,
+    ) -> "ShardedIVFIndex":
+        ndev = mesh.shape[axis]
+        n, d = vectors.shape
+        if n % ndev != 0:
+            raise ValueError(f"rows {n} % devices {ndev} != 0")
+        per = n // ndev
+
+        parts = []
+        for dev in range(ndev):
+            lo = dev * per
+            part_vec = vectors[lo : lo + per]
+            part_val = valid[lo : lo + per]
+            live = np.flatnonzero(part_val)
+            nl = max(1, min(nlist, max(1, len(live) // 4)))
+            if len(live) == 0:
+                cents = np.zeros((nlist, d), np.float32)
+                assign = np.full(per, -1, np.int32)
+            else:
+                cents, _ = kmeans(part_vec[live], np.ones(len(live), bool),
+                                  nlist=nl, iters=kmeans_iters,
+                                  block_size=4096, seed=seed + dev)
+                if nl < nlist:  # pad centroid table to the common size
+                    cents = np.concatenate(
+                        [cents, np.full((nlist - nl, d), 1e30, np.float32)])
+                pad_rows = _round_up(per, 4096)
+                vp = np.zeros((pad_rows, d), np.float32)
+                vp[:per] = part_vec
+                assign = np.asarray(assign_blockwise(
+                    jnp.asarray(vp), jnp.asarray(cents[:nl]), block_size=4096
+                ))[:per]
+                assign = np.where(part_val, assign, -1).astype(np.int32)
+            parts.append((part_vec, part_val, cents, assign, lo))
+
+        # common cell capacity across devices
+        caps = []
+        for _, part_val, _, assign, _ in parts:
+            live_assign = assign[assign >= 0]
+            if len(live_assign):
+                sizes = np.bincount(live_assign, minlength=nlist)
+                caps.append(int(np.quantile(sizes[sizes > 0], cell_cap_quantile))
+                            if (sizes > 0).any() else 1)
+        cell_pad = max(_round_up(max(caps, default=1), 128), 128)
+        local_rows = nlist * cell_pad
+
+        # common spill size
+        spill_counts = []
+        layouts = []
+        for part_vec, part_val, cents, assign, lo in parts:
+            gvec = np.zeros((local_rows, d), np.float32)
+            gval_ = np.zeros(local_rows, bool)
+            grow = np.full(local_rows, -1, np.int64)
+            fill = np.zeros(nlist, np.int64)
+            spill_rows_local = []
+            for j in np.flatnonzero(part_val):
+                c = assign[j]
+                if c < 0:
+                    continue
+                if fill[c] < cell_pad:
+                    pos = c * cell_pad + fill[c]
+                    gvec[pos] = part_vec[j]
+                    gval_[pos] = True
+                    grow[pos] = lo + j
+                    fill[c] += 1
+                else:
+                    spill_rows_local.append(lo + j)
+            layouts.append((gvec, gval_, grow, spill_rows_local, part_vec, lo))
+            spill_counts.append(len(spill_rows_local))
+        spill_rows = max(_round_up(max(spill_counts, default=1) or 1, 128), 128)
+
+        cents_all = np.stack([p[2] for p in parts])
+        grouped = np.stack([l[0] for l in layouts])
+        gval = np.stack([l[1] for l in layouts])
+        row_ids = np.stack([l[2] for l in layouts])
+        gsq = np.einsum("knd,knd->kn", grouped, grouped).astype(np.float32)
+
+        spill = np.zeros((ndev, spill_rows, d), np.float32)
+        sval = np.zeros((ndev, spill_rows), bool)
+        srow = np.full((ndev, spill_rows), -1, np.int64)
+        for dev, (gvec, gval_, grow, spill_local, part_vec, lo) in enumerate(layouts):
+            for j, grow_row in enumerate(spill_local):
+                spill[dev, j] = vectors[grow_row]
+                sval[dev, j] = True
+                srow[dev, j] = grow_row
+        ssq = np.einsum("knd,knd->kn", spill, spill).astype(np.float32)
+
+        def put(arr, spec):
+            return jax.device_put(jnp.asarray(arr),
+                                  NamedSharding(mesh, spec))
+
+        Pax = P(axis)
+        return cls(
+            mesh, axis,
+            centroids=put(cents_all, Pax),
+            grouped=put(grouped.astype(np.float32), Pax),
+            gsq=put(gsq, Pax),
+            gval=put(gval, Pax),
+            spill=put(spill, Pax),
+            ssq=put(ssq, Pax),
+            sval=put(sval, Pax),
+            row_ids=row_ids,
+            spill_row_ids=srow,
+            cell_pad=cell_pad,
+            nprobe=min(nprobe, nlist),
+            recall_target=recall_target,
+        )
+
+    def search(self, queries: np.ndarray, k: int,
+               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        nprobe = min(nprobe or self.nprobe, self.centroids.shape[1])
+        local_rows = self.grouped.shape[1]
+        spill_rows = self.spill.shape[1]
+        fn = _build_program(self.mesh, self.axis, k, nprobe, self.cell_pad,
+                            self.recall_target, local_rows, spill_rows)
+        dist, gids = fn(jnp.asarray(queries, jnp.float32), self.centroids,
+                        self.grouped, self.gsq, self.gval,
+                        self.spill, self.ssq, self.sval)
+        gids = np.asarray(gids)
+        dist = np.asarray(dist)
+        stride = local_rows + spill_rows
+        rows = np.full_like(gids, -1, dtype=np.int64)
+        ok = gids >= 0
+        dev = np.where(ok, gids // stride, 0)
+        loc = np.where(ok, gids % stride, 0)
+        in_spill = ok & (loc >= local_rows)
+        in_main = ok & ~in_spill
+        rows[in_main] = self.row_ids[dev[in_main], loc[in_main]]
+        rows[in_spill] = self.spill_row_ids[dev[in_spill],
+                                            loc[in_spill] - local_rows]
+        return dist, rows
