@@ -1,0 +1,57 @@
+"""Pallas IVF probe kernel (interpret mode) vs oracle on clustered data."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuvdb.index.ivf import IVFIndex
+from tpuvdb.kernels.distance import numpy_oracle
+from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
+
+
+def test_pallas_ivf_matches_oracle(rng):
+    # clustered corpus -> IVF layout via IVFIndex.build, probe via pallas
+    centers = rng.standard_normal((16, 32)) * 5
+    data = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((128, 32)) for i in range(16)
+    ]).astype(np.float32)
+    valid = np.ones(len(data), bool)
+    idx = IVFIndex.build(data, valid, nlist=16, nprobe=16, kmeans_iters=8)
+    assert idx.stats().spill_rows == 0  # this test covers the main region
+
+    q = data[rng.choice(len(data), 16, replace=False)] + \
+        0.05 * rng.standard_normal((16, 32)).astype(np.float32)
+    dist, gid = pallas_ivf_search(
+        jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
+        idx.grouped_valid, cell_pad=idx.cell_pad, k=10, nprobe=8,
+        query_tile=8, n_buckets=128, interpret=True,
+    )
+    gid = np.asarray(gid)
+    dist = np.asarray(dist)
+    rows = np.where(gid >= 0, idx.row_ids[np.clip(gid, 0, None)], -1)
+    _, oidx = numpy_oracle(q, data, valid, 10)
+    recall = np.mean([
+        len(set(rows[i][rows[i] >= 0]) & set(oidx[i])) / 10 for i in range(16)
+    ])
+    assert recall >= 0.85, recall
+    for i in range(4):
+        for j in range(10):
+            if rows[i, j] >= 0:
+                true = float(np.sum((q[i] - data[rows[i, j]]) ** 2))
+                assert abs(true - dist[i, j]) < 1e-2
+
+
+def test_pallas_ivf_masks_deleted(rng):
+    data = rng.standard_normal((512, 16)).astype(np.float32)
+    valid = np.ones(512, bool)
+    idx = IVFIndex.build(data, valid, nlist=4, nprobe=4, kmeans_iters=5)
+    idx.invalidate_rows(np.array([7]))
+    q = data[7:8]
+    dist, gid = pallas_ivf_search(
+        jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
+        idx.grouped_valid, cell_pad=idx.cell_pad, k=1, nprobe=4,
+        query_tile=1, n_buckets=128, interpret=True,
+    )
+    gid = int(np.asarray(gid)[0, 0])
+    assert gid < 0 or idx.row_ids[gid] != 7

@@ -73,14 +73,15 @@ def _ivf_search(
     csq = jnp.take(grouped_sq, cand, axis=0)         # (Q, R)
     cval = jnp.take(grouped_valid, cand, axis=0)     # (Q, R)
     qc = queries.astype(grouped.dtype)
+    prec = jax.lax.Precision.HIGHEST if grouped.dtype == jnp.float32 else None
     dots = jnp.einsum("qd,qrd->qr", qc, cvecs,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
     neg = 2.0 * dots - csq
     neg = jnp.where(cval, neg, -jnp.inf)
 
     # 4. spill region: exact scan, always
     sdots = jnp.dot(qc, spill.T.astype(grouped.dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     sneg = 2.0 * sdots - spill_sq[None, :]
     sneg = jnp.where(spill_valid[None, :], sneg, -jnp.inf)
     spill_ids = grouped.shape[0] + jax.lax.broadcasted_iota(
@@ -193,28 +194,32 @@ class IVFIndex:
         gvec = np.zeros((grouped_rows, d), np.float32)
         gval = np.zeros(grouped_rows, bool)
         grow = np.full(grouped_rows, -1, np.int64)
-        spill_rows = []
-        fill = np.zeros(nlist, np.int64)
-        for row in live_idx:
-            c = assign[row]
-            if fill[c] < cell_pad:
-                pos = c * cell_pad + fill[c]
-                gvec[pos] = vectors[row]
-                gval[pos] = True
-                grow[pos] = row
-                fill[c] += 1
-            else:
-                spill_rows.append(row)
+        # vectorized grouping: sort live rows by cell, rank within cell,
+        # overflow past cell_pad spills (the per-row Python loop was the
+        # build bottleneck at millions of rows)
+        live_cells = assign[live_idx]
+        order = np.argsort(live_cells, kind="stable")
+        rows_sorted = live_idx[order]
+        cells_sorted = live_cells[order]
+        starts = np.searchsorted(cells_sorted, np.arange(nlist))
+        pos_in_cell = np.arange(len(rows_sorted)) - starts[cells_sorted]
+        main = pos_in_cell < cell_pad
+        gpos = cells_sorted[main] * cell_pad + pos_in_cell[main]
+        gvec[gpos] = vectors[rows_sorted[main]]
+        gval[gpos] = True
+        grow[gpos] = rows_sorted[main]
+        spill_rows = rows_sorted[~main]
 
         s = max(len(spill_rows), 1)
         s_pad = _round_up(s, 128)
         svec = np.zeros((s_pad, d), np.float32)
         sval = np.zeros(s_pad, bool)
         srow = np.full(s_pad, -1, np.int64)
-        for j, row in enumerate(spill_rows):
-            svec[j] = vectors[row]
-            sval[j] = True
-            srow[j] = row
+        ns = len(spill_rows)
+        if ns:
+            svec[:ns] = vectors[spill_rows]
+            sval[:ns] = True
+            srow[:ns] = spill_rows
 
         gsq = np.einsum("nd,nd->n", gvec, gvec).astype(np.float32)
         ssq = np.einsum("nd,nd->n", svec, svec).astype(np.float32)

@@ -190,20 +190,18 @@ class ShardedIVFIndex:
             gvec = np.zeros((local_rows, d), np.float32)
             gval_ = np.zeros(local_rows, bool)
             grow = np.full(local_rows, -1, np.int64)
-            fill = np.zeros(nlist, np.int64)
-            spill_rows_local = []
-            for j in np.flatnonzero(part_val):
-                c = assign[j]
-                if c < 0:
-                    continue
-                if fill[c] < cell_pad:
-                    pos = c * cell_pad + fill[c]
-                    gvec[pos] = part_vec[j]
-                    gval_[pos] = True
-                    grow[pos] = lo + j
-                    fill[c] += 1
-                else:
-                    spill_rows_local.append(lo + j)
+            live = np.flatnonzero(part_val & (assign >= 0))
+            order = np.argsort(assign[live], kind="stable")
+            rows_sorted = live[order]
+            cells_sorted = assign[rows_sorted]
+            starts = np.searchsorted(cells_sorted, np.arange(nlist))
+            pos_in_cell = np.arange(len(rows_sorted)) - starts[cells_sorted]
+            main = pos_in_cell < cell_pad
+            gpos = cells_sorted[main] * cell_pad + pos_in_cell[main]
+            gvec[gpos] = part_vec[rows_sorted[main]]
+            gval_[gpos] = True
+            grow[gpos] = lo + rows_sorted[main]
+            spill_rows_local = list(lo + rows_sorted[~main])
             layouts.append((gvec, gval_, grow, spill_rows_local, part_vec, lo))
             spill_counts.append(len(spill_rows_local))
         spill_rows = max(_round_up(max(spill_counts, default=1) or 1, 128), 128)
