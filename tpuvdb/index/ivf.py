@@ -248,16 +248,31 @@ class IVFIndex:
         Queries are chunked to bound the (Q, nprobe*P, d) gather."""
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = np.asarray(queries, np.float32)
+        # on TPU the scalar-prefetch pallas probe (contiguous cell DMA) is
+        # ~50x faster than the row-gather XLA path; CPU keeps the XLA path
+        use_pallas = jax.default_backend() == "tpu"
         out_d, out_r = [], []
         for start in range(0, q.shape[0], max_batch):
             qc = q[start : start + max_batch]
-            dist, gid = _ivf_search(
-                jnp.asarray(qc), self.centroids,
-                self.grouped, self.grouped_sq, self.grouped_valid,
-                self.spill, self.spill_sq, self.spill_valid,
-                nprobe=nprobe, k=k, cell_pad=self.cell_pad,
-                recall_target=self.recall_target,
-            )
+            if use_pallas:
+                from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
+
+                dist, gid = pallas_ivf_search(
+                    jnp.asarray(qc), self.centroids, self.grouped,
+                    self.grouped_sq, self.grouped_valid,
+                    cell_pad=self.cell_pad, k=k, nprobe=nprobe,
+                    query_tile=8,
+                    spill=self.spill, spill_sq=self.spill_sq,
+                    spill_valid=self.spill_valid,
+                )
+            else:
+                dist, gid = _ivf_search(
+                    jnp.asarray(qc), self.centroids,
+                    self.grouped, self.grouped_sq, self.grouped_valid,
+                    self.spill, self.spill_sq, self.spill_valid,
+                    nprobe=nprobe, k=k, cell_pad=self.cell_pad,
+                    recall_target=self.recall_target,
+                )
             gid = np.asarray(gid)
             dist = np.asarray(dist)
             # map grouped/spill ids back to physical rows
