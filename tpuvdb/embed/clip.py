@@ -215,18 +215,42 @@ class CLIPEmbedder:
         model_dir: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
         seed: int = 0,
+        fast_init: bool = False,
     ):
+        """fast_init=True fills params with numpy gaussians via eval_shape
+        instead of the jax initializers — orders of magnitude faster for
+        big towers when weights will be replaced (or don't matter, e.g.
+        shape/throughput benchmarks)."""
         self.cfg = cfg or CLIPConfig()
         self.text_model = TextTower(self.cfg)
         self.vision_model = VisionTower(self.cfg)
+        self._fast_init = fast_init
         key = jax.random.PRNGKey(seed)
         kt, kv = jax.random.split(key)
         dummy_tokens = jnp.zeros((1, self.cfg.context_length), jnp.int32)
         dummy_img = jnp.zeros(
             (1, self.cfg.image_size, self.cfg.image_size, 3), jnp.float32
         )
-        self.text_params = self.text_model.init(kt, dummy_tokens)
-        self.vision_params = self.vision_model.init(kv, dummy_img)
+        if fast_init:
+            self.text_params = _numpy_init(
+                jax.eval_shape(self.text_model.init, kt, dummy_tokens), seed)
+            self.vision_params = _numpy_init(
+                jax.eval_shape(self.vision_model.init, kv, dummy_img), seed + 1)
+        else:
+            # init on the CPU backend when available: a one-shot compile
+            # that is much cheaper locally than via a remote TPU compile
+            # service; params migrate to the TPU at first apply
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    self.text_params = self.text_model.init(kt, dummy_tokens)
+                    self.vision_params = self.vision_model.init(kv, dummy_img)
+            else:
+                self.text_params = self.text_model.init(kt, dummy_tokens)
+                self.vision_params = self.vision_model.init(kv, dummy_img)
         self.pretrained = False
         if model_dir and os.path.isdir(model_dir):
             self.load_hf_torch_weights(model_dir)
@@ -397,6 +421,28 @@ def _load_torch_state(model_dir: str):
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
         return {k: v.numpy() for k, v in sd.items()}
     raise FileNotFoundError(f"no model.safetensors / pytorch_model.bin in {model_dir}")
+
+
+def _numpy_init(shapes, seed: int):
+    """Fill an eval_shape param tree with scaled numpy gaussians (LN params
+    get ones/zeros so activations stay bounded)."""
+    rng = np.random.default_rng(seed)
+
+    def leaf(path, s):
+        name = "/".join(str(p) for p in path)
+        if "scale" in name:
+            return jnp.ones(s.shape, s.dtype)
+        if "bias" in name:
+            return jnp.zeros(s.shape, s.dtype)
+        fan = s.shape[0] if len(s.shape) else 1
+        return jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) / np.sqrt(max(fan, 1)),
+            s.dtype,
+        )
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(leaf, shapes)
 
 
 def _l2n(x: np.ndarray) -> np.ndarray:
