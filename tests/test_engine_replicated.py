@@ -1,0 +1,39 @@
+"""Engine over a 2-D (repl, shards) mesh: real replication end to end."""
+
+import numpy as np
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+from tpuvdb.mesh.replicated import create_mesh_2d
+
+
+def test_engine_on_replicated_mesh(rng):
+    mesh = create_mesh_2d(2, 4)  # 2 replicas x 4 shards on the 8-dev mesh
+    cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=4096,
+                   block_size=128, checkpoint_every_puts=10**9,
+                   compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg, mesh=mesh)
+    vecs = {}
+    batch = []
+    for i in range(300):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+
+    # batch of 1 (needs padding to the repl axis internally)
+    r = eng.search(SearchRequest(query_vector=vecs["k7"], top_k=5))
+    assert r.success
+    assert r.search_result.keys[0] == "k7"
+    assert r.search_result.scores[0] < 1e-3
+
+    # deletes propagate to both replica groups
+    eng.delete("k7")
+    r = eng.search(SearchRequest(query_vector=vecs["k7"], top_k=5))
+    assert "k7" not in r.search_result.keys
+
+    # batched searches across replica groups return per-query correctness
+    q = np.stack([vecs[f"k{i}"] for i in range(20, 26)])
+    dists, keys = eng.search_batch(q, 1)
+    assert [k[0] for k in keys] == [f"k{i}" for i in range(20, 26)]

@@ -234,23 +234,42 @@ def checkpoint(ctx: Ctx):
               help="root dir for /static image serving")
 @click.option("--mesh/--no-mesh", default=True,
               help="shard across all local devices")
-def serve(host, port, serve_data_dir, image_root, mesh):
+@click.option("--replicas", default=1, show_default=True,
+              help="replica groups on a 2-D (repl, shards) mesh: each group "
+                   "holds a full corpus copy and serves a slice of every "
+                   "query batch")
+def serve(host, port, serve_data_dir, image_root, mesh, replicas):
     """Start the database server (coordinator + data plane + HTTP API)."""
+    import signal
+
     from tpuvdb.api.server import DBServer
     from tpuvdb.api.service import DBService
 
     mesh_obj = None
     if mesh:
-        from tpuvdb.mesh.mesh import create_mesh
         import jax
 
-        if len(jax.devices()) > 1:
+        ndev = len(jax.devices())
+        if replicas > 1 and ndev % replicas == 0 and ndev // replicas >= 1:
+            from tpuvdb.mesh.replicated import create_mesh_2d
+
+            mesh_obj = create_mesh_2d(replicas, ndev // replicas)
+        elif ndev > 1:
+            from tpuvdb.mesh.mesh import create_mesh
+
             mesh_obj = create_mesh()
     service = DBService(DBConfig(), data_dir=serve_data_dir, mesh=mesh_obj,
                         image_root=image_root)
     service.registry.start_health_loop()
     server = DBServer(service, host=host, port=port)
     click.secho(f"tpuvdb serving on http://{server.address}", fg="green")
+
+    # graceful SIGTERM (parity: the reference handlers catch SIGINT/SIGTERM
+    # to close the pool + ZK, src/coordinator/handler.py:85-90)
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

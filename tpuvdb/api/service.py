@@ -155,6 +155,20 @@ class DBService:
         path = self.engine.save_checkpoint()
         return Response.ok(path or "no durable storage configured").to_dict()
 
+    def rpc_profile(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Capture a jax.profiler device trace for N seconds into log_dir
+        (view with xprof/TensorBoard). Aux-subsystem upgrade over the
+        reference, which has no tracing at all (SURVEY.md §5.1)."""
+        import time as _time
+
+        log_dir = p.get("log_dir", "/tmp/tpuvdb_trace")
+        seconds = min(float(p.get("seconds", 3.0)), 60.0)
+        from tpuvdb.utils.tracing import device_trace
+
+        with device_trace(log_dir):
+            _time.sleep(seconds)
+        return Response.ok(f"trace written to {log_dir}").to_dict()
+
     # ---------------------------------------------- node-internal RPC parity
     # The reference IDL declares these on VectorNodeService
     # (src/vector_db.thrift:76-86) but the handler never implements them —

@@ -84,6 +84,9 @@ class DeviceExactIndex:
         self._sharding = None
         self._sharding1d = None
         if mesh is not None:
+            # rows shard over `mesh_axis`; any OTHER mesh axis (e.g. a 2-D
+            # (repl, shards) mesh) is left unmentioned, so XLA REPLICATES
+            # the corpus across it — that is exactly the replica layout
             P = jax.sharding.PartitionSpec
             self._sharding = jax.sharding.NamedSharding(mesh, P(mesh_axis, None))
             self._sharding1d = jax.sharding.NamedSharding(mesh, P(mesh_axis))
@@ -122,7 +125,9 @@ class DeviceExactIndex:
         search_mode: str = "approx",
         recall_target: float = 0.95,
     ) -> "DeviceExactIndex":
-        ndev = mesh.size if mesh is not None else 1
+        # rows must divide across the SHARD axis (a 2-D mesh's other axis
+        # replicates and doesn't constrain the row count)
+        ndev = mesh.shape[mesh_axis] if mesh is not None else 1
         layout = StackedLayout.for_mirrors(mirrors, block=block_size, min_rows_multiple=ndev)
         idx = cls(layout, dtype=dtype, block_size=block_size, mesh=mesh,
                   mesh_axis=mesh_axis, search_mode=search_mode,
@@ -213,7 +218,25 @@ class DeviceExactIndex:
         """Exact top-k over all live rows. Returns (dists, rows) as numpy,
         dists ascending squared-L2; empty slots are +inf / -1."""
         q = jnp.asarray(queries, dtype=jnp.float32)
-        if self.mesh is not None and self.mesh.size > 1:
+        if self.mesh is not None and len(self.mesh.axis_names) == 2:
+            # 2-D (repl, shards) mesh: replicas split the query batch
+            from tpuvdb.mesh.replicated import replicated_search
+
+            repl_axis = next(a for a in self.mesh.axis_names
+                             if a != self.mesh_axis)
+            nrepl = self.mesh.shape[repl_axis]
+            qn = q.shape[0]
+            pad = (-qn) % nrepl
+            if pad:
+                q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+            dist, rows = replicated_search(
+                q, self.vectors, self.sqnorms, self.valid,
+                k=k, block_size=self.block_size, mesh=self.mesh,
+                repl_axis=repl_axis, shard_axis=self.mesh_axis,
+                mode=self.search_mode, recall_target=self.recall_target,
+            )
+            dist, rows = dist[:qn], rows[:qn]
+        elif self.mesh is not None and self.mesh.size > 1:
             from tpuvdb.mesh.sharded import sharded_search
 
             dist, rows = sharded_search(
