@@ -68,26 +68,30 @@ def main():
     valid = jax.device_put(jnp.asarray(valid_np))
     queries = jax.device_put(jnp.asarray(queries_np))
 
-    # each path: (fn(q, *arrays), arrays) — arrays must be jit ARGUMENTS, not
-    # closure captures, or the corpus gets baked into the compile payload
+    # each path: (fn(q, *arrays), arrays, batch) — arrays must be jit
+    # ARGUMENTS, not closure captures, or the corpus gets baked into the
+    # compile payload
+    def int8_fn(q, c, r, s, v):
+        return l2sq_topk_int8_xla(q, c, r, s, v, k=k,
+                                  recall_target=recall_target)
+
     paths = {
         "approx_bf16": (
             lambda q, c, s, v: l2sq_topk(q, c, s, v, k=k, block_size=block,
                                          mode="approx",
                                          recall_target=recall_target),
             (corpus_bf16, sqnorms, valid),
+            q_batch,
         ),
-        "int8": (
-            lambda q, c, r, s, v: l2sq_topk_int8_xla(
-                q, c, r, s, v, k=k, recall_target=recall_target),
-            (corpus_i8, row_scales, sqnorms, valid),
-        ),
+        "int8": (int8_fn, (corpus_i8, row_scales, sqnorms, valid), q_batch),
+        "int8_b128": (int8_fn, (corpus_i8, row_scales, sqnorms, valid), 128),
     }
     if on_tpu:
         paths["pallas_bf16"] = (
             lambda q, c, s, v: pallas_l2sq_topk(q, c, s, v, k=k,
                                                 block_rows=16384, n_buckets=512),
             (corpus_bf16, sqnorms, valid),
+            q_batch,
         )
 
     # oracle for recall
@@ -96,9 +100,10 @@ def main():
                            np.ones(n, bool), k)
 
     results = {}
-    for name, (fn, arrays) in paths.items():
+    for name, (fn, arrays, batch_n) in paths.items():
+        bq = queries[:batch_n]
         t0 = time.perf_counter()
-        dist, idx = fn(queries, *arrays)
+        dist, idx = fn(bq, *arrays)
         jax.block_until_ready((dist, idx))
         log(f"{name}: first call {time.perf_counter() - t0:.1f}s")
         got = np.asarray(idx)[:n_check]
@@ -114,17 +119,18 @@ def main():
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         iters = 20
-        float(timed(queries, *arrays, iters=1))
-        float(timed(queries, *arrays, iters=1 + iters))
+        float(timed(bq, *arrays, iters=1))
+        float(timed(bq, *arrays, iters=1 + iters))
         best = float("inf")
         for _ in range(3):
-            t1 = time.perf_counter(); float(timed(queries, *arrays, iters=1))
+            t1 = time.perf_counter(); float(timed(bq, *arrays, iters=1))
             t1 = time.perf_counter() - t1
-            t2 = time.perf_counter(); float(timed(queries, *arrays, iters=1 + iters))
+            t2 = time.perf_counter(); float(timed(bq, *arrays, iters=1 + iters))
             t2 = time.perf_counter() - t2
             best = min(best, (t2 - t1) / iters)
-        qps = q_batch / best
+        qps = batch_n / best
         results[name] = {"qps": round(qps, 1), "recall_at_10": round(recall, 4),
+                         "batch": batch_n,
                          "batch_latency_ms": round(best * 1000, 3)}
         log(f"{name}: {best*1000:.3f} ms/batch -> {qps:,.0f} QPS, "
             f"recall@10 {recall:.4f}")
@@ -142,7 +148,7 @@ def main():
         "vs_baseline": round(best["qps"] / target, 2),
         "recall_at_10": best["recall_at_10"],
         "best_path": best_name,
-        "batch": q_batch,
+        "batch": best["batch"],
         "corpus": [n, dim],
         "paths": results,
     }))
