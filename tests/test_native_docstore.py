@@ -1,0 +1,73 @@
+"""DocStore on the native C++ KV backend: engine round trip + recovery."""
+
+import numpy as np
+import pytest
+
+from tpuvdb import native
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+from tpuvdb.store.kv import DocEntry, DocStore
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library failed to build"
+)
+
+
+def test_native_docstore_parity(rng):
+    py = DocStore(backend="python")
+    nat = DocStore(backend="native")
+    assert nat.backend == "native"
+    for store in (py, nat):
+        store.put(DocEntry("a", 1, 5, {"x": "1"}, 100))
+        store.put(DocEntry("b", 0, 2, {"x": "2"}, 200))
+        store.put(DocEntry("a", 1, 6, {"x": "3"}, 300))  # overwrite
+    for store in (py, nat):
+        assert len(store) == 2
+        e = store.get("a")
+        assert (e.shard, e.slot, e.metadata, e.timestamp) == (1, 6, {"x": "3"}, 300)
+        assert store.key_at(1, 6) == "a"
+        assert store.key_at(1, 5) is None  # overwrite unmapped the old slot
+        assert store.find_by_metadata({"x": "3"}) == {(1, 6)}
+        assert store.delete("b").slot == 2
+        assert store.get("b") is None
+        assert sorted(store.keys()) == ["a"]
+
+
+def test_native_docstore_dump_load(tmp_path):
+    nat = DocStore(backend="native")
+    for i in range(500):
+        nat.put(DocEntry(f"k{i}", i % 4, i, {"i": str(i)}, i * 10))
+    p = str(tmp_path / "docs.msgpack")
+    nat.dump(p)
+    # snapshots are backend-interchangeable
+    back_py = DocStore.load(p, backend="python")
+    back_nat = DocStore.load(p, backend="native")
+    for store in (back_py, back_nat):
+        assert len(store) == 500
+        assert store.get("k123").metadata == {"i": "123"}
+        assert store.key_at(123 % 4, 123) == "k123"
+
+
+def test_engine_with_native_docstore(rng, tmp_data_dir):
+    cfg = DBConfig(vector_dim=16, shard_count=2, shard_capacity=2048,
+                   block_size=128, docstore_backend="native",
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg, data_dir=tmp_data_dir)
+    assert eng.docstore.backend == "native"
+    vecs = {}
+    batch = []
+    for i in range(100):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v, metadata={"i": str(i)}))
+    eng.put_batch(batch)
+    r = eng.search(SearchRequest(query_vector=vecs["k42"], top_k=1))
+    assert r.search_result.keys == ["k42"]
+    eng.save_checkpoint()
+    eng.wal.close()
+
+    eng2 = VectorDBEngine(cfg, data_dir=tmp_data_dir)
+    assert eng2.docstore.backend == "native"
+    assert eng2.count() == 100
+    assert eng2.get("k7").vector_data.metadata == {"i": "7"}

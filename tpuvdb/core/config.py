@@ -60,6 +60,8 @@ class DBConfig:
 
     # -- index selection --
     index_type: str = "flat"       # "flat" (approx_max_k scan) | "ivf"
+    docstore_backend: str = "python"  # "python" dict | "native" C++ KV
+                                      # (LevelDB-role store for 100M keys)
 
     # -- IVF --
     ivf_nlist: int = 1024

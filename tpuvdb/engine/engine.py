@@ -68,7 +68,7 @@ class VectorDBEngine:
         self._lock = threading.RLock()
 
         cfg = self.config
-        self.docstore = DocStore()
+        self.docstore = DocStore(backend=cfg.docstore_backend)
         self.mirrors: List[ShardMirror] = [
             ShardMirror(cfg.vector_dim, cfg.shard_capacity,
                         init_cap=cfg.mirror_init_cap, block=128)

@@ -72,6 +72,12 @@ def _load():
         lib.kv_del.argtypes = [c.c_void_p, c.c_char_p, c.c_uint32]
         lib.kv_size.restype = c.c_uint64
         lib.kv_size.argtypes = [c.c_void_p]
+        lib.kv_next.restype = c.c_int
+        lib.kv_next.argtypes = [c.c_void_p, c.POINTER(c.c_uint64), c.c_char_p,
+                                c.c_uint32, c.POINTER(c.c_uint32),
+                                c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+                                c.POINTER(c.c_int64), c.c_char_p, c.c_uint32,
+                                c.POINTER(c.c_uint32)]
         lib.kv_dump.restype = c.c_int
         lib.kv_dump.argtypes = [c.c_void_p, c.c_char_p]
         lib.kv_load.restype = c.c_int
@@ -161,6 +167,22 @@ class NativeKv:
 
     def __len__(self) -> int:
         return self._lib.kv_size(self._h)
+
+    def items(self):
+        """Iterate (key, shard, slot, ts, value) over all live entries."""
+        cursor = ctypes.c_uint64(0)
+        kbuf = ctypes.create_string_buffer(4096)
+        klen = ctypes.c_uint32()
+        shard = ctypes.c_int32()
+        slot = ctypes.c_int64()
+        ts = ctypes.c_int64()
+        vlen = ctypes.c_uint32()
+        while self._lib.kv_next(self._h, ctypes.byref(cursor), kbuf, 4096,
+                                ctypes.byref(klen), ctypes.byref(shard),
+                                ctypes.byref(slot), ctypes.byref(ts),
+                                self._buf, self._VAL_CAP, ctypes.byref(vlen)):
+            yield (kbuf.raw[: klen.value].decode(), shard.value, slot.value,
+                   ts.value, self._buf.raw[: vlen.value])
 
     def dump(self, path: str) -> bool:
         return bool(self._lib.kv_dump(self._h, path.encode()))

@@ -294,6 +294,34 @@ uint64_t kv_size(void* h) {
   return kv->used;
 }
 
+// Cursor iteration: scan the table from `*cursor`, copy out the next used
+// entry, advance cursor. Returns 1 if an entry was produced, 0 at end.
+int kv_next(void* h, uint64_t* cursor, uint8_t* key, uint32_t key_cap,
+            uint32_t* key_len, int32_t* shard, int64_t* slot, int64_t* ts,
+            uint8_t* val, uint32_t val_cap, uint32_t* val_len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  for (uint64_t i = *cursor; i < kv->table.size(); i++) {
+    KvEntry& e = kv->table[i];
+    if (e.state != 1) continue;
+    *key_len = e.key_len;
+    if (e.key_len && key_cap >= e.key_len) {
+      memcpy(key, kv->arena.data() + e.key_off, e.key_len);
+    }
+    *shard = e.shard;
+    *slot = e.slot;
+    *ts = e.ts;
+    *val_len = e.val_len;
+    if (e.val_len && val_cap >= e.val_len) {
+      memcpy(val, kv->arena.data() + e.val_off, e.val_len);
+    }
+    *cursor = i + 1;
+    return 1;
+  }
+  *cursor = kv->table.size();
+  return 0;
+}
+
 // Binary snapshot: [u64 count] then per-entry
 // [u32 klen][key][i32 shard][i64 slot][i64 ts][u32 vlen][val]
 int kv_dump(void* h, const char* path) {

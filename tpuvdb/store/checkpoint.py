@@ -111,7 +111,8 @@ class CheckpointManager:
             raise errors.CheckpointError(
                 f"checkpoint dim {manifest['dim']} != configured {config.vector_dim}"
             )
-        docstore = DocStore.load(os.path.join(path, "docstore.msgpack"))
+        docstore = DocStore.load(os.path.join(path, "docstore.msgpack"),
+                                 backend=config.docstore_backend)
         mirrors = []
         for i in range(manifest["num_shards"]):
             z = np.load(os.path.join(path, f"shard_{i}.npz"))

@@ -3,8 +3,14 @@
 Role parity: the reference keeps a LevelDB of key -> JSON{hnsw_id, vector,
 metadata} per data node (src/datanode/handler.py:50,287-297) and recovers
 keys from index ids with a full O(n) LevelDB scan per search hit
-(src/datanode/handler.py:136-153). Here the forward map is a dict and the
-reverse map is a dense per-shard slot->key table, so id->key is O(1).
+(src/datanode/handler.py:136-153). Here the forward map is a hash map and
+the reverse map is a dense per-shard slot->key table, so id->key is O(1).
+
+Two forward-map backends:
+  * "python" (default): dict of DocEntry — simplest, fastest for <~10M keys
+  * "native": the C++ open-addressing store (tpuvdb.native.NativeKv) —
+    the LevelDB-role engine for 100M-key scale, metadata packed as msgpack
+    blobs in its arena (falls back to python when the library is absent)
 
 Vector payloads are NOT stored here: they live in the shard host mirror
 (tpuvdb.index.layout), slot-addressed, which also serves as the checkpoint
@@ -33,8 +39,17 @@ class DocEntry:
 
 
 class DocStore:
-    def __init__(self):
+    def __init__(self, backend: str = "python"):
         self._lock = threading.RLock()
+        self._native = None
+        if backend == "native":
+            try:
+                from tpuvdb import native
+
+                if native.available():
+                    self._native = native.NativeKv()
+            except Exception:
+                self._native = None
         self._docs: Dict[str, DocEntry] = {}
         # reverse map: shard -> list where index==slot, value==key or None
         self._slots: Dict[int, List[Optional[str]]] = {}
@@ -42,6 +57,45 @@ class DocStore:
         # filter pushdown (the reference accepts but ignores filters,
         # src/coordinator/handler.py:186-189)
         self._meta: Dict[str, Dict[str, Set[Tuple[int, int]]]] = {}
+
+    @property
+    def backend(self) -> str:
+        return "native" if self._native is not None else "python"
+
+    # -------------------------------------------------- forward-map plumbing
+
+    def _map_get(self, key: str) -> Optional[DocEntry]:
+        if self._native is not None:
+            got = self._native.get(key)
+            if got is None:
+                return None
+            shard, slot, ts, blob = got
+            md = msgpack.unpackb(blob, raw=False) if blob else {}
+            return DocEntry(key=key, shard=shard, slot=slot,
+                            metadata=md, timestamp=ts)
+        return self._docs.get(key)
+
+    def _map_put(self, e: DocEntry):
+        if self._native is not None:
+            blob = msgpack.packb(e.metadata, use_bin_type=True) if e.metadata else b""
+            self._native.put(e.key, e.shard, e.slot, e.timestamp, blob)
+        else:
+            self._docs[e.key] = e
+
+    def _map_del(self, key: str):
+        if self._native is not None:
+            self._native.delete(key)
+        else:
+            self._docs.pop(key, None)
+
+    def _map_iter(self) -> Iterator[DocEntry]:
+        if self._native is not None:
+            for key, shard, slot, ts, blob in self._native.items():
+                md = msgpack.unpackb(blob, raw=False) if blob else {}
+                yield DocEntry(key=key, shard=shard, slot=slot,
+                               metadata=md, timestamp=ts)
+        else:
+            yield from self._docs.values()
 
     def _meta_add(self, e: "DocEntry"):
         for k, v in e.metadata.items():
@@ -65,8 +119,8 @@ class DocStore:
     def put(self, entry: DocEntry) -> Optional[DocEntry]:
         """Insert/overwrite. Returns the previous entry for this key, if any."""
         with self._lock:
-            prev = self._docs.get(entry.key)
-            self._docs[entry.key] = entry
+            prev = self._map_get(entry.key)
+            self._map_put(entry)
             slots = self._slots.setdefault(entry.shard, [])
             if entry.slot >= len(slots):
                 slots.extend([None] * (entry.slot + 1 - len(slots)))
@@ -82,12 +136,13 @@ class DocStore:
 
     def get(self, key: str) -> Optional[DocEntry]:
         with self._lock:
-            return self._docs.get(key)
+            return self._map_get(key)
 
     def delete(self, key: str) -> Optional[DocEntry]:
         with self._lock:
-            e = self._docs.pop(key, None)
+            e = self._map_get(key)
             if e is not None:
+                self._map_del(key)
                 slots = self._slots.get(e.shard)
                 if slots and e.slot < len(slots) and slots[e.slot] == key:
                     slots[e.slot] = None
@@ -120,18 +175,22 @@ class DocStore:
             return slots[slot]
 
     def __len__(self) -> int:
+        if self._native is not None:
+            return len(self._native)
         return len(self._docs)
 
     def __contains__(self, key: str) -> bool:
-        return key in self._docs
+        return self.get(key) is not None
 
     def keys(self) -> List[str]:
         with self._lock:
+            if self._native is not None:
+                return [e.key for e in self._map_iter()]
             return list(self._docs.keys())
 
     def entries(self) -> Iterator[DocEntry]:
         with self._lock:
-            return iter(list(self._docs.values()))
+            return iter(list(self._map_iter()))
 
     def shard_count_used(self) -> int:
         with self._lock:
@@ -144,7 +203,7 @@ class DocStore:
             payload = {
                 "docs": [
                     (e.key, e.shard, e.slot, e.metadata, e.timestamp)
-                    for e in self._docs.values()
+                    for e in self._map_iter()
                 ]
             }
         tmp = path + ".tmp"
@@ -155,8 +214,8 @@ class DocStore:
         os.replace(tmp, path)
 
     @classmethod
-    def load(cls, path: str) -> "DocStore":
-        store = cls()
+    def load(cls, path: str, backend: str = "python") -> "DocStore":
+        store = cls(backend=backend)
         with open(path, "rb") as f:
             payload = msgpack.unpackb(f.read(), raw=False)
         for key, shard, slot, metadata, ts in payload["docs"]:
