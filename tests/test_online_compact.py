@@ -1,0 +1,109 @@
+"""Online compaction: serving continues during rebuild, interim ops survive."""
+
+import threading
+
+import numpy as np
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+
+
+def cfg():
+    return DBConfig(vector_dim=16, shard_count=2, shard_capacity=65536,
+                    block_size=128, checkpoint_every_puts=10**9,
+                    compact_every_puts=10**9)
+
+
+def fill(eng, rng, n, prefix="k"):
+    vecs = {}
+    batch = []
+    for i in range(n):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"{prefix}{i}"] = v
+        batch.append(VectorData(key=f"{prefix}{i}", vector=v))
+    eng.put_batch(batch)
+    return vecs
+
+
+def test_online_compact_basic(rng):
+    eng = VectorDBEngine(cfg())
+    vecs = fill(eng, rng, 300)
+    for i in range(0, 300, 3):
+        eng.delete(f"k{i}")
+    eng.compact(online=True)
+    assert eng.count() == 200
+    info = eng.info()
+    assert sum(s["deleted"] for s in info["shards"]) == 0  # dense
+    r = eng.search(SearchRequest(query_vector=vecs["k1"], top_k=2))
+    assert r.search_result.keys[0] == "k1"
+    assert "k0" not in r.search_result.keys
+
+
+def test_online_compact_journals_interim_ops(rng):
+    """Ops issued while the rebuild runs must survive the swap."""
+    eng = VectorDBEngine(cfg())
+    vecs = fill(eng, rng, 500)
+    eng.delete("k10")
+
+    # make the rebuild observable: wrap _rebuild_dense to inject ops midway
+    orig = eng._rebuild_dense
+    injected = {}
+
+    def slow_rebuild(entries, old_mirrors):
+        # simulate concurrent writes arriving DURING the rebuild
+        v_new = rng.standard_normal(16).astype(np.float32)
+        injected["fresh"] = v_new
+        eng.put(VectorData(key="fresh", vector=v_new))
+        v2 = rng.standard_normal(16).astype(np.float32)
+        injected["k20"] = v2
+        eng.put(VectorData(key="k20", vector=v2))  # overwrite during rebuild
+        eng.delete("k30")                           # delete during rebuild
+        return orig(entries, old_mirrors)
+
+    eng._rebuild_dense = slow_rebuild
+    eng.compact(online=True)
+    eng._rebuild_dense = orig
+
+    assert eng.count() == 500 - 1 + 1 - 1  # -k10, +fresh, -k30 (k20 overwrite)
+    r = eng.search(SearchRequest(query_vector=injected["fresh"], top_k=1))
+    assert r.search_result.keys == ["fresh"]
+    np.testing.assert_allclose(eng.get("k20").vector_data.vector,
+                               injected["k20"], rtol=1e-6)
+    assert not eng.get("k30").success
+    assert not eng.get("k10").success
+
+
+def test_compact_under_concurrent_load(rng):
+    eng = VectorDBEngine(cfg())
+    fill(eng, rng, 400)
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            r = eng.put(VectorData(
+                key=f"w{i}", vector=rng.standard_normal(16).astype(np.float32)))
+            if not r.success:
+                errors.append(r.message)
+            i += 1
+
+    def searcher():
+        q = rng.standard_normal(16).astype(np.float32)
+        while not stop.is_set():
+            r = eng.search(SearchRequest(query_vector=q, top_k=3))
+            if not r.success:
+                errors.append(r.message)
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=searcher)]
+    for t in threads:
+        t.start()
+    for _ in range(3):
+        eng.compact(online=True)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors
+    # every written key is still present post-compactions
+    assert eng.get("w0").success

@@ -92,6 +92,9 @@ class VectorDBEngine:
         self._inflight: Dict[int, Tuple[list, list]] = {}
         self._inflight_token = 0
         self._flush_lock = threading.Lock()  # serializes device scatters
+        # ops arriving while an online compaction rebuilds (replayed onto
+        # the new state at swap time); None = no compaction running
+        self._compact_journal: Optional[list] = None
 
         from tpuvdb.utils.tracing import StageTimer
 
@@ -214,6 +217,9 @@ class VectorDBEngine:
         self.docstore.put(DocEntry(key=key, shard=shard, slot=slot,
                                    metadata=dict(metadata), timestamp=timestamp))
         self._staged_updates.append((shard, slot))
+        if self._compact_journal is not None:
+            self._compact_journal.append(
+                ("put", key, vec.copy(), dict(metadata), timestamp))
         self.stats["puts"] += 1
         self._puts_since_ckpt += 1
         self._puts_since_compact += 1
@@ -249,6 +255,8 @@ class VectorDBEngine:
                 return Response.fail(f"key not found: {key}")
             self.mirrors[e.shard].mark_deleted(e.slot)
             self._staged_deletes.append((e.shard, e.slot))
+            if self._compact_journal is not None:
+                self._compact_journal.append(("delete", key, None, None, 0))
             if self.wal is not None and not replay_mode:
                 self.wal.append("delete", key)
             self.stats["deletes"] += 1
@@ -622,36 +630,83 @@ class VectorDBEngine:
 
     # ------------------------------------------------------------ maintenance
 
-    def compact(self):
+    def compact(self, online: bool = True):
         """Rebuild mirrors densely, dropping soft-deleted slots — the analog
         of _rebuild_hnsw_index (src/datanode/handler.py:91-120), without the
         stop-the-world full index save per put.
 
+        online=True (default): snapshot under a brief lock, rebuild OUTSIDE
+        the locks while serving continues, journal interim ops, then swap
+        and replay the journal — writes and searches stall only for the
+        swap+replay, not the rebuild. online=False is the simple
+        fully-locked variant.
+
         Lock order: _flush_lock before the engine lock (matches flush's
         scatter phase) so an in-flight scatter drains before slots move."""
+        if not online:
+            with self._flush_lock, self._lock:
+                entries = list(self.docstore.entries())
+                old_mirrors = self.mirrors
+                new_mirrors, new_docstore = self._rebuild_dense(entries, old_mirrors)
+                self._swap_compacted(new_mirrors, new_docstore)
+            return
+        with self._lock:
+            if self._compact_journal is not None:
+                return  # a compaction is already in flight
+            self._compact_journal = []
+            entries = list(self.docstore.entries())
+            old_mirrors = self.mirrors
+        try:
+            # rebuild with no locks held: written slots are immutable, so
+            # reading old mirror vectors races with nothing
+            new_mirrors, new_docstore = self._rebuild_dense(entries, old_mirrors)
+        except Exception:
+            with self._lock:
+                self._compact_journal = None
+            raise
         with self._flush_lock, self._lock:
-            new_mirrors = [
-                ShardMirror(self.config.vector_dim, self.config.shard_capacity,
-                            init_cap=self.config.mirror_init_cap, block=128)
-                for _ in range(self.config.shard_count)
-            ]
-            for e in list(self.docstore.entries()):
-                m = new_mirrors[e.shard]
-                slot = m.alloc()
-                m.write(slot, self.mirrors[e.shard].vector_at(e.slot))
-                self.docstore.put(DocEntry(key=e.key, shard=e.shard, slot=slot,
-                                           metadata=e.metadata, timestamp=e.timestamp))
-            self.mirrors = new_mirrors
-            self._generation += 1
-            self._index = None
-            self._ivf = None
-            self._ivf_layout = None
-            self._ivf_delta.clear()
-            self._staged_updates.clear()
-            self._staged_deletes.clear()
-            self._puts_since_compact = 0
-            self.stats["compactions"] += 1
-            logger.info("compacted: %d live docs", len(self.docstore))
+            journal = self._compact_journal
+            self._compact_journal = None
+            self._swap_compacted(new_mirrors, new_docstore)
+            # replay ops that landed during the rebuild (already WAL'd)
+            for op, key, vec, metadata, ts in journal:
+                if op == "put":
+                    self._put_one(key, vec, metadata, ts, replay_mode=True)
+                else:
+                    e = self.docstore.delete(key)
+                    if e is not None:
+                        self.mirrors[e.shard].mark_deleted(e.slot)
+                        self._staged_deletes.append((e.shard, e.slot))
+
+    def _rebuild_dense(self, entries, old_mirrors):
+        new_mirrors = [
+            ShardMirror(self.config.vector_dim, self.config.shard_capacity,
+                        init_cap=self.config.mirror_init_cap, block=128)
+            for _ in range(self.config.shard_count)
+        ]
+        new_docstore = DocStore(backend=self.config.docstore_backend)
+        for e in entries:
+            m = new_mirrors[e.shard]
+            slot = m.alloc()
+            m.write(slot, old_mirrors[e.shard].vector_at(e.slot))
+            new_docstore.put(DocEntry(key=e.key, shard=e.shard, slot=slot,
+                                      metadata=e.metadata,
+                                      timestamp=e.timestamp))
+        return new_mirrors, new_docstore
+
+    def _swap_compacted(self, new_mirrors, new_docstore):
+        self.mirrors = new_mirrors
+        self.docstore = new_docstore
+        self._generation += 1
+        self._index = None
+        self._ivf = None
+        self._ivf_layout = None
+        self._ivf_delta.clear()
+        self._staged_updates.clear()
+        self._staged_deletes.clear()
+        self._puts_since_compact = 0
+        self.stats["compactions"] += 1
+        logger.info("compacted: %d live docs", len(self.docstore))
 
     def save_checkpoint(self) -> Optional[str]:
         if self.ckpts is None:
