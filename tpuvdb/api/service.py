@@ -102,16 +102,17 @@ class DBService:
             req.query_np(self.config.vector_dim), k
         )
         hits = []
-        for key, score in zip(keys, dists):
-            if key is None:
-                continue
-            e = self.engine.docstore.get(key)
-            if e is None:
-                continue
-            vec = self.engine.mirrors[e.shard].vector_at(e.slot)
-            hits.append(SearchHit(key=key, score=float(score),
-                                  vector=[float(x) for x in vec],
-                                  metadata=dict(e.metadata)))
+        with self.engine._lock:  # entry + vector from one generation
+            for key, score in zip(keys, dists):
+                if key is None:
+                    continue
+                e = self.engine.docstore.get(key)
+                if e is None:
+                    continue
+                vec = self.engine.mirrors[e.shard].vector_at(e.slot)
+                hits.append(SearchHit(key=key, score=float(score),
+                                      vector=[float(x) for x in vec],
+                                      metadata=dict(e.metadata)))
         return Response.ok(
             f"{len(hits)} results",
             search_result=SearchResult.from_hits(hits),

@@ -163,13 +163,15 @@ class VectorDBEngine:
             vec = data.vector_np(self.config.vector_dim)
         except ValueError as e:
             return Response.fail(str(e))
+        do_compact = do_ckpt = False
         with self._lock:
             try:
                 self._put_one(data.key, vec, data.metadata, data.timestamp, replay_mode)
             except errors.CapacityExceeded as e:
                 return Response.fail(f"capacity exceeded: {e}")
             if not replay_mode:
-                self._maybe_maintain()
+                do_compact, do_ckpt = self._maintenance_due()
+        self._run_maintenance(do_compact, do_ckpt)
         logger.debug("put %s", data.key)
         return Response.ok(f"put {data.key}")
 
@@ -197,8 +199,9 @@ class VectorDBEngine:
                     })
             if self.wal is not None and wal_records:
                 self.wal.append_batch(wal_records)
-            if not replay_mode:
-                self._maybe_maintain()
+            do_compact, do_ckpt = (self._maintenance_due() if not replay_mode
+                                   else (False, False))
+        self._run_maintenance(do_compact, do_ckpt)
         return Response.ok(f"put {len(batch)} records")
 
     def _put_one(self, key, vec, metadata, timestamp, replay_mode):
@@ -224,11 +227,21 @@ class VectorDBEngine:
         self._puts_since_ckpt += 1
         self._puts_since_compact += 1
 
-    def _maybe_maintain(self):
+    def _maintenance_due(self):
+        """Check cadences under the lock; the WORK must run with the lock
+        RELEASED — compact's swap phase acquires _flush_lock before the
+        engine lock, so entering it while holding the engine lock would
+        invert the lock order against a concurrent flush (deadlock)."""
         cfg = self.config
-        if self._puts_since_compact >= cfg.compact_every_puts:
+        do_compact = self._puts_since_compact >= cfg.compact_every_puts
+        do_ckpt = (self.ckpts is not None
+                   and self._puts_since_ckpt >= cfg.checkpoint_every_puts)
+        return do_compact, do_ckpt
+
+    def _run_maintenance(self, do_compact: bool, do_ckpt: bool):
+        if do_compact:
             self.compact()
-        if self.ckpts is not None and self._puts_since_ckpt >= cfg.checkpoint_every_puts:
+        if do_ckpt:
             self.save_checkpoint()
 
     # ---------------------------------------------------------------- get/del
@@ -399,20 +412,23 @@ class VectorDBEngine:
         dists, keys_rows = self.search_batch(query.reshape(1, -1), k,
                                              overfetch=threshold > 0)
         hits: List[SearchHit] = []
-        for key, score in zip(keys_rows[0], dists[0]):
-            if key is None:
-                continue
-            if threshold > 0 and score > threshold:
-                continue
-            e = self.docstore.get(key)
-            if e is None:
-                continue
-            vec = self.mirrors[e.shard].vector_at(e.slot)
-            hits.append(SearchHit(key=key, score=float(score),
-                                  vector=[float(x) for x in vec],
-                                  metadata=dict(e.metadata)))
-            if len(hits) >= k:
-                break
+        # lock: docstore entry and mirror vector must come from the same
+        # generation (a compaction swap between the two reads would mismatch)
+        with self._lock:
+            for key, score in zip(keys_rows[0], dists[0]):
+                if key is None:
+                    continue
+                if threshold > 0 and score > threshold:
+                    continue
+                e = self.docstore.get(key)
+                if e is None:
+                    continue
+                vec = self.mirrors[e.shard].vector_at(e.slot)
+                hits.append(SearchHit(key=key, score=float(score),
+                                      vector=[float(x) for x in vec],
+                                      metadata=dict(e.metadata)))
+                if len(hits) >= k:
+                    break
         return hits
 
     def _filtered_search(
@@ -704,6 +720,10 @@ class VectorDBEngine:
         self._ivf_delta.clear()
         self._staged_updates.clear()
         self._staged_deletes.clear()
+        # in-flight scatter batches reference pre-compaction slots; their
+        # data is already covered by the snapshot/journal, and leaving them
+        # visible would alias reused slot numbers in the new mirrors
+        self._inflight.clear()
         self._puts_since_compact = 0
         self.stats["compactions"] += 1
         logger.info("compacted: %d live docs", len(self.docstore))
