@@ -92,8 +92,9 @@ def test_ivf_spill_region_scanned():
         rng.standard_normal((100, 16)) * 0.1 + 10.0,   # far blob
     ]).astype(np.float32)
     valid = np.ones(1000, bool)
-    idx = IVFIndex.build(data, valid, nlist=8, nprobe=2, kmeans_iters=8,
-                         cell_cap_quantile=0.5)
+    # cap below n/nlist so even cascade assignment can't place every row
+    idx = IVFIndex.build(data, valid, nlist=2, nprobe=2, kmeans_iters=8,
+                         cell_cap_quantile=0.25)
     assert idx.stats().spill_rows > 0
     # spilled rows must still be findable
     q = data[:16]

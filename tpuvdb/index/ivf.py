@@ -208,7 +208,34 @@ class IVFIndex:
         gvec[gpos] = vectors[rows_sorted[main]]
         gval[gpos] = True
         grow[gpos] = rows_sorted[main]
-        spill_rows = rows_sorted[~main]
+        overflow = rows_sorted[~main]
+
+        # cascade assignment: overflow rows go to their next-nearest cell
+        # with free space (queries probing nprobe cells still find them);
+        # only rows with no nearby space land in the always-scanned spill
+        spill_list = []
+        if len(overflow):
+            fills = np.minimum(
+                np.bincount(cells_sorted[main], minlength=nlist), cell_pad
+            ).astype(np.int64)
+            c_sq_np = np.einsum("nd,nd->n", centroids, centroids)
+            chunk_sz = 65536
+            for lo in range(0, len(overflow), chunk_sz):
+                rows_c = overflow[lo : lo + chunk_sz]
+                sc = 2.0 * vectors[rows_c] @ centroids.T - c_sq_np[None, :]
+                order = np.argsort(-sc, axis=1)[:, :8]
+                for i, row in enumerate(rows_c):
+                    for c in order[i]:
+                        if fills[c] < cell_pad:
+                            pos = c * cell_pad + fills[c]
+                            gvec[pos] = vectors[row]
+                            gval[pos] = True
+                            grow[pos] = row
+                            fills[c] += 1
+                            break
+                    else:
+                        spill_list.append(row)
+        spill_rows = np.asarray(spill_list, dtype=np.int64)
 
         s = max(len(spill_rows), 1)
         s_pad = _round_up(s, 128)
