@@ -161,7 +161,11 @@ def pallas_ivf_search(
     ascending squared-L2."""
     qn, d = queries.shape
     if n_buckets is None:
+        # largest 128-multiple divisor of cell_pad up to 512 (cell_pad is
+        # always a multiple of 128, so 128 always qualifies)
         n_buckets = min(cell_pad, 512)
+        while cell_pad % n_buckets:
+            n_buckets -= 128
     qt = min(query_tile, max(1, qn))
     pad_q = (-qn) % qt
     q = queries

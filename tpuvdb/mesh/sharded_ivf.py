@@ -39,15 +39,12 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=16)
 def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
-                   recall_target: float, local_rows: int, spill_rows: int):
+                   recall_target: float, local_rows: int, spill_rows: int,
+                   use_pallas: bool = False):
     ndev = mesh.shape[axis]
 
-    def local(q, cents, grouped, gsq, gval, spill, ssq, sval):
-        # leading device axis arrives as size-1 blocks
-        cents, grouped = cents[0], grouped[0]
-        gsq, gval = gsq[0], gval[0]
-        spill, ssq, sval = spill[0], ssq[0], sval[0]
-
+    def local_gather(q, cents, grouped, gsq, gval, spill, ssq, sval):
+        """XLA row-gather probe (CPU path / fallback)."""
         qf = q.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
         c_sq = jnp.sum(cents * cents, axis=-1)
@@ -80,11 +77,37 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                                          recall_target=recall_target)
         lids = jnp.take_along_axis(all_ids, pos.astype(jnp.int32), axis=1)
         lids = jnp.where(lneg == -jnp.inf, -1, lids)
+        ldist = jnp.where(lids >= 0, q_sq - lneg, jnp.inf)
+        return ldist, lids, kk
 
-        # encode device ownership, merge across the mesh
+    def local(q, cents, grouped, gsq, gval, spill, ssq, sval):
+        # leading device axis arrives as size-1 blocks
+        cents, grouped = cents[0], grouped[0]
+        gsq, gval = gsq[0], gval[0]
+        spill, ssq, sval = spill[0], ssq[0], sval[0]
+
+        if use_pallas:
+            # scalar-prefetch cell-DMA probe (tpuvdb.kernels.pallas_ivf):
+            # ~50x faster than row gathers on TPU
+            from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
+
+            ldist, lids = pallas_ivf_search(
+                q, cents, grouped, gsq, gval,
+                cell_pad=cell_pad, k=k, nprobe=nprobe,
+                query_tile=min(8, q.shape[0]),
+                spill=spill, spill_sq=ssq, spill_valid=sval,
+            )
+            kk = lids.shape[1]
+        else:
+            ldist, lids, kk = local_gather(q, cents, grouped, gsq, gval,
+                                           spill, ssq, sval)
+
+        # encode device ownership, merge across the mesh on TRUE distances
+        # (the per-query ||q||^2 shift is constant, so ordering is global)
         me = jax.lax.axis_index(axis)
         stride = local_rows + spill_rows
         gids = jnp.where(lids >= 0, lids + me * stride, -1)
+        lneg = jnp.where(lids >= 0, -ldist, -jnp.inf)
         neg_all = jax.lax.all_gather(lneg, axis)
         ids_all = jax.lax.all_gather(gids, axis)
         qn = q.shape[0]
@@ -92,7 +115,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         ids_all = jnp.moveaxis(ids_all, 0, 1).reshape(qn, ndev * kk)
         top_neg, tpos = jax.lax.top_k(neg_all, k)
         top_ids = jnp.take_along_axis(ids_all, tpos, axis=-1)
-        dist = jnp.where(top_ids >= 0, q_sq - top_neg, jnp.inf)
+        dist = jnp.where(top_ids >= 0, -top_neg, jnp.inf)
         return dist, top_ids
 
     fn = shard_map(
@@ -248,8 +271,10 @@ class ShardedIVFIndex:
         nprobe = min(nprobe or self.nprobe, self.centroids.shape[1])
         local_rows = self.grouped.shape[1]
         spill_rows = self.spill.shape[1]
+        use_pallas = jax.default_backend() == "tpu"
         fn = _build_program(self.mesh, self.axis, k, nprobe, self.cell_pad,
-                            self.recall_target, local_rows, spill_rows)
+                            self.recall_target, local_rows, spill_rows,
+                            use_pallas)
         dist, gids = fn(jnp.asarray(queries, jnp.float32), self.centroids,
                         self.grouped, self.gsq, self.gval,
                         self.spill, self.ssq, self.sval)
