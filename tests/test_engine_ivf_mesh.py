@@ -1,0 +1,41 @@
+"""Engine with index_type=ivf over the 8-device mesh (distributed IVF)."""
+
+import numpy as np
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+from tpuvdb.mesh.mesh import create_mesh
+
+
+def test_engine_ivf_on_mesh(rng):
+    cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=8192,
+                   block_size=128, index_type="ivf", ivf_nlist=32,
+                   ivf_nprobe=8, ivf_kmeans_iters=4, ivf_delta_max=64,
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg, mesh=create_mesh())
+    vecs = {}
+    batch = []
+    for i in range(600):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+    eng.flush()
+    from tpuvdb.mesh.sharded_ivf import ShardedIVFIndex
+
+    assert isinstance(eng._ivf, ShardedIVFIndex)
+
+    r = eng.search(SearchRequest(query_vector=vecs["k123"], top_k=3))
+    assert r.search_result.keys[0] == "k123"
+    assert r.search_result.scores[0] < 1e-2
+
+    # delta insert visible, delete propagates
+    v = rng.standard_normal(16).astype(np.float32)
+    eng.put(VectorData(key="fresh", vector=v))
+    r = eng.search(SearchRequest(query_vector=v, top_k=1))
+    assert r.search_result.keys == ["fresh"]
+    eng.delete("k123")
+    r = eng.search(SearchRequest(query_vector=vecs["k123"], top_k=3))
+    assert "k123" not in r.search_result.keys
+    assert eng.info()["ivf"]["nlist"] > 0

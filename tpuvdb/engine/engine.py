@@ -336,11 +336,28 @@ class VectorDBEngine:
             or len(self._ivf_delta) + len(self._staged_updates) > cfg.ivf_delta_max
         )
         if needs_rebuild:
-            layout = StackedLayout.for_mirrors(self.mirrors, block=128)
+            use_mesh = (self.mesh is not None and self.mesh.size > 1
+                        and len(self.mesh.axis_names) == 1)
+            ndev = self.mesh.shape[cfg.mesh_axis] if use_mesh else 1
+            layout = StackedLayout.for_mirrors(self.mirrors, block=128,
+                                               min_rows_multiple=ndev)
             vecs, _, valid = layout.stack(self.mirrors)
             live = int(valid.sum())
             if live == 0:
                 self._ivf = None
+                self._ivf_layout = layout
+            elif use_mesh:
+                from tpuvdb.mesh.sharded_ivf import ShardedIVFIndex
+
+                nlist = max(1, min(cfg.ivf_nlist // ndev or 1,
+                                   max(1, live // (8 * ndev))))
+                self._ivf = ShardedIVFIndex.build(
+                    vecs, valid, self.mesh, axis=cfg.mesh_axis,
+                    nlist=nlist, nprobe=min(cfg.ivf_nprobe, nlist),
+                    kmeans_iters=cfg.ivf_kmeans_iters,
+                    dtype=cfg.jnp_dtype(),
+                    recall_target=cfg.recall_target,
+                )
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))

@@ -266,6 +266,40 @@ class ShardedIVFIndex:
             recall_target=recall_target,
         )
 
+    def stats(self):
+        from tpuvdb.index.ivf import IVFStats
+
+        gval = np.asarray(self.gval)
+        return IVFStats(
+            nlist=int(self.centroids.shape[0] * self.centroids.shape[1]),
+            cell_pad=self.cell_pad,
+            spill_rows=int(np.asarray(self.sval).sum()),
+            grouped_rows=int(self.grouped.shape[0] * self.grouped.shape[1]),
+            fill=float(gval.mean()),
+        )
+
+    def invalidate_rows(self, physical_rows: np.ndarray):
+        """Soft-delete by global physical row (engine delete path); cheap
+        host-side mask rewrite, full rebuild happens at re-clustering."""
+        phys = set(int(r) for r in physical_rows)
+        gval = np.array(self.gval)
+        sval = np.array(self.sval)
+        changed = False
+        g_hits = np.isin(self.row_ids, list(phys))
+        if g_hits.any():
+            gval[g_hits] = False
+            changed = True
+        s_hits = np.isin(self.spill_row_ids, list(phys))
+        if s_hits.any():
+            sval[s_hits] = False
+            changed = True
+        if changed:
+            Pax = P(self.axis)
+            self.gval = jax.device_put(jnp.asarray(gval),
+                                       NamedSharding(self.mesh, Pax))
+            self.sval = jax.device_put(jnp.asarray(sval),
+                                       NamedSharding(self.mesh, Pax))
+
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         nprobe = min(nprobe or self.nprobe, self.centroids.shape[1])
