@@ -24,9 +24,15 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic rng: seed derives from the test id, so data
+    never depends on which other tests ran first (a session-scoped rng
+    caused order-dependent flakes repeatedly)."""
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0xFFFF
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture()
