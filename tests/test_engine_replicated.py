@@ -37,3 +37,21 @@ def test_engine_on_replicated_mesh(rng):
     q = np.stack([vecs[f"k{i}"] for i in range(20, 26)])
     dists, keys = eng.search_batch(q, 1)
     assert [k[0] for k in keys] == [f"k{i}" for i in range(20, 26)]
+
+
+def test_engine_int8_on_replicated_mesh(rng):
+    mesh = create_mesh_2d(2, 4)
+    cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=4096,
+                   block_size=128, storage_dtype="int8",
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg, mesh=mesh)
+    vecs = {}
+    batch = []
+    for i in range(200):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+    r = eng.search(SearchRequest(query_vector=vecs["k9"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k9"
+    assert r.search_result.scores[0] < 2.0  # int8 noise, not exact zero

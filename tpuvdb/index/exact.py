@@ -234,6 +234,7 @@ class DeviceExactIndex:
                 k=k, block_size=self.block_size, mesh=self.mesh,
                 repl_axis=repl_axis, shard_axis=self.mesh_axis,
                 mode=self.search_mode, recall_target=self.recall_target,
+                row_scales=self.row_scales,
             )
             dist, rows = dist[:qn], rows[:qn]
         elif self.mesh is not None and self.mesh.size > 1:

@@ -61,16 +61,25 @@ def shard_corpus_replicated(
 @functools.lru_cache(maxsize=16)
 def _build_replicated_search(mesh, repl_axis: str, shard_axis: str, k: int,
                              block_size: int, rows_per_shard: int,
-                             mode: str, recall_target: float):
+                             mode: str, recall_target: float,
+                             quantized: bool = False):
     nshards = mesh.shape[shard_axis]
     nrepl = mesh.shape[repl_axis]
 
-    def local(q_slice, vecs, sq, valid):
+    def local_topk(q_slice, vecs, sq, valid, scales=None):
+        if quantized:
+            from tpuvdb.kernels.quant import l2sq_topk_int8_xla
+
+            return l2sq_topk_int8_xla(q_slice, vecs, scales, sq, valid, k=k,
+                                      recall_target=recall_target)
+        return l2sq_topk(q_slice, vecs, sq, valid, k=k,
+                         block_size=block_size, mode=mode,
+                         recall_target=recall_target)
+
+    def local(q_slice, vecs, sq, valid, *rest):
         # q_slice: this replica group's slice of the batch (Q/nrepl, d)
         my_shard = jax.lax.axis_index(shard_axis)
-        dist, idx = l2sq_topk(q_slice, vecs, sq, valid, k=k,
-                              block_size=block_size, mode=mode,
-                              recall_target=recall_target)
+        dist, idx = local_topk(q_slice, vecs, sq, valid, *rest)
         rows = jnp.where(idx >= 0, idx + my_shard * rows_per_shard, -1)
         neg = jnp.where(idx >= 0, -dist, -jnp.inf)
         # merge across shards within the replica group (ICI)
@@ -87,11 +96,14 @@ def _build_replicated_search(mesh, repl_axis: str, shard_axis: str, k: int,
         out_rows = jax.lax.all_gather(top_rows, repl_axis, axis=0, tiled=True)
         return out_dist, out_rows
 
+    in_specs = (P(repl_axis, None), P(shard_axis, None), P(shard_axis),
+                P(shard_axis))
+    if quantized:
+        in_specs = in_specs + (P(shard_axis),)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(repl_axis, None), P(shard_axis, None), P(shard_axis),
-                  P(shard_axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -110,9 +122,11 @@ def replicated_search(
     shard_axis: str = "shards",
     mode: str = "approx",
     recall_target: float = 0.95,
+    row_scales=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-batch search over the (repl, shards) mesh. The query batch must
-    divide by the repl axis size. Returns (dists, rows) for every query."""
+    divide by the repl axis size. Pass row_scales for int8 corpora.
+    Returns (dists, rows) for every query."""
     nrepl = mesh.shape[repl_axis]
     nshards = mesh.shape[shard_axis]
     if queries.shape[0] % nrepl != 0:
@@ -122,8 +136,11 @@ def replicated_search(
     total_rows = vectors.shape[0]
     if total_rows % nshards != 0:
         raise ValueError(f"rows {total_rows} % shards {nshards} != 0")
+    quantized = row_scales is not None
     fn = _build_replicated_search(
         mesh, repl_axis, shard_axis, k, block_size,
-        total_rows // nshards, mode, recall_target,
+        total_rows // nshards, mode, recall_target, quantized,
     )
+    if quantized:
+        return fn(queries, vectors, sqnorms, valid, row_scales)
     return fn(queries, vectors, sqnorms, valid)
