@@ -1,0 +1,59 @@
+"""Ops-level end-to-end: launch `tpuvdb serve` as a real subprocess (the
+way scripts/start_server.sh does), drive it over HTTP, shut it down."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from tpuvdb.api.client import DBClient
+
+
+def test_serve_subprocess_roundtrip(tmp_path, rng):
+    port = 18431
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TPUVDB_VECTOR_DIM"] = "8"
+    env["TPUVDB_SHARD_CAPACITY"] = "1024"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tpuvdb.api.cli", "serve",
+         "--port", str(port), "--data-dir", str(tmp_path / "db"),
+         "--no-mesh"],
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    client = DBClient(f"127.0.0.1:{port}", timeout=5)
+    try:
+        for _ in range(60):
+            try:
+                import http.client
+
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                conn.request("GET", "/healthz")
+                if conn.getresponse().status == 200:
+                    break
+            except OSError:
+                time.sleep(1)
+        else:
+            out = proc.stdout.read().decode() if proc.poll() is not None else ""
+            pytest.fail(f"server never became healthy; output: {out[:2000]}")
+
+        v = rng.standard_normal(8).astype(np.float32)
+        assert client.call("put", {"key": "sp", "vector": v.tolist()})["success"]
+        r = client.call("search", {"query_vector": v.tolist(), "top_k": 1})
+        assert r["success"] and r["search_result"]["keys"] == ["sp"]
+        r = client.call("list_nodes", {})
+        assert r["success"] and r["nodes"]
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    # graceful shutdown wrote a final checkpoint (engine.close in serve)
+    ckpts = (tmp_path / "db" / "checkpoints")
+    assert ckpts.exists() and any(ckpts.iterdir())
