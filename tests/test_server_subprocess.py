@@ -13,8 +13,16 @@ import pytest
 from tpuvdb.api.client import DBClient
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_serve_subprocess_roundtrip(tmp_path, rng):
-    port = 18431
+    port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["TPUVDB_VECTOR_DIM"] = "8"
@@ -26,7 +34,7 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
-    client = DBClient(f"127.0.0.1:{port}", timeout=5)
+    client = DBClient(f"127.0.0.1:{port}", timeout=30)
     try:
         for _ in range(60):
             try:
