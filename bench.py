@@ -49,16 +49,30 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    n_pad = ((n + block - 1) // block) * block
     rng = np.random.default_rng(0)
-    corpus_np = rng.standard_normal((n, dim)).astype(np.float32)
+    # real SIFT1M when a dataset dir is mounted (TPUVDB_DATASET_DIR);
+    # synthetic gaussian otherwise (zero-egress environments)
+    from tpuvdb.bench.datasets import sift1m_if_available
+
+    real = sift1m_if_available(max_rows=n)
+    if real is not None:
+        corpus_np, queries_real = real
+        n, dim = corpus_np.shape
+        log(f"using real SIFT1M: {n} x {dim}")
+    else:
+        corpus_np = rng.standard_normal((n, dim)).astype(np.float32)
+        queries_real = None
+    n_pad = ((n + block - 1) // block) * block
     padded = np.zeros((n_pad, dim), np.float32)
     padded[:n] = corpus_np
     sq_np = np.zeros(n_pad, np.float32)
     sq_np[:n] = np.einsum("nd,nd->n", corpus_np, corpus_np)
     valid_np = np.zeros(n_pad, bool)
     valid_np[:n] = True
-    queries_np = rng.standard_normal((q_batch, dim)).astype(np.float32)
+    if queries_real is not None and len(queries_real) >= q_batch:
+        queries_np = queries_real[:q_batch].astype(np.float32)
+    else:
+        queries_np = rng.standard_normal((q_batch, dim)).astype(np.float32)
 
     corpus_bf16 = jax.device_put(jnp.asarray(padded, dtype=jnp.bfloat16))
     ci8_np, scales_np = quantize_rows_np(padded)
