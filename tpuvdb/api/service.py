@@ -70,8 +70,26 @@ class DBService:
 
     # ----------------------------------------------------- coordinator RPCs
 
+    def _route_check(self, key: str) -> Optional[Response]:
+        """Reference routing semantics: an op on a key whose shard has no
+        online master fails (src/coordinator/handler.py:120-130). Virtual
+        in-process nodes are always online, so this only fires when an
+        operator drains/offlines nodes."""
+        from tpuvdb.utils.sharding_utils import get_shard_id
+
+        shard = get_shard_id(key, self.config.shard_count)
+        nodes = self.registry.get_shard_nodes(shard)
+        if not nodes["master"]:
+            return Response.fail(
+                f"no online node for shard {shard} (key {key!r})"
+            )
+        return None
+
     def rpc_put(self, p: Dict[str, Any]) -> Dict[str, Any]:
         vd = VectorData.from_dict(p)
+        err = self._route_check(vd.key)
+        if err is not None:
+            return err.to_dict()
         return self.engine.put(vd).to_dict()
 
     def rpc_put_batch(self, p: Dict[str, Any]) -> Dict[str, Any]:
@@ -79,9 +97,15 @@ class DBService:
         return self.engine.put_batch(batch).to_dict()
 
     def rpc_get(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        err = self._route_check(p["key"])
+        if err is not None:
+            return err.to_dict()
         return self.engine.get(p["key"]).to_dict()
 
     def rpc_delete(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        err = self._route_check(p["key"])
+        if err is not None:
+            return err.to_dict()
         return self.engine.delete(p["key"]).to_dict()
 
     def rpc_search(self, p: Dict[str, Any]) -> Dict[str, Any]:

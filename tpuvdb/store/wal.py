@@ -13,9 +13,11 @@ Deliberate fixes over the reference (SURVEY.md §2.1 #9):
   * a binary msgpack codec ("msgpack", default) for ingest throughput, with
     the JSON-lines codec ("jsonl") retained for debuggability/parity.
 
-Record schema (both codecs): {op, key, vector?, metadata?, timestamp}.
-msgpack segments are framed as [u32 little-endian length][msgpack bytes];
-a truncated trailing frame (crash mid-write) is tolerated and dropped.
+Record schema (both codecs): {op, key, vector?, metadata?, timestamp, seq}.
+msgpack segments are framed as [u32 LE length][u32 LE crc32][msgpack bytes];
+a truncated trailing frame (crash mid-write) is tolerated and dropped, a
+CRC mismatch mid-file raises WalCorruption (bit rot must not silently
+replay wrong data).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import os
 import struct
 import threading
 import time
+import zlib
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import msgpack
@@ -115,7 +118,8 @@ class WriteAheadLog:
     def _encode(self, rec: Dict[str, Any]) -> bytes:
         if self.codec == "msgpack":
             body = msgpack.packb(rec, use_bin_type=True)
-            return struct.pack("<I", len(body)) + body
+            crc = zlib.crc32(body) & 0xFFFFFFFF
+            return struct.pack("<II", len(body), crc) + body
         return (json.dumps(rec, separators=(",", ":")) + "\n").encode("utf-8")
 
     def append(
@@ -230,16 +234,19 @@ class WriteAheadLog:
                 data = f.read()
             off = 0
             n = len(data)
-            while off + 4 <= n:
-                (ln,) = struct.unpack_from("<I", data, off)
-                if off + 4 + ln > n:
+            while off + 8 <= n:
+                ln, crc = struct.unpack_from("<II", data, off)
+                if off + 8 + ln > n:
                     return  # truncated trailing frame
+                body = data[off + 8 : off + 8 + ln]
+                if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+                    raise errors.WalCorruption(f"{path} @ {off}: crc mismatch")
                 try:
-                    rec = msgpack.unpackb(data[off + 4 : off + 4 + ln], raw=False)
+                    rec = msgpack.unpackb(body, raw=False)
                 except Exception as e:  # corrupt frame mid-file: hard error
                     raise errors.WalCorruption(f"{path} @ {off}: {e}")
                 yield rec
-                off += 4 + ln
+                off += 8 + ln
 
     def iter_records(self, after_seq: Optional[int] = None) -> Iterator[Dict[str, Any]]:
         """All records in LSN order, optionally only those with seq > after_seq."""
