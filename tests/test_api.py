@@ -50,6 +50,24 @@ def test_http_roundtrip(server, rng):
     assert not r["success"] and "unknown method" in r["message"]
 
 
+def test_search_batch_rpc(server, rng):
+    client = DBClient(server.address)
+    vecs = {}
+    for i in range(20):
+        v = rng.standard_normal(8).astype(np.float32)
+        vecs[f"b{i}"] = v
+        client.call("put", {"key": f"b{i}", "vector": v.tolist()})
+    qs = [vecs["b3"].tolist(), vecs["b7"].tolist()]
+    r = client.call("search_batch", {"query_vectors": qs, "top_k": 2})
+    assert r["success"], r
+    assert len(r["results"]) == 2
+    assert r["results"][0]["keys"][0] == "b3"
+    assert r["results"][1]["keys"][0] == "b7"
+    # dim mismatch is a clean failure
+    r = client.call("search_batch", {"query_vectors": [[1.0, 2.0]]})
+    assert not r["success"]
+
+
 def test_register_and_list_nodes(server):
     client = DBClient(server.address)
     r = client.call("register_node", {"node_id": "ext1", "address": "127.0.0.1:9999"})

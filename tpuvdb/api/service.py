@@ -142,6 +142,39 @@ class DBService:
             search_result=SearchResult.from_hits(hits),
         )
 
+    def rpc_search_batch(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Bulk search: {"query_vectors": [[...], ...], "top_k": N} ->
+        {"results": [SearchResult-dict, ...]} — one device batch for the
+        whole request (the scan cost is batch-amortized)."""
+        import numpy as np
+
+        qs = np.asarray(p["query_vectors"], np.float32)
+        if qs.ndim != 2 or qs.shape[1] != self.config.vector_dim:
+            return Response.fail(
+                f"expected (*, {self.config.vector_dim}) query_vectors, "
+                f"got {qs.shape}").to_dict()
+        k = int(p.get("top_k", self.config.default_top_k))
+        dists, keys = self.engine.search_batch(qs, k)
+        from tpuvdb.core.types import SearchHit, SearchResult
+
+        results = []
+        with self.engine._lock:
+            for qi in range(qs.shape[0]):
+                hits = []
+                for key, score in zip(keys[qi], dists[qi]):
+                    if key is None:
+                        continue
+                    e = self.engine.docstore.get(key)
+                    if e is None:
+                        continue
+                    hits.append(SearchHit(key=key, score=float(score),
+                                          metadata=dict(e.metadata)))
+                results.append(
+                    SearchResult.from_hits(hits, include_vectors=False).to_dict())
+        d = Response.ok(f"{len(results)} result sets").to_dict()
+        d["results"] = results
+        return d
+
     def rpc_register_node(self, p: Dict[str, Any]) -> Dict[str, Any]:
         self.registry.register_node(p["node_id"], p["address"])
         return Response.ok(f"registered {p['node_id']}").to_dict()

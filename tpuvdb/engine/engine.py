@@ -448,13 +448,20 @@ class VectorDBEngine:
                     break
         return hits
 
+    # filtered sets above this size score on DEVICE (masked scan) instead of
+    # the host numpy path — the crossover where a 1-byte/row mask upload +
+    # full scan beats gathering candidate vectors through python
+    _FILTER_DEVICE_MIN = 8192
+
     def _filtered_search(
         self, query: np.ndarray, k: int,
         filter_metadata: Dict[str, str], threshold: float,
     ) -> List[SearchHit]:
         """Filter pushdown via the metadata inverted index: score only the
         candidate slots that match ALL filter terms. The reference dropped
-        filters on the floor (src/coordinator/handler.py:186-189)."""
+        filters on the floor (src/coordinator/handler.py:186-189). Small
+        candidate sets score host-side; large ones run a device scan with
+        the filter folded into the validity mask."""
         with self._lock:
             cands = self.docstore.find_by_metadata(filter_metadata)
             if not cands:
@@ -462,6 +469,20 @@ class VectorDBEngine:
             pairs = [(s, sl) for (s, sl) in cands if self.mirrors[s].is_valid(sl)]
             if not pairs:
                 return []
+            use_device = (len(pairs) >= self._FILTER_DEVICE_MIN
+                          and self.config.index_type == "flat")
+        if use_device:
+            # flush OUTSIDE the lock (flush acquires the flush lock; taking
+            # it while holding the engine lock would invert the lock order)
+            with self._lock:
+                stale = (self._index is None
+                         or self._index.needs_rebuild(self.mirrors)
+                         or self._staged_updates or self._staged_deletes)
+            if stale:
+                self.flush()
+            with self._lock:
+                return self._filtered_search_device(query, k, pairs, threshold)
+        with self._lock:
             mat = np.stack([self.mirrors[s].vector_at(sl) for s, sl in pairs])
             q = query.reshape(-1).astype(np.float32)
             d2 = np.sum((mat - q[None, :]) ** 2, axis=1)
@@ -483,6 +504,52 @@ class VectorDBEngine:
                     break
             self.stats["searches"] += 1
             return hits
+
+    def _filtered_search_device(self, query, k, pairs, threshold):
+        """Called under the engine lock, post-flush. Masked device scan:
+        filter AND validity folded into one boolean mask over the rows."""
+        import jax.numpy as jnp
+
+        from tpuvdb.kernels.distance import l2sq_topk
+
+        if self._index is None:
+            return []
+        layout = self._index.layout
+        mask = np.zeros(layout.total_rows, dtype=bool)
+        rows = np.array([layout.row_of(s, sl) for s, sl in pairs], np.int64)
+        mask[rows] = True
+        combined = jnp.logical_and(self._index.valid, jnp.asarray(mask))
+        if self._index.quantized:
+            from tpuvdb.kernels.quant import l2sq_topk_int8_xla
+
+            dists, idx = l2sq_topk_int8_xla(
+                jnp.asarray(query.reshape(1, -1), jnp.float32),
+                self._index.vectors, self._index.row_scales,
+                self._index.sqnorms, combined, k=k,
+                recall_target=self.config.recall_target)
+        else:
+            dists, idx = l2sq_topk(
+                jnp.asarray(query.reshape(1, -1), jnp.float32),
+                self._index.vectors, self._index.sqnorms, combined,
+                k=k, block_size=self.config.block_size,
+                mode=self.config.search_mode,
+                recall_target=self.config.recall_target)
+        dists, idx = np.asarray(dists)[0], np.asarray(idx)[0]
+        hits: List[SearchHit] = []
+        for score, r in zip(dists, idx):
+            if r < 0 or (threshold > 0 and score > threshold):
+                continue
+            s, sl = layout.shard_slot_of(int(r))
+            key = self.docstore.key_at(s, sl)
+            if key is None:
+                continue
+            e = self.docstore.get(key)
+            vec = self.mirrors[s].vector_at(sl)
+            hits.append(SearchHit(key=key, score=float(score),
+                                  vector=[float(x) for x in vec],
+                                  metadata=dict(e.metadata) if e else {}))
+        self.stats["searches"] += 1
+        return hits
 
     def search_batch(
         self, queries: np.ndarray, k: int, overfetch: bool = False
