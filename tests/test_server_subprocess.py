@@ -34,9 +34,11 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
-    client = DBClient(f"127.0.0.1:{port}", timeout=30)
+    client = DBClient(f"127.0.0.1:{port}", timeout=60)
     try:
-        for _ in range(60):
+        # generous: the subprocess pays a cold jax import on a single
+        # contended CPU core (slowest when the rest of the suite ran first)
+        for _ in range(180):
             try:
                 import http.client
 
