@@ -25,6 +25,7 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["TPUVDB_PLATFORM"] = "cpu"  # site hooks may clobber JAX_PLATFORMS
     env["TPUVDB_VECTOR_DIM"] = "8"
     env["TPUVDB_SHARD_CAPACITY"] = "1024"
     proc = subprocess.Popen(
@@ -53,11 +54,16 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
             pytest.fail(f"server never became healthy; output: {out[:2000]}")
 
         v = rng.standard_normal(8).astype(np.float32)
-        assert client.call("put", {"key": "sp", "vector": v.tolist()})["success"]
-        r = client.call("search", {"query_vector": v.tolist(), "top_k": 1})
-        assert r["success"] and r["search_result"]["keys"] == ["sp"]
-        r = client.call("list_nodes", {})
-        assert r["success"] and r["nodes"]
+        try:
+            assert client.call("put", {"key": "sp", "vector": v.tolist()})["success"]
+            r = client.call("search", {"query_vector": v.tolist(), "top_k": 1})
+            assert r["success"] and r["search_result"]["keys"] == ["sp"]
+            r = client.call("list_nodes", {})
+            assert r["success"] and r["nodes"]
+        except Exception:
+            proc.send_signal(signal.SIGKILL)
+            out = proc.stdout.read().decode(errors="replace")
+            pytest.fail(f"RPC failed; server output:\n{out[-4000:]}")
     finally:
         proc.send_signal(signal.SIGTERM)
         try:

@@ -240,14 +240,24 @@ def checkpoint(ctx: Ctx):
                    "query batch")
 def serve(host, port, serve_data_dir, image_root, mesh, replicas):
     """Start the database server (coordinator + data plane + HTTP API)."""
+    import os as _os
     import signal
+
+    import jax
+
+    # TPUVDB_PLATFORM=cpu|tpu: authoritative backend override. Plain
+    # JAX_PLATFORMS can be clobbered by site hooks (e.g. TPU relay
+    # environments force their platform at interpreter start); jax.config
+    # wins over both.
+    plat = _os.environ.get("TPUVDB_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     from tpuvdb.api.server import DBServer
     from tpuvdb.api.service import DBService
 
     mesh_obj = None
     if mesh:
-        import jax
 
         ndev = len(jax.devices())
         if replicas > 1 and ndev % replicas == 0 and ndev // replicas >= 1:
