@@ -327,6 +327,19 @@ def ingest_images(ctx: Ctx, directory, dataset, limit):
         click.secho(f"ingested {out['ingested']}/{out['total']} images", fg="green")
 
 
+@cli.command("bench")
+@click.option("--suite", type=click.Choice(["scan", "streaming", "clip"]),
+              default="scan", show_default=True)
+def bench(suite):
+    """Run a benchmark suite (prints one JSON line to stdout)."""
+    import importlib
+
+    mod = {"scan": "tpuvdb.bench.scan",
+           "streaming": "tpuvdb.bench.streaming",
+           "clip": "tpuvdb.bench.clip_e2e"}[suite]
+    importlib.import_module(mod).main()
+
+
 @cli.command("text-search")
 @click.argument("text")
 @click.option("--top-k", "-k", default=5, show_default=True)

@@ -1,0 +1,172 @@
+"""Headline benchmark: scan QPS/chip on a SIFT1M-scale corpus (1M x 128).
+
+BASELINE.md config 2 targets: >= 50k QPS/chip exact and >= 500k QPS/chip
+IVF-flat, both at recall@10 >= 0.95 vs brute force. The reference itself
+publishes no numbers (BASELINE.json published:{}), so vs_baseline compares
+against those north-star targets.
+
+Measures three production paths and reports the fastest that clears the
+recall bar:
+  * approx  — XLA fused GEMM + hardware PartialReduce (approx_max_k), bf16
+  * pallas  — fused Mosaic scan kernel (bucketed streaming top-k), bf16
+  * int8    — XLA int8 x int8 scan with exact norm correction
+
+Timing note: the remote-execution relay makes per-call block_until_ready
+unreliable, so iterations are chained ON DEVICE with a data dependency
+(fori_loop) and only a scalar is read back; cost = (t[1+N] - t[1]) / N.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvdb.kernels.distance import l2sq_topk, numpy_oracle
+    from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk
+    from tpuvdb.kernels.quant import l2sq_topk_int8_xla, quantize_rows_np
+
+    n, dim, k = 1_000_000, 128, 10
+    q_batch = 256
+    block = 65536
+    recall_target = 0.95
+    on_tpu = jax.default_backend() == "tpu"
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    rng = np.random.default_rng(0)
+    # real SIFT1M when a dataset dir is mounted (TPUVDB_DATASET_DIR);
+    # synthetic gaussian otherwise (zero-egress environments)
+    from tpuvdb.bench.datasets import sift1m_if_available
+
+    real = sift1m_if_available(max_rows=n)
+    if real is not None:
+        corpus_np, queries_real = real
+        n, dim = corpus_np.shape
+        log(f"using real SIFT1M: {n} x {dim}")
+    else:
+        corpus_np = rng.standard_normal((n, dim)).astype(np.float32)
+        queries_real = None
+    n_pad = ((n + block - 1) // block) * block
+    padded = np.zeros((n_pad, dim), np.float32)
+    padded[:n] = corpus_np
+    sq_np = np.zeros(n_pad, np.float32)
+    sq_np[:n] = np.einsum("nd,nd->n", corpus_np, corpus_np)
+    valid_np = np.zeros(n_pad, bool)
+    valid_np[:n] = True
+    if queries_real is not None and len(queries_real) >= q_batch:
+        queries_np = queries_real[:q_batch].astype(np.float32)
+    else:
+        queries_np = rng.standard_normal((q_batch, dim)).astype(np.float32)
+
+    corpus_bf16 = jax.device_put(jnp.asarray(padded, dtype=jnp.bfloat16))
+    ci8_np, scales_np = quantize_rows_np(padded)
+    corpus_i8 = jax.device_put(jnp.asarray(ci8_np))
+    row_scales = jax.device_put(jnp.asarray(scales_np))
+    sqnorms = jax.device_put(jnp.asarray(sq_np))
+    valid = jax.device_put(jnp.asarray(valid_np))
+    queries = jax.device_put(jnp.asarray(queries_np))
+
+    # each path: (fn(q, *arrays), arrays, batch) — arrays must be jit
+    # ARGUMENTS, not closure captures, or the corpus gets baked into the
+    # compile payload
+    def int8_fn(q, c, r, s, v):
+        return l2sq_topk_int8_xla(q, c, r, s, v, k=k,
+                                  recall_target=recall_target)
+
+    paths = {
+        "approx_bf16": (
+            lambda q, c, s, v: l2sq_topk(q, c, s, v, k=k, block_size=block,
+                                         mode="approx",
+                                         recall_target=recall_target),
+            (corpus_bf16, sqnorms, valid),
+            q_batch,
+        ),
+        "int8": (int8_fn, (corpus_i8, row_scales, sqnorms, valid), q_batch),
+        "int8_b128": (int8_fn, (corpus_i8, row_scales, sqnorms, valid), 128),
+    }
+    if on_tpu:
+        paths["pallas_bf16"] = (
+            lambda q, c, s, v: pallas_l2sq_topk(q, c, s, v, k=k,
+                                                block_rows=16384, n_buckets=512),
+            (corpus_bf16, sqnorms, valid),
+            q_batch,
+        )
+
+    # oracle for recall
+    n_check = 64
+    _, oidx = numpy_oracle(queries_np[:n_check], corpus_np,
+                           np.ones(n, bool), k)
+
+    results = {}
+    for name, (fn, arrays, batch_n) in paths.items():
+        bq = queries[:batch_n]
+        t0 = time.perf_counter()
+        dist, idx = fn(bq, *arrays)
+        jax.block_until_ready((dist, idx))
+        log(f"{name}: first call {time.perf_counter() - t0:.1f}s")
+        got = np.asarray(idx)[:n_check]
+        recall = float(np.mean(
+            [len(set(got[i]) & set(oidx[i])) / k for i in range(n_check)]
+        ))
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def timed(q, *arrs, iters, fn=fn):
+            def body(_, carry):
+                d, i = fn(q + carry * 1e-30, *arrs)
+                return jnp.sum(d * 0.0) + jnp.float32(jnp.sum(i) % 7) * 1e-30 + carry
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        iters = 20
+        float(timed(bq, *arrays, iters=1))
+        float(timed(bq, *arrays, iters=1 + iters))
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter(); float(timed(bq, *arrays, iters=1))
+            t1 = time.perf_counter() - t1
+            t2 = time.perf_counter(); float(timed(bq, *arrays, iters=1 + iters))
+            t2 = time.perf_counter() - t2
+            best = min(best, (t2 - t1) / iters)
+        qps = batch_n / best
+        results[name] = {"qps": round(qps, 1), "recall_at_10": round(recall, 4),
+                         "batch": batch_n,
+                         "batch_latency_ms": round(best * 1000, 3)}
+        log(f"{name}: {best*1000:.3f} ms/batch -> {qps:,.0f} QPS, "
+            f"recall@10 {recall:.4f}")
+
+    qualifying = {k_: v for k_, v in results.items()
+                  if v["recall_at_10"] >= 0.95}
+    best_name = max(qualifying or results,
+                    key=lambda k_: (qualifying or results)[k_]["qps"])
+    best = results[best_name]
+    target = 50_000.0
+    print(json.dumps({
+        "metric": "scan_qps_per_chip_sift1m_shape",
+        "value": best["qps"],
+        "unit": "qps",
+        "vs_baseline": round(best["qps"] / target, 2),
+        "recall_at_10": best["recall_at_10"],
+        "best_path": best_name,
+        "batch": best["batch"],
+        "corpus": [n, dim],
+        "paths": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
