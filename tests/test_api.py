@@ -79,6 +79,18 @@ def test_register_and_list_nodes(server):
     assert r["shard_map"]
 
 
+def test_static_path_traversal_blocked(server, tmp_path):
+    import http.client
+
+    conn = http.client.HTTPConnection(server.host, server.port)
+    for path in ("/static/../../etc/passwd", "/static/..%2f..%2fetc%2fpasswd"):
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status in (400, 404), (path, resp.status)
+        assert b"root:" not in body
+
+
 def test_healthz_and_frontend(server):
     import http.client
 

@@ -151,7 +151,10 @@ class VectorDBEngine:
                     metadata=rec.get("metadata", {}),
                     timestamp=rec.get("timestamp", 0),
                 )
-                self.put(vd, replay_mode=True)
+                r = self.put(vd, replay_mode=True)
+                if not r.success:
+                    logger.warning("WAL replay dropped put %s: %s",
+                                   rec["key"], r.message)
             elif op == "delete":
                 self.delete(rec["key"], replay_mode=True)
             self.stats["wal_replayed"] += 1
