@@ -327,6 +327,36 @@ def ingest_images(ctx: Ctx, directory, dataset, limit):
         click.secho(f"ingested {out['ingested']}/{out['total']} images", fg="green")
 
 
+@cli.command("coordinate")
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8081, show_default=True)
+def coordinate(host, port):
+    """Start a federated coordinator (multi-host mode): routes puts by
+    shard hash and fans searches out to registered `tpuvdb serve` nodes in
+    parallel. Use this topology across TPU slices WITHOUT shared ICI;
+    within a slice, plain `serve` (the mesh is the cluster) is faster."""
+    import signal
+
+    from tpuvdb.api.server import DBServer
+    from tpuvdb.cluster.federation import FederatedCoordinator
+
+    coord = FederatedCoordinator(DBConfig())
+    coord.registry.start_health_loop()
+    server = DBServer(coord, host=host, port=port)
+    click.secho(f"tpuvdb coordinator on http://{server.address}", fg="green")
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        coord.close()
+
+
 @cli.command("bench")
 @click.option("--suite", type=click.Choice(["scan", "streaming", "clip"]),
               default="scan", show_default=True)
