@@ -26,6 +26,8 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["TPUVDB_PLATFORM"] = "cpu"  # site hooks may clobber JAX_PLATFORMS
+    env["TPUVDB_LOG_LEVEL"] = "DEBUG"
+    env["TPUVDB_HTTP_LOG"] = "1"
     env["TPUVDB_VECTOR_DIM"] = "8"
     env["TPUVDB_SHARD_CAPACITY"] = "1024"
     proc = subprocess.Popen(
@@ -35,7 +37,9 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
-    client = DBClient(f"127.0.0.1:{port}", timeout=60)
+    # generous: the first search triggers the subprocess's first XLA compile
+    # on a single contended CPU core (observed up to ~90 s in-suite)
+    client = DBClient(f"127.0.0.1:{port}", timeout=180)
     try:
         # generous: the subprocess pays a cold jax import on a single
         # contended CPU core (slowest when the rest of the suite ran first)

@@ -34,8 +34,11 @@ def make_handler(service: DBService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
-        def log_message(self, fmt, *args):  # quiet by default
-            pass
+        def log_message(self, fmt, *args):  # quiet unless TPUVDB_HTTP_LOG=1
+            if os.environ.get("TPUVDB_HTTP_LOG"):
+                import sys
+
+                print(f"[http] {fmt % args}", file=sys.stderr, flush=True)
 
         def _send(self, code: int, body: bytes, ctype: str = "application/json"):
             self.send_response(code)
