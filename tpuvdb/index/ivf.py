@@ -250,6 +250,10 @@ class IVFIndex:
 
         gsq = np.einsum("nd,nd->n", gvec, gvec).astype(np.float32)
         ssq = np.einsum("nd,nd->n", svec, svec).astype(np.float32)
+        # int8 cells would need per-row scales (kernels.quant); a bare dtype
+        # cast silently truncates floats to small ints — store bf16 instead
+        if dtype == jnp.int8:
+            dtype = jnp.bfloat16
         return cls(
             centroids=centroids,
             grouped=jnp.asarray(gvec, dtype),
