@@ -40,6 +40,19 @@ def test_sharded_search_matches_oracle(rng):
     assert 5 not in np.asarray(rows_out)
 
 
+def test_layout_coprime_shards_and_devices():
+    """3 shards on an 8-device mesh must produce a valid divisible layout
+    (a previous implementation looped forever on this case)."""
+    from tpuvdb.index.layout import ShardMirror, StackedLayout
+
+    mirrors = [ShardMirror(dim=8, capacity=65536, init_cap=128, block=128)
+               for _ in range(3)]
+    layout = StackedLayout.for_mirrors(mirrors, block=128, min_rows_multiple=8)
+    assert layout.total_rows % (128 * 8) == 0
+    assert layout.phys_cap % 128 == 0
+    assert layout.phys_cap >= 128
+
+
 def test_device_index_end_to_end_with_mesh(rng):
     mesh = create_mesh()
     dim = 16

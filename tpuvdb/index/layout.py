@@ -125,17 +125,19 @@ class StackedLayout:
     ) -> "StackedLayout":
         """Common phys_cap = max mirror phys_cap, rounded so the stacked row
         count is a multiple of block and of min_rows_multiple (device count)."""
+        import math
+
         num = len(mirrors)
         dim = mirrors[0].dim
         cap = max(m.phys_cap for m in mirrors)
-        cap = _round_up(cap, block)
-        # total rows must divide evenly across devices AND into scan blocks
-        total = _round_up(num * cap, block * min_rows_multiple)
-        cap = total // num
-        if cap * num != total:
-            # fall back: pad cap itself until divisible
-            while (num * cap) % (block * min_rows_multiple) != 0:
-                cap += block
+        # total rows (num * cap) must divide evenly across devices AND into
+        # scan blocks: num * cap ≡ 0 (mod L) with L = block * devices, i.e.
+        # cap must be a multiple of L / gcd(num, L). (A previous increment-
+        # until-divisible loop here never terminated for e.g. 3 shards on an
+        # 8-device mesh.)
+        L = block * min_rows_multiple
+        step = L // math.gcd(num, L)
+        cap = _round_up(_round_up(cap, block), step)
         return cls(num_shards=num, phys_cap=cap, dim=dim)
 
     def stack(self, mirrors: List[ShardMirror], dtype=np.float32):
