@@ -20,3 +20,20 @@ Reference parity map (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import tpuvdb` free of jax imports)
+    if name == "VectorDBEngine":
+        from tpuvdb.engine.engine import VectorDBEngine
+
+        return VectorDBEngine
+    if name == "DBConfig":
+        from tpuvdb.core.config import DBConfig
+
+        return DBConfig
+    if name in ("VectorData", "SearchRequest", "SearchResult", "Response"):
+        from tpuvdb.core import types
+
+        return getattr(types, name)
+    raise AttributeError(f"module 'tpuvdb' has no attribute {name!r}")

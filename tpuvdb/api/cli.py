@@ -79,6 +79,8 @@ class Ctx:
 
 
 @click.group()
+@click.version_option(version=__import__("tpuvdb").__version__,
+                      message="tpuvdb %(version)s")
 @click.option("--coord-addr", default="127.0.0.1:8081", show_default=True,
               help="coordinator address (host:port)")
 @click.option("--data-dir", default=None,
