@@ -105,6 +105,52 @@ def _ivf_search(
     return dist, top_ids
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "cell_pad", "recall_target"))
+def _ivf_search_int8(
+    queries, centroids, grouped_i8, cell_scales, grouped_sq, grouped_valid,
+    spill_i8, spill_scales, spill_sq, spill_valid,
+    nprobe: int, k: int, cell_pad: int, recall_target: float = 0.95,
+):
+    """Int8-cell variant: candidates dequantize at the gather (the gathered
+    set is nprobe*cell_pad rows — small), norms stay exact f32."""
+    qf = queries.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    c_sq = jnp.sum(centroids * centroids, axis=-1)
+    c_scores = 2.0 * jnp.dot(qf, centroids.T,
+                             preferred_element_type=jnp.float32) - c_sq[None, :]
+    _, cells = jax.lax.top_k(c_scores, nprobe)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
+    cand = (cells[:, :, None] * cell_pad + offs).reshape(queries.shape[0], -1)
+    cvecs = jnp.take(grouped_i8, cand, axis=0).astype(jnp.float32)
+    cvecs = cvecs * jnp.take(cell_scales, cand, axis=0)[:, :, None]
+    csq = jnp.take(grouped_sq, cand, axis=0)
+    cval = jnp.take(grouped_valid, cand, axis=0)
+    dots = jnp.einsum("qd,qrd->qr", qf, cvecs,
+                      preferred_element_type=jnp.float32)
+    neg = jnp.where(cval, 2.0 * dots - csq, -jnp.inf)
+
+    spill_f = spill_i8.astype(jnp.float32) * spill_scales[:, None]
+    sdots = jnp.dot(qf, spill_f.T, preferred_element_type=jnp.float32)
+    sneg = jnp.where(spill_valid[None, :], 2.0 * sdots - spill_sq[None, :],
+                     -jnp.inf)
+    spill_ids = grouped_i8.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, spill_i8.shape[0]), 1)
+    all_neg = jnp.concatenate(
+        [neg, jnp.broadcast_to(sneg, (queries.shape[0], sneg.shape[1]))], axis=1)
+    all_ids = jnp.concatenate(
+        [cand, jnp.broadcast_to(spill_ids,
+                                (queries.shape[0], spill_ids.shape[1]))], axis=1)
+    kk = min(k, all_neg.shape[1])
+    top_neg, pos = jax.lax.approx_max_k(all_neg, kk, recall_target=recall_target)
+    top_ids = jnp.take_along_axis(all_ids, pos.astype(jnp.int32), axis=1)
+    if kk < k:
+        top_neg = jnp.pad(top_neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    top_ids = jnp.where(top_neg == -jnp.inf, -1, top_ids)
+    dist = jnp.where(top_ids >= 0, q_sq - top_neg, jnp.inf)
+    return dist, top_ids
+
+
 @dataclasses.dataclass
 class IVFStats:
     nlist: int
@@ -129,6 +175,8 @@ class IVFIndex:
         cell_pad: int,
         nprobe: int = 32,
         recall_target: float = 0.95,
+        cell_scales: Optional[jax.Array] = None,   # (N_g,) int8 dequant
+        spill_scales: Optional[jax.Array] = None,  # (S,)
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.grouped = grouped
@@ -143,6 +191,9 @@ class IVFIndex:
         self.nprobe = nprobe
         self.recall_target = recall_target
         self.nlist = int(centroids.shape[0])
+        self.cell_scales = cell_scales
+        self.spill_scales = spill_scales
+        self.quantized = cell_scales is not None
 
     # ------------------------------------------------------------------ build
 
@@ -250,23 +301,36 @@ class IVFIndex:
 
         gsq = np.einsum("nd,nd->n", gvec, gvec).astype(np.float32)
         ssq = np.einsum("nd,nd->n", svec, svec).astype(np.float32)
-        # int8 cells would need per-row scales (kernels.quant); a bare dtype
-        # cast silently truncates floats to small ints — store bf16 instead
+        cell_scales = spill_scales = None
         if dtype == jnp.int8:
-            dtype = jnp.bfloat16
+            # scaled int8 cells: per-row quantization, exact f32 norms —
+            # halves HBM per row vs bf16 (the capacity knob for 100M-scale)
+            from tpuvdb.kernels.quant import quantize_rows_np
+
+            gvec, gscales = quantize_rows_np(gvec)
+            svec, sscales = quantize_rows_np(svec)
+            cell_scales = jnp.asarray(gscales)
+            spill_scales = jnp.asarray(sscales)
+            grouped_dev = jnp.asarray(gvec)
+            spill_dev = jnp.asarray(svec)
+        else:
+            grouped_dev = jnp.asarray(gvec, dtype)
+            spill_dev = jnp.asarray(svec, dtype)
         return cls(
             centroids=centroids,
-            grouped=jnp.asarray(gvec, dtype),
+            grouped=grouped_dev,
             grouped_sq=jnp.asarray(gsq),
             grouped_valid=jnp.asarray(gval),
             row_ids=grow,
-            spill=jnp.asarray(svec, dtype),
+            spill=spill_dev,
             spill_sq=jnp.asarray(ssq),
             spill_valid=jnp.asarray(sval),
             spill_row_ids=srow,
             cell_pad=cell_pad,
             nprobe=nprobe,
             recall_target=recall_target,
+            cell_scales=cell_scales,
+            spill_scales=spill_scales,
         )
 
     # ----------------------------------------------------------------- search
@@ -295,6 +359,17 @@ class IVFIndex:
                     query_tile=8,
                     spill=self.spill, spill_sq=self.spill_sq,
                     spill_valid=self.spill_valid,
+                    cell_scales=self.cell_scales,
+                    spill_scales=self.spill_scales,
+                )
+            elif self.quantized:
+                dist, gid = _ivf_search_int8(
+                    jnp.asarray(qc), self.centroids,
+                    self.grouped, self.cell_scales, self.grouped_sq,
+                    self.grouped_valid, self.spill, self.spill_scales,
+                    self.spill_sq, self.spill_valid,
+                    nprobe=nprobe, k=k, cell_pad=self.cell_pad,
+                    recall_target=self.recall_target,
                 )
             else:
                 dist, gid = _ivf_search(

@@ -79,6 +79,104 @@ def _probe_kernel(cells_ref, q_ref, cell_ref, sq_ref, mask_ref,
         idx_out[:] = ri
 
 
+def _probe_kernel_int8(cells_ref, qscale_ref, q_ref, cell_ref, rowscale_ref,
+                       sq_ref, mask_ref, val_out, idx_out, run_val, run_idx,
+                       *, cell_pad: int, n_buckets: int):
+    """Int8-cell probe: int8 x int8 MXU dots, per-row dequant scales from
+    VMEM, batch-global query scale from SMEM (see kernels.quant)."""
+    np_probe = pl.num_programs(1)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        run_val[:] = jnp.full_like(run_val, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, -1)
+
+    qt = pl.program_id(0)
+    cell_id = cells_ref[qt, p]
+    dots = jax.lax.dot_general(
+        q_ref[:], cell_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    qs = qscale_ref[0, 0]
+    scores = 2.0 * qs * rowscale_ref[:] * dots - sq_ref[:] + mask_ref[:]
+
+    base = cell_id * cell_pad
+    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
+    rv = run_val[:]
+    ri = run_idx[:]
+    for j in range(cell_pad // n_buckets):
+        cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
+        cidx = base + j * n_buckets + col
+        better = cand > rv
+        rv = jnp.where(better, cand, rv)
+        ri = jnp.where(better, cidx, ri)
+    run_val[:] = rv
+    run_idx[:] = ri
+
+    @pl.when(p == np_probe - 1)
+    def _():
+        val_out[:] = rv
+        idx_out[:] = ri
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_pad", "n_buckets", "query_tile", "interpret"),
+)
+def pallas_ivf_candidates_int8(
+    queries: jax.Array,       # (Q, d) f32
+    cells: jax.Array,         # (Q // query_tile, nprobe) int32
+    grouped_i8: jax.Array,    # (nlist * cell_pad, d) int8
+    cell_scales: jax.Array,   # (1, nlist * cell_pad) f32
+    grouped_sq: jax.Array,    # (1, nlist * cell_pad) f32
+    neg_mask: jax.Array,      # (1, nlist * cell_pad) f32
+    cell_pad: int,
+    n_buckets: int = 128,
+    query_tile: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    from tpuvdb.kernels.quant import quantize_batch
+
+    qn, d = queries.shape
+    nprobe = cells.shape[1]
+    qi, qscale = quantize_batch(queries)
+    grid = (qn // query_tile, nprobe)
+    kernel = functools.partial(_probe_kernel_int8, cell_pad=cell_pad,
+                               n_buckets=n_buckets)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda qt, p, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((query_tile, d), lambda qt, p, c: (qt, 0)),
+            pl.BlockSpec((cell_pad, d), lambda qt, p, c: (c[qt, p], 0)),
+            pl.BlockSpec((1, cell_pad), lambda qt, p, c: (0, c[qt, p])),
+            pl.BlockSpec((1, cell_pad), lambda qt, p, c: (0, c[qt, p])),
+            pl.BlockSpec((1, cell_pad), lambda qt, p, c: (0, c[qt, p])),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile, n_buckets), lambda qt, p, c: (qt, 0)),
+            pl.BlockSpec((query_tile, n_buckets), lambda qt, p, c: (qt, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((query_tile, n_buckets), jnp.float32),
+            pltpu.VMEM((query_tile, n_buckets), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, n_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((qn, n_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cells, qscale, qi, grouped_i8, cell_scales, grouped_sq, neg_mask)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cell_pad", "n_buckets", "query_tile", "interpret"),
@@ -153,6 +251,8 @@ def pallas_ivf_search(
     spill: jax.Array = None,        # (S, d) overflow rows, always scanned
     spill_sq: jax.Array = None,     # (S,)
     spill_valid: jax.Array = None,  # (S,) bool
+    cell_scales: jax.Array = None,  # (N_g,) f32 — REQUIRED for int8 cells
+    spill_scales: jax.Array = None, # (S,) f32 — int8 spill dequant
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF probe: coarse centroid top-nprobe (per QUERY TILE: the tile
     probes the union of its queries' nearest cells), then the DMA kernel,
@@ -182,21 +282,38 @@ def pallas_ivf_search(
     cells = cells.astype(jnp.int32)
 
     neg_mask = jnp.where(grouped_valid, 0.0, NEG_INF).astype(jnp.float32)
-    cand_val, cand_idx = pallas_ivf_candidates(
-        q, cells, grouped,
-        grouped_sq.reshape(1, -1).astype(jnp.float32),
-        neg_mask.reshape(1, -1),
-        cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
-        interpret=interpret,
-    )
+    if grouped.dtype == jnp.int8:
+        if cell_scales is None:
+            raise ValueError("int8 cells require cell_scales")
+        cand_val, cand_idx = pallas_ivf_candidates_int8(
+            q, cells, grouped,
+            cell_scales.reshape(1, -1).astype(jnp.float32),
+            grouped_sq.reshape(1, -1).astype(jnp.float32),
+            neg_mask.reshape(1, -1),
+            cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
+            interpret=interpret,
+        )
+    else:
+        cand_val, cand_idx = pallas_ivf_candidates(
+            q, cells, grouped,
+            grouped_sq.reshape(1, -1).astype(jnp.float32),
+            neg_mask.reshape(1, -1),
+            cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
+            interpret=interpret,
+        )
     cand_val = cand_val[:qn]
     cand_idx = cand_idx[:qn]
     if spill is not None and spill.shape[0] > 0:
-        qc = queries.astype(spill.dtype)
-        sprec = (jax.lax.Precision.HIGHEST
-                 if spill.dtype == jnp.float32 else None)
-        sdots = jnp.dot(qc, spill.T, preferred_element_type=jnp.float32,
-                        precision=sprec)
+        if spill.dtype == jnp.int8:
+            spill_f = spill.astype(jnp.float32) * spill_scales[:, None]
+            sdots = jnp.dot(queries.astype(jnp.float32), spill_f.T,
+                            preferred_element_type=jnp.float32)
+        else:
+            qc = queries.astype(spill.dtype)
+            sprec = (jax.lax.Precision.HIGHEST
+                     if spill.dtype == jnp.float32 else None)
+            sdots = jnp.dot(qc, spill.T, preferred_element_type=jnp.float32,
+                            precision=sprec)
         sneg = 2.0 * sdots - spill_sq[None, :]
         sneg = jnp.where(spill_valid[None, :], sneg, NEG_INF)
         sids = grouped.shape[0] + jax.lax.broadcasted_iota(
