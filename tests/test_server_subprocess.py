@@ -28,6 +28,10 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
     env["TPUVDB_PLATFORM"] = "cpu"  # site hooks may clobber JAX_PLATFORMS
     env["TPUVDB_LOG_LEVEL"] = "DEBUG"
     env["TPUVDB_HTTP_LOG"] = "1"
+    # persistent compile cache: the subprocess otherwise cold-compiles every
+    # run (minutes on a contended single core)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/tpuvdb_jax_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     env["TPUVDB_VECTOR_DIM"] = "8"
     env["TPUVDB_SHARD_CAPACITY"] = "1024"
     proc = subprocess.Popen(

@@ -329,6 +329,60 @@ def ingest_images(ctx: Ctx, directory, dataset, limit):
         click.secho(f"ingested {out['ingested']}/{out['total']} images", fg="green")
 
 
+@cli.command("export")
+@click.argument("out_path")
+@click.option("--page", default=2000, show_default=True)
+@click.pass_obj
+def export(ctx: Ctx, out_path, page):
+    """Dump every record (key, vector, metadata, ts) to a msgpack file —
+    a portable backup independent of checkpoints/WAL."""
+    import msgpack
+
+    n = 0
+    cursor = 0
+    with open(out_path, "wb") as f:
+        packer = msgpack.Packer(use_bin_type=True)
+        while cursor >= 0:
+            r = ctx.call("export", {"cursor": cursor, "limit": page})
+            if not r.get("success"):
+                _echo_response(r)
+            for rec in r.get("records", []):
+                f.write(packer.pack(rec))
+                n += 1
+            cursor = r.get("cursor", -1)
+    click.secho(f"exported {n} records to {out_path}", fg="green")
+
+
+@cli.command("import")
+@click.argument("in_path")
+@click.option("--batch", default=512, show_default=True)
+@click.pass_obj
+def import_(ctx: Ctx, in_path, batch):
+    """Load records from a msgpack export file."""
+    import msgpack
+
+    n = 0
+    pending = []
+
+    def flush_batch():
+        nonlocal n
+        if not pending:
+            return
+        r = ctx.call("put_batch", {"records": list(pending)})
+        if not r.get("success"):
+            _echo_response(r)
+        n += len(pending)
+        pending.clear()
+
+    with open(in_path, "rb") as f:
+        for rec in msgpack.Unpacker(f, raw=False):
+            pending.append(rec)
+            if len(pending) >= batch:
+                flush_batch()
+        flush_batch()
+    click.secho(f"imported {n} records", fg="green")
+
+
 @cli.command("coordinate")
 @click.option("--host", default="127.0.0.1", show_default=True)
 @click.option("--port", default=8081, show_default=True)

@@ -268,6 +268,33 @@ class DBService:
         d["keys"] = keys
         return d
 
+    def rpc_export(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Paginated bulk export (the real version of the reference's
+        declared-but-unimplemented get_all_vectors): returns `limit`
+        records starting at `cursor` (a key-sorted offset), plus the next
+        cursor or -1 when done. Used by `tpuvdb export` for backups and by
+        host-level rebalancing."""
+        cursor = int(p.get("cursor", 0))
+        limit = min(int(p.get("limit", 1000)), 10_000)
+        keys = sorted(self.engine.docstore.keys())
+        page = keys[cursor : cursor + limit]
+        records = []
+        with self.engine._lock:
+            for key in page:
+                e = self.engine.docstore.get(key)
+                if e is None:
+                    continue
+                vec = self.engine.mirrors[e.shard].vector_at(e.slot)
+                records.append(VectorData(
+                    key=key, vector=[float(x) for x in vec],
+                    metadata=dict(e.metadata), timestamp=e.timestamp,
+                ).to_dict())
+        d = Response.ok(f"{len(records)} records").to_dict()
+        d["records"] = records
+        d["cursor"] = cursor + limit if cursor + limit < len(keys) else -1
+        d["total"] = len(keys)
+        return d
+
     def rpc_replicate(self, p: Dict[str, Any]) -> Dict[str, Any]:
         """Apply a replicated op from a peer (multi-host deployments).
         In-mesh replication is handled by the 2-D device mesh
