@@ -354,11 +354,13 @@ class VectorDBEngine:
 
                 nlist = max(1, min(cfg.ivf_nlist // ndev or 1,
                                    max(1, live // (8 * ndev))))
+                # NOTE: sharded IVF stores f32 cells regardless of
+                # storage_dtype (scaled int8 cells are single-device IVF +
+                # flat-index features so far)
                 self._ivf = ShardedIVFIndex.build(
                     vecs, valid, self.mesh, axis=cfg.mesh_axis,
                     nlist=nlist, nprobe=min(cfg.ivf_nprobe, nlist),
                     kmeans_iters=cfg.ivf_kmeans_iters,
-                    dtype=cfg.jnp_dtype(),
                     recall_target=cfg.recall_target,
                 )
                 self._ivf_layout = layout
