@@ -78,11 +78,33 @@ class WriteAheadLog:
         # cover so tail replay is exact even when client timestamps are stale
         self._next_seq = self._scan_last_seq() + 1
 
+    def _seq_marker_path(self) -> str:
+        return os.path.join(self.wal_dir, "last_seq")
+
+    def _write_seq_marker_locked(self):
+        """Persist the high-water LSN. Without this, truncating every
+        segment after a checkpoint and then restarting would RESET the LSN
+        counter — new records would reuse sequence numbers the checkpoint
+        already covers and be silently skipped by tail replay (found by the
+        stateful property test)."""
+        tmp = self._seq_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self.last_seq))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._seq_marker_path())
+
     def _scan_last_seq(self) -> int:
         """Best-effort on open: a corrupt segment must not brick the log —
         replay paths surface WalCorruption strictly, but the writer can
-        keep appending past it."""
+        keep appending past it. The persisted marker is the floor (segments
+        may have been truncated away entirely)."""
         last = 0
+        try:
+            with open(self._seq_marker_path()) as f:
+                last = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            pass
         for path in self._segments():
             try:
                 for rec in self._iter_segment(path):
@@ -201,6 +223,7 @@ class WriteAheadLog:
 
     def _gc_locked(self):
         """Drop segments older than the retention window (ref: 7 days)."""
+        self._write_seq_marker_locked()
         cutoff = time.time() - self.retention_days * 86400
         for path in self._segments():
             if path == self._cur_path:
@@ -307,6 +330,9 @@ class WriteAheadLog:
         (post-checkpoint GC). Returns number of segments removed."""
         removed = 0
         with self._lock:
+            # marker BEFORE deletion: a crash in between must never let the
+            # LSN counter regress below records a checkpoint covers
+            self._write_seq_marker_locked()
             for path in self._segments():
                 if path == self._cur_path:
                     continue
@@ -324,6 +350,7 @@ class WriteAheadLog:
 
     def close(self):
         with self._lock:
+            self._write_seq_marker_locked()
             if self._fh is not None:
                 self._fh.close()
                 self._fh = None
