@@ -104,5 +104,5 @@ class EngineModel(RuleBasedStateMachine):
 
 
 EngineModel.TestCase.settings = settings(
-    max_examples=25, stateful_step_count=30, deadline=None)
+    max_examples=40, stateful_step_count=50, deadline=None)
 TestEngineModel = EngineModel.TestCase
