@@ -132,16 +132,28 @@ def main():
                 return jnp.sum(d * 0.0) + jnp.float32(jnp.sum(i) % 7) * 1e-30 + carry
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-        iters = 20
-        float(timed(bq, *arrays, iters=1))
-        float(timed(bq, *arrays, iters=1 + iters))
-        best = float("inf")
-        for _ in range(3):
-            t1 = time.perf_counter(); float(timed(bq, *arrays, iters=1))
-            t1 = time.perf_counter() - t1
-            t2 = time.perf_counter(); float(timed(bq, *arrays, iters=1 + iters))
-            t2 = time.perf_counter() - t2
-            best = min(best, (t2 - t1) / iters)
+        def measure(iters, reps):
+            float(timed(bq, *arrays, iters=1))
+            float(timed(bq, *arrays, iters=1 + iters))
+            vals = []
+            for _ in range(reps):
+                t1 = time.perf_counter(); float(timed(bq, *arrays, iters=1))
+                t1 = time.perf_counter() - t1
+                t2 = time.perf_counter(); float(timed(bq, *arrays, iters=1 + iters))
+                t2 = time.perf_counter() - t2
+                vals.append((t2 - t1) / iters)
+            # median of positives: the shared pool occasionally makes the
+            # 1-iter baseline slower than the chained run (negative delta)
+            pos = sorted(v for v in vals if v > 0)
+            return pos[len(pos) // 2] if pos else -1.0
+
+        best = measure(20, 3)
+        if best <= 0:
+            log(f"{name}: noisy measurement, re-running with longer chain")
+            best = measure(100, 3)
+        if best <= 0:
+            log(f"{name}: measurement failed (pool noise); skipping")
+            continue
         qps = batch_n / best
         results[name] = {"qps": round(qps, 1), "recall_at_10": round(recall, 4),
                          "batch": batch_n,
