@@ -106,3 +106,28 @@ class EngineModel(RuleBasedStateMachine):
 EngineModel.TestCase.settings = settings(
     max_examples=40, stateful_step_count=50, deadline=None)
 TestEngineModel = EngineModel.TestCase
+
+
+class EngineModelIVF(EngineModel):
+    """Same model, IVF index: exercises cell invalidation, the delta set,
+    and re-clustering under random op sequences."""
+
+    def __init__(self):
+        super().__init__()
+        self.cfg = DBConfig(
+            vector_dim=DIM, shard_count=2, shard_capacity=4096,
+            block_size=128, index_type="ivf", ivf_nlist=4, ivf_nprobe=4,
+            ivf_kmeans_iters=3, ivf_delta_max=8,
+            checkpoint_every_puts=10**9, compact_every_puts=10**9)
+        self.eng.close()
+        import shutil
+        import tempfile
+
+        shutil.rmtree(self.data_dir, ignore_errors=True)
+        self.data_dir = tempfile.mkdtemp(prefix="tpuvdb_prop_ivf_")
+        self.eng = VectorDBEngine(self.cfg, data_dir=self.data_dir)
+
+
+EngineModelIVF.TestCase.settings = settings(
+    max_examples=20, stateful_step_count=30, deadline=None)
+TestEngineModelIVF = EngineModelIVF.TestCase
