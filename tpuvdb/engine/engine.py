@@ -92,6 +92,7 @@ class VectorDBEngine:
         self._inflight: Dict[int, Tuple[list, list]] = {}
         self._inflight_token = 0
         self._flush_lock = threading.Lock()  # serializes device scatters
+        self._ckpt_lock = threading.Lock()   # serializes checkpoint writes
         # ops arriving while an online compaction rebuilds (replayed onto
         # the new state at swap time); None = no compaction running
         self._compact_journal: Optional[list] = None
@@ -818,15 +819,29 @@ class VectorDBEngine:
         logger.info("compacted: %d live docs", len(self.docstore))
 
     def save_checkpoint(self) -> Optional[str]:
+        """Consistent snapshot under the lock (memory copies), disk writes
+        with the lock RELEASED — serving never stalls on checkpoint IO."""
         if self.ckpts is None:
             return None
-        with self._lock:
-            wal_pos = self.wal.last_seq if self.wal is not None else 0
-            path = self.ckpts.save(self.config, self.docstore, self.mirrors, wal_pos)
+        with self._ckpt_lock:  # one checkpoint at a time
+            with self._lock:
+                wal_pos = self.wal.last_seq if self.wal is not None else 0
+                doc_rows = [(e.key, e.shard, e.slot, e.metadata, e.timestamp)
+                            for e in self.docstore.entries()]
+                shard_snaps = [{
+                    "vectors": m.vectors[: m.next_slot].copy(),
+                    "valid": m.valid[: m.next_slot].copy(),
+                    "next_slot": m.next_slot,
+                    "deleted": m.deleted,
+                } for m in self.mirrors]
+                self._puts_since_ckpt = 0
+            path = self.ckpts.save_snapshot(
+                self.config, doc_rows, shard_snaps, wal_pos,
+                dim=self.config.vector_dim)
             if self.wal is not None:
                 self.wal.truncate_through(wal_pos)
-            self._puts_since_ckpt = 0
-            self.stats["checkpoints"] += 1
+            with self._lock:
+                self.stats["checkpoints"] += 1
             logger.info("checkpoint saved: %s", path)
             return path
 

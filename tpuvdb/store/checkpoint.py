@@ -48,6 +48,49 @@ class CheckpointManager:
                 return path
         return None
 
+    def save_snapshot(
+        self,
+        config: DBConfig,
+        doc_rows: List[tuple],          # (key, shard, slot, metadata, ts)
+        shard_snaps: List[dict],        # {vectors, valid, next_slot, deleted}
+        wal_pos: int,
+        dim: int,
+    ) -> str:
+        """Write a checkpoint from pre-copied state: callers snapshot under
+        their lock (a fast memory copy) and call this with the lock
+        RELEASED, so serving never stalls on disk writes."""
+        import time as _t
+
+        ts = int(_t.time() * 1000)
+        path = os.path.join(self.ckpt_dir, f"checkpoint_{ts}")
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "config.json"), "w") as f:
+            f.write(config.to_json())
+        import msgpack
+
+        blob = msgpack.packb({"docs": doc_rows}, use_bin_type=True)
+        dtmp = os.path.join(tmp, "docstore.msgpack")
+        with open(dtmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        for i, s in enumerate(shard_snaps):
+            np.savez(os.path.join(tmp, f"shard_{i}.npz"),
+                     vectors=s["vectors"], valid=s["valid"],
+                     next_slot=np.int64(s["next_slot"]),
+                     deleted=np.int64(s["deleted"]))
+        with open(os.path.join(tmp, "wal_pos.txt"), "w") as f:
+            f.write(str(int(wal_pos)))
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            json.dump({"num_shards": len(shard_snaps), "dim": dim,
+                       "docs": len(doc_rows), "timestamp": ts}, f)
+        os.replace(tmp, path)
+        self._gc()
+        return path
+
     def save(
         self,
         config: DBConfig,
