@@ -36,7 +36,6 @@ from tpuvdb.core.types import (
     SearchRequest,
     SearchResult,
     VectorData,
-    now_ms,
 )
 from tpuvdb.index.exact import DeviceExactIndex
 from tpuvdb.index.layout import ShardMirror
