@@ -42,6 +42,7 @@ def main():
 
     n, dim, k = 1_000_000, 128, 10
     q_batch = 256
+    max_batch = 512  # widest per-path batch measured below
     block = 65536
     recall_target = 0.95
     on_tpu = jax.default_backend() == "tpu"
@@ -69,10 +70,10 @@ def main():
     sq_np[:n] = np.einsum("nd,nd->n", corpus_np, corpus_np)
     valid_np = np.zeros(n_pad, bool)
     valid_np[:n] = True
-    if queries_real is not None and len(queries_real) >= q_batch:
-        queries_np = queries_real[:q_batch].astype(np.float32)
+    if queries_real is not None and len(queries_real) >= max_batch:
+        queries_np = queries_real[:max_batch].astype(np.float32)
     else:
-        queries_np = rng.standard_normal((q_batch, dim)).astype(np.float32)
+        queries_np = rng.standard_normal((max_batch, dim)).astype(np.float32)
 
     corpus_bf16 = jax.device_put(jnp.asarray(padded, dtype=jnp.bfloat16))
     ci8_np, scales_np = quantize_rows_np(padded)
@@ -101,12 +102,15 @@ def main():
         "int8_b128": (int8_fn, (corpus_i8, row_scales, sqnorms, valid), 128),
     }
     if on_tpu:
+        def pallas_fn(q, c, s, v):
+            return pallas_l2sq_topk(q, c, s, v, k=k, block_rows=16384,
+                                    n_buckets=512)
+
         paths["pallas_bf16"] = (
-            lambda q, c, s, v: pallas_l2sq_topk(q, c, s, v, k=k,
-                                                block_rows=16384, n_buckets=512),
-            (corpus_bf16, sqnorms, valid),
-            q_batch,
-        )
+            pallas_fn, (corpus_bf16, sqnorms, valid), q_batch)
+        # 512-query tiles amortize one corpus sweep over 2x more queries
+        paths["pallas_bf16_b512"] = (
+            pallas_fn, (corpus_bf16, sqnorms, valid), 512)
 
     # oracle for recall
     n_check = 64

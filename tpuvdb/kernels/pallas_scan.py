@@ -39,7 +39,8 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 
 def _scan_kernel(q_ref, chunk_ref, sq_ref, mask_ref, val_out, idx_out,
-                 run_val, run_idx, *, block_rows: int, n_buckets: int):
+                 run_val, run_idx, *, block_rows: int, n_buckets: int,
+                 sub_rows: int):
     ni = pl.num_programs(1)
     i = pl.program_id(1)
 
@@ -49,26 +50,31 @@ def _scan_kernel(q_ref, chunk_ref, sq_ref, mask_ref, val_out, idx_out,
         run_idx[:] = jnp.full_like(run_idx, -1)
 
     q = q_ref[:]                       # (QT, d)
-    chunk = chunk_ref[:]               # (B, d)
-    dots = jax.lax.dot_general(
-        q, chunk,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                  # (QT, B)
-    # sq/mask arrive as (1, B) f32 rows (Mosaic wants a 128-lane minor dim);
-    # the mask is additive: 0 for live slots, NEG_INF for dead ones
-    scores = 2.0 * dots - sq_ref[:] + mask_ref[:]
-
     base = i * block_rows
-    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], n_buckets), 1)
     rv = run_val[:]
     ri = run_idx[:]
-    for j in range(block_rows // n_buckets):
-        cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
-        cidx = base + j * n_buckets + col
-        better = cand > rv
-        rv = jnp.where(better, cand, rv)
-        ri = jnp.where(better, cidx, ri)
+    # scores materialize sub_rows at a time: the (QT, B) buffer would blow
+    # VMEM at large query tiles; sub-chunking trades nothing (same MXU work)
+    # and lets QT grow to 512 — one corpus sweep amortized over 2x queries
+    for s in range(block_rows // sub_rows):
+        part = chunk_ref[s * sub_rows : (s + 1) * sub_rows, :]
+        dots = jax.lax.dot_general(
+            q, part,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                              # (QT, sub)
+        # sq/mask arrive as (1, B) f32 rows (Mosaic wants 128-lane minors);
+        # the mask is additive: 0 for live slots, NEG_INF for dead ones
+        scores = (2.0 * dots
+                  - sq_ref[:, s * sub_rows : (s + 1) * sub_rows]
+                  + mask_ref[:, s * sub_rows : (s + 1) * sub_rows])
+        for j in range(sub_rows // n_buckets):
+            cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
+            cidx = base + s * sub_rows + j * n_buckets + col
+            better = cand > rv
+            rv = jnp.where(better, cand, rv)
+            ri = jnp.where(better, cidx, ri)
     run_val[:] = rv
     run_idx[:] = ri
 
@@ -80,7 +86,8 @@ def _scan_kernel(q_ref, chunk_ref, sq_ref, mask_ref, val_out, idx_out,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_rows", "n_buckets", "query_tile", "interpret"),
+    static_argnames=("block_rows", "n_buckets", "query_tile", "sub_rows",
+                     "interpret"),
 )
 def pallas_candidates(
     queries: jax.Array,       # (Q, d) f32; Q % query_tile == 0
@@ -89,7 +96,8 @@ def pallas_candidates(
     neg_mask: jax.Array,      # (1, N) f32: 0 live / NEG_INF dead
     block_rows: int = 16384,
     n_buckets: int = 512,
-    query_tile: int = 256,
+    query_tile: int = 512,
+    sub_rows: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (cand_scores, cand_idx), each (Q, n_buckets) — the per-bucket
@@ -100,12 +108,14 @@ def pallas_candidates(
         raise ValueError(f"corpus rows {n} %% block_rows {block_rows} != 0")
     if qn % query_tile != 0:
         raise ValueError(f"queries {qn} %% query_tile {query_tile} != 0")
-    if block_rows % n_buckets != 0:
-        raise ValueError("block_rows must be a multiple of n_buckets")
+    if block_rows % sub_rows != 0 or sub_rows % n_buckets != 0:
+        raise ValueError(
+            "need block_rows % sub_rows == 0 and sub_rows % n_buckets == 0")
     grid = (qn // query_tile, n // block_rows)
 
     kernel = functools.partial(
-        _scan_kernel, block_rows=block_rows, n_buckets=n_buckets
+        _scan_kernel, block_rows=block_rows, n_buckets=n_buckets,
+        sub_rows=sub_rows,
     )
     return pl.pallas_call(
         kernel,
@@ -301,7 +311,8 @@ def pallas_l2sq_topk(
     k: int,
     block_rows: int = 16384,
     n_buckets: int = 512,
-    query_tile: int = 256,
+    query_tile: int = 512,
+    sub_rows: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full search: pallas candidate sweep + tiny exact top-k epilogue.
@@ -312,11 +323,14 @@ def pallas_l2sq_topk(
     q = queries
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
+    sub = min(sub_rows, block_rows)
+    while block_rows % sub or sub % n_buckets:
+        sub -= n_buckets
     neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     cand_val, cand_idx = pallas_candidates(
         q, corpus, corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,
         block_rows=block_rows, n_buckets=n_buckets, query_tile=qt,
-        interpret=interpret,
+        sub_rows=sub, interpret=interpret,
     )
     cand_val = cand_val[:qn]
     cand_idx = cand_idx[:qn]
