@@ -82,7 +82,10 @@ class DBConfig:
     health_check_interval_s: float = 5.0  # src/utils/zk_manager.py:78
 
     # -- paths --
-    data_dir: str = "data"
+    # None = in-memory (no WAL/checkpoints). The engine honors this when no
+    # explicit data_dir ctor arg is given; previously this field was dead
+    # and DBConfig(data_dir=...) silently produced a non-durable engine.
+    data_dir: Optional[str] = None
 
     def __post_init__(self):
         # env overrides

@@ -62,6 +62,8 @@ class VectorDBEngine:
         mesh=None,
     ):
         self.config = config or DBConfig()
+        if data_dir is None:
+            data_dir = self.config.data_dir  # None = in-memory
         self.data_dir = data_dir
         self.mesh = mesh
         self._lock = threading.RLock()
@@ -211,12 +213,16 @@ class VectorDBEngine:
         shard = get_shard_id(key, self.config.shard_count)
         mirror = self.mirrors[shard]
         prev = self.docstore.get(key)
-        if prev is not None:
-            # overwrite = soft-delete old slot + insert at a fresh slot
-            self.mirrors[prev.shard].mark_deleted(prev.slot)
-            self._staged_deletes.append((prev.shard, prev.slot))
+        # Allocate the new slot BEFORE touching the old one: if alloc raises
+        # CapacityExceeded on an overwrite, the existing record must stay
+        # intact. (Marking the old slot deleted first would silently drop the
+        # key, and the next checkpoint would make the loss durable.)
         slot = mirror.alloc()
         mirror.write(slot, vec)
+        if prev is not None:
+            # overwrite = insert at a fresh slot + soft-delete the old one
+            self.mirrors[prev.shard].mark_deleted(prev.slot)
+            self._staged_deletes.append((prev.shard, prev.slot))
         if self.wal is not None and not replay_mode:
             self.wal.append("put", key, vector=vec, metadata=metadata,
                             timestamp=timestamp)
@@ -583,6 +589,17 @@ class VectorDBEngine:
                     self.flush()
             with self._lock:
                 if (self._ivf is None if ivf_mode else self._index is None):
+                    # An empty engine never builds an index (flush with 0
+                    # live rows leaves it None) — return empty results like
+                    # a populated index would, instead of burning retries.
+                    if sum(m.live() for m in self.mirrors) == 0:
+                        q = np.atleast_2d(np.asarray(queries))
+                        fetch = max(2 * k, k + 16) if overfetch else k
+                        empty_d = np.full((q.shape[0], fetch), np.inf,
+                                          dtype=np.float32)
+                        empty_k = [[None] * fetch for _ in range(q.shape[0])]
+                        self.stats["searches"] += 1
+                        return empty_d, empty_k
                     continue  # flush raced with a compaction; retry
                 layout = self._ivf_layout if ivf_mode else self._index.layout
                 fetch_k = max(2 * k, k + 16) if overfetch else k
@@ -869,9 +886,12 @@ class VectorDBEngine:
             }
 
     def close(self):
+        # Never hold the engine lock here: save_checkpoint acquires
+        # _ckpt_lock -> _lock (same order as cadence-triggered checkpoints);
+        # grabbing _lock first would invert that order and deadlock against
+        # a concurrent maintenance checkpoint.
         self.stop_background_flush()
-        with self._lock:
-            if self.ckpts is not None:
-                self.save_checkpoint()
-            if self.wal is not None:
-                self.wal.close()
+        if self.ckpts is not None:
+            self.save_checkpoint()
+        if self.wal is not None:
+            self.wal.close()

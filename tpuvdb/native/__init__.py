@@ -119,7 +119,13 @@ class NativeWalWriter:
         return self._lib.wal_append(self._h, data, len(data))
 
     def sync(self, ticket: int) -> bool:
-        return bool(self._lib.wal_sync(self._h, ticket))
+        """Block until `ticket` is durable. Raises OSError on a persistent
+        writer IO failure (e.g. ENOSPC) instead of wedging the caller."""
+        if not self._lib.wal_sync(self._h, ticket):
+            raise OSError(
+                "native WAL writer failed (disk full or IO error); "
+                f"ticket {ticket} will never become durable")
+        return True
 
     def append_sync(self, data: bytes) -> None:
         self.sync(self.append(data))
@@ -156,8 +162,15 @@ class NativeKv:
         vlen = ctypes.c_uint32()
         ok = self._lib.kv_get(self._h, k, len(k), ctypes.byref(shard),
                               ctypes.byref(slot), ctypes.byref(ts), self._buf,
-                              self._VAL_CAP, ctypes.byref(vlen))
-        if not ok:
+                              len(self._buf), ctypes.byref(vlen))
+        if ok == 2:  # value larger than the scratch buffer: grow and retry
+            self._buf = ctypes.create_string_buffer(
+                max(vlen.value, 2 * len(self._buf)))
+            ok = self._lib.kv_get(self._h, k, len(k), ctypes.byref(shard),
+                                  ctypes.byref(slot), ctypes.byref(ts),
+                                  self._buf, len(self._buf),
+                                  ctypes.byref(vlen))
+        if ok != 1:
             return None
         return (shard.value, slot.value, ts.value, self._buf.raw[: vlen.value])
 
@@ -177,10 +190,22 @@ class NativeKv:
         slot = ctypes.c_int64()
         ts = ctypes.c_int64()
         vlen = ctypes.c_uint32()
-        while self._lib.kv_next(self._h, ctypes.byref(cursor), kbuf, 4096,
-                                ctypes.byref(klen), ctypes.byref(shard),
-                                ctypes.byref(slot), ctypes.byref(ts),
-                                self._buf, self._VAL_CAP, ctypes.byref(vlen)):
+        while True:
+            ok = self._lib.kv_next(self._h, ctypes.byref(cursor), kbuf,
+                                   len(kbuf), ctypes.byref(klen),
+                                   ctypes.byref(shard), ctypes.byref(slot),
+                                   ctypes.byref(ts), self._buf,
+                                   len(self._buf), ctypes.byref(vlen))
+            if ok == 0:
+                return
+            if ok == 2:  # entry larger than buffers: grow, cursor unchanged
+                if klen.value > len(kbuf):
+                    kbuf = ctypes.create_string_buffer(
+                        max(klen.value, 2 * len(kbuf)))
+                if vlen.value > len(self._buf):
+                    self._buf = ctypes.create_string_buffer(
+                        max(vlen.value, 2 * len(self._buf)))
+                continue
             yield (kbuf.raw[: klen.value].decode(), shard.value, slot.value,
                    ts.value, self._buf.raw[: vlen.value])
 

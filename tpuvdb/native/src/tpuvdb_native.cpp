@@ -45,6 +45,7 @@ struct WalWriter {
   std::vector<uint8_t> pending;
   uint64_t enqueued_seq = 0;  // bytes enqueued (ticket space)
   uint64_t durable_seq = 0;   // bytes written (+fsynced if enabled)
+  bool io_error = false;      // persistent write failure (e.g. ENOSPC)
   bool stop = false;
   std::thread writer;
 
@@ -62,7 +63,12 @@ struct WalWriter {
         ssize_t w = ::write(fd, batch.data() + off, batch.size() - off);
         if (w < 0) {
           if (errno == EINTR) continue;
-          break;  // durable_seq will not advance; callers time out upstream
+          // Persistent failure (ENOSPC, EIO...): flag it so wal_sync
+          // returns an error instead of blocking forever on a ticket
+          // whose bytes will never become durable.
+          std::lock_guard<std::mutex> lk(mu);
+          io_error = true;
+          break;
         }
         off += static_cast<size_t>(w);
       }
@@ -71,7 +77,7 @@ struct WalWriter {
         std::lock_guard<std::mutex> lk(mu);
         durable_seq += off;
       }
-      cv_done.notify_all();
+      cv_done.notify_all();  // also wakes waiters when io_error was set
       batch.clear();
     }
   }
@@ -101,11 +107,14 @@ uint64_t wal_append(void* h, const uint8_t* data, uint64_t len) {
   return ticket;
 }
 
-// Block until the given ticket is durable. Returns 1 on success.
+// Block until the given ticket is durable. Returns 1 on success, 0 if the
+// writer hit a persistent IO error or was stopped before reaching it.
 int wal_sync(void* h, uint64_t ticket) {
   auto* w = static_cast<WalWriter*>(h);
   std::unique_lock<std::mutex> lk(w->mu);
-  w->cv_done.wait(lk, [&] { return w->durable_seq >= ticket || w->stop; });
+  w->cv_done.wait(lk, [&] {
+    return w->durable_seq >= ticket || w->io_error || w->stop;
+  });
   return w->durable_seq >= ticket ? 1 : 0;
 }
 
@@ -257,7 +266,9 @@ int kv_put(void* h, const uint8_t* key, uint32_t key_len, int32_t shard,
   return 0;
 }
 
-// Returns 1 + fills outputs if found; val buffer must hold *val_cap bytes.
+// Returns 1 + fills outputs if found; 0 if absent; 2 if found but the
+// value did not fit in val_cap (*val_len holds the required size — retry
+// with a larger buffer; copying nothing beats handing back stale bytes).
 int kv_get(void* h, const uint8_t* key, uint32_t key_len, int32_t* shard,
            int64_t* slot, int64_t* ts, uint8_t* val, uint32_t val_cap,
            uint32_t* val_len) {
@@ -270,7 +281,8 @@ int kv_get(void* h, const uint8_t* key, uint32_t key_len, int32_t* shard,
   *slot = e->slot;
   *ts = e->ts;
   *val_len = e->val_len;
-  if (e->val_len && val_cap >= e->val_len) {
+  if (e->val_len > val_cap) return 2;
+  if (e->val_len) {
     memcpy(val, kv->arena.data() + e->val_off, e->val_len);
   }
   return 1;
@@ -305,16 +317,18 @@ int kv_next(void* h, uint64_t* cursor, uint8_t* key, uint32_t key_cap,
     KvEntry& e = kv->table[i];
     if (e.state != 1) continue;
     *key_len = e.key_len;
-    if (e.key_len && key_cap >= e.key_len) {
-      memcpy(key, kv->arena.data() + e.key_off, e.key_len);
-    }
     *shard = e.shard;
     *slot = e.slot;
     *ts = e.ts;
     *val_len = e.val_len;
-    if (e.val_len && val_cap >= e.val_len) {
-      memcpy(val, kv->arena.data() + e.val_off, e.val_len);
+    if (e.key_len > key_cap || e.val_len > val_cap) {
+      // Buffers too small: report required sizes WITHOUT advancing the
+      // cursor, so the caller can grow and re-read this same entry.
+      *cursor = i;
+      return 2;
     }
+    if (e.key_len) memcpy(key, kv->arena.data() + e.key_off, e.key_len);
+    if (e.val_len) memcpy(val, kv->arena.data() + e.val_off, e.val_len);
     *cursor = i + 1;
     return 1;
   }

@@ -33,6 +33,24 @@ from tpuvdb.index.layout import ShardMirror
 from tpuvdb.store.kv import DocStore
 
 
+def _fsync_path(p: str) -> None:
+    fd = os.open(p, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_tree(d: str) -> None:
+    """fsync every file in d, then d itself — a checkpoint is only durable
+    once ALL of its files (npz shards, MANIFEST) and the directory entry
+    have hit disk; the engine truncates the covering WAL immediately after,
+    so a torn-but-manifest-complete checkpoint would otherwise lose data."""
+    for name in os.listdir(d):
+        _fsync_path(os.path.join(d, name))
+    _fsync_path(d)
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: str, max_checkpoints: int = 3):
         self.ckpt_dir = ckpt_dir
@@ -87,7 +105,9 @@ class CheckpointManager:
         with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
             json.dump({"num_shards": len(shard_snaps), "dim": dim,
                        "docs": len(doc_rows), "timestamp": ts}, f)
+        _fsync_tree(tmp)
         os.replace(tmp, path)
+        _fsync_path(self.ckpt_dir)
         self._gc()
         return path
 
@@ -128,7 +148,9 @@ class CheckpointManager:
                 },
                 f,
             )
+        _fsync_tree(tmp)
         os.replace(tmp, path)
+        _fsync_path(self.ckpt_dir)
         self._gc()
         return path
 
