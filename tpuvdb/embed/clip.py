@@ -22,9 +22,12 @@ initialize deterministically from a fixed seed — shapes, compilation, and
 the normalize/score contract are exercised end-to-end; semantic quality
 requires the real checkpoint.
 
-Tokenizer: a real deployment points `tokenizer_path` at a HuggingFace
-tokenizer.json (loaded via the `tokenizers` library). The built-in
-fallback is a deterministic hash tokenizer good enough for plumbing tests.
+Tokenizer: the real CLIP byte-level BPE is implemented in
+tpuvdb/embed/bpe.py (validated against transformers.CLIPTokenizer) and is
+auto-discovered from vocab.json+merges.txt / tokenizer.json /
+bpe_simple_vocab_16e6.txt.gz next to the weights or $TPUVDB_CLIP_TOKENIZER.
+Without assets a deterministic hash tokenizer keeps the plumbing testable
+(with a loud warning — embeddings are then not semantic).
 """
 
 from __future__ import annotations
@@ -103,9 +106,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         x = x + MHA(self.width, self.heads, name="attn")(
-            nn.LayerNorm(name="ln_1")(x), mask
+            nn.LayerNorm(epsilon=1e-5, name="ln_1")(x), mask
         )
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * self.width, name="mlp_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(self.width, name="mlp_proj")(h)
@@ -129,7 +132,7 @@ class TextTower(nn.Module):
         causal = jnp.triu(jnp.full((T, T), -1e9, jnp.float32), k=1)[None, None]
         for i in range(c.text_layers):
             x = Block(c.text_width, c.text_heads, name=f"block_{i}")(x, causal)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # pool at the EOT token == the largest token id (CLIP convention)
         eot = jnp.argmax(tokens, axis=-1)
         pooled = x[jnp.arange(B), eot]
@@ -161,10 +164,10 @@ class VisionTower(nn.Module):
             ((c.image_size // c.patch_size) ** 2 + 1, c.vision_width),
         )
         x = x + pos[None]
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         for i in range(c.vision_layers):
             x = Block(c.vision_width, c.vision_heads, name=f"block_{i}")(x)
-        pooled = nn.LayerNorm(name="ln_post")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
         return nn.Dense(c.embed_dim, use_bias=False, name="visual_projection")(pooled)
 
 
@@ -185,20 +188,25 @@ class HashTokenizer:
         return toks[: self.cfg.context_length]
 
 
-class BPETokenizer:
-    """Real CLIP tokenizer backed by a HuggingFace tokenizer.json."""
+def _resolve_tokenizer(tokenizer_path: Optional[str],
+                       model_dir: Optional[str], cfg: CLIPConfig):
+    """Find and load the real CLIP BPE table (tpuvdb/embed/bpe.py), looking
+    at an explicit path first, then next to the model weights (HF
+    checkpoints ship vocab.json+merges.txt alongside them), then
+    $TPUVDB_CLIP_TOKENIZER. Returns None when no assets exist."""
+    from tpuvdb.embed import bpe
 
-    def __init__(self, path: str, cfg: CLIPConfig):
-        from tokenizers import Tokenizer
-
-        self.tk = Tokenizer.from_file(path)
-        self.cfg = cfg
-
-    def encode(self, text: str) -> List[int]:
-        ids = self.tk.encode(text).ids
-        if not ids or ids[0] != self.cfg.bos_token:
-            ids = [self.cfg.bos_token] + ids + [self.cfg.eos_token]
-        return ids[: self.cfg.context_length]
+    ctx = cfg.context_length
+    if tokenizer_path and os.path.isfile(tokenizer_path):
+        return bpe.load_clip_bpe(tokenizer_path, context_length=ctx)
+    env = os.environ.get("TPUVDB_CLIP_TOKENIZER")
+    if env and os.path.isfile(env):
+        return bpe.load_clip_bpe(env, context_length=ctx)
+    found = bpe.find_tokenizer_assets(
+        [p for p in (tokenizer_path, model_dir, env) if p])
+    if found is not None:
+        return bpe.load_clip_bpe(*found, context_length=ctx)
+    return None
 
 
 class CLIPEmbedder:
@@ -254,9 +262,18 @@ class CLIPEmbedder:
         self.pretrained = False
         if model_dir and os.path.isdir(model_dir):
             self.load_hf_torch_weights(model_dir)
-        if tokenizer_path and os.path.isfile(tokenizer_path):
-            self.tokenizer = BPETokenizer(tokenizer_path, self.cfg)
-        else:
+        self.tokenizer = _resolve_tokenizer(tokenizer_path, model_dir, self.cfg)
+        if self.tokenizer is None:
+            import warnings
+
+            warnings.warn(
+                "no CLIP BPE vocab found (looked for vocab.json+merges.txt / "
+                "tokenizer.json / bpe_simple_vocab_16e6.txt.gz next to the "
+                "model weights and in $TPUVDB_CLIP_TOKENIZER): falling back "
+                "to the hash tokenizer — text embeddings will NOT be "
+                "semantically meaningful",
+                stacklevel=2,
+            )
             self.tokenizer = HashTokenizer(self.cfg)
 
         self._text_fwd = jax.jit(
