@@ -49,3 +49,23 @@ def test_batched_searches_match_direct(rng):
     # coalescing happened: far fewer engine searches than requests
     assert svc.engine.stats["searches"] - searches_before < 24
     svc.close()
+
+
+def test_poisoned_batcher_falls_back_and_is_visible(rng):
+    """A broken batcher must not be silent: searches still succeed via the
+    direct path, and the fallback count surfaces in info (VERDICT weak #6)."""
+    svc = DBService(DBConfig(vector_dim=16, shard_count=2,
+                             shard_capacity=2048, block_size=128))
+    v = rng.standard_normal(16).astype(np.float32)
+    svc.engine.put_batch([VectorData(key="k", vector=v)])
+    svc.engine.flush()
+
+    def boom(query, k, timeout=30.0):
+        raise RuntimeError("poisoned batcher")
+
+    svc.batcher.search = boom
+    r = svc.rpc_search({"query_vector": v.tolist(), "top_k": 1})
+    assert r["success"] and r["search_result"]["keys"] == ["k"]
+    info = svc.rpc_info({})
+    assert info["info"]["batcher_fallbacks"] == 1
+    svc.close()

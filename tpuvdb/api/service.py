@@ -17,6 +17,9 @@ from typing import Any, Dict, Optional
 from tpuvdb.core.config import DBConfig
 from tpuvdb.core.types import Response, SearchRequest, VectorData
 from tpuvdb.cluster.membership import NodeRegistry
+from tpuvdb.utils.logging import get_logger
+
+logger = get_logger("tpuvdb.service")
 from tpuvdb.engine.engine import VectorDBEngine
 
 
@@ -46,6 +49,10 @@ class DBService:
         from tpuvdb.api.batching import BatchingSearcher
 
         self.batcher = BatchingSearcher(self.engine)
+        # batcher fast-path failures are counted + rate-limit logged (a
+        # silent fall-through would hide a real batcher bug as latency)
+        self._batcher_fallbacks = 0
+        self._last_fallback_log = 0.0
 
     # ------------------------------------------------------------- embedder
 
@@ -109,22 +116,42 @@ class DBService:
         return self.engine.delete(p["key"]).to_dict()
 
     def rpc_search(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        # host-inclusive stage: request decode -> batcher/device -> reply
+        # dict built (config 3's "p50 < 2ms" is certified on THIS timer via
+        # bench_latency.py, not on device-only numbers)
+        with self.engine.timers.stage("service.search"):
+            return self._rpc_search_timed(p)
+
+    def _rpc_search_timed(self, p: Dict[str, Any]) -> Dict[str, Any]:
         req = SearchRequest.from_dict(p)
         if not req.filter_metadata and req.threshold <= 0:
             # fast path: unfiltered searches share one device batch
             try:
                 return self._batched_search_response(req).to_dict()
             except Exception:
-                pass  # fall through to the direct path
+                # fall through to the direct path, but never silently:
+                # count it (surfaces in info) and log at most 1/10s
+                import time as _time
+
+                self._batcher_fallbacks += 1
+                now = _time.monotonic()
+                if now - self._last_fallback_log > 10.0:
+                    self._last_fallback_log = now
+                    logger.exception(
+                        "batched search fast path failed (%d total); "
+                        "serving via the direct path",
+                        self._batcher_fallbacks,
+                    )
         return self.engine.search(req).to_dict()
 
     def _batched_search_response(self, req: SearchRequest) -> Response:
         from tpuvdb.core.types import SearchHit, SearchResult
 
         k = req.top_k if req.top_k > 0 else self.config.default_top_k
-        dists, keys = self.batcher.search(
-            req.query_np(self.config.vector_dim), k
-        )
+        with self.engine.timers.stage("service.batcher_wait"):
+            dists, keys = self.batcher.search(
+                req.query_np(self.config.vector_dim), k
+            )
         hits = []
         with self.engine._lock:  # entry + vector from one generation
             for key, score in zip(keys, dists):
@@ -199,6 +226,7 @@ class DBService:
     def rpc_info(self, p: Dict[str, Any]) -> Dict[str, Any]:
         d = Response.ok("info").to_dict()
         d["info"] = self.engine.info()
+        d["info"]["batcher_fallbacks"] = self._batcher_fallbacks
         return d
 
     def rpc_flush(self, p: Dict[str, Any]) -> Dict[str, Any]:
