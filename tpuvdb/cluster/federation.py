@@ -90,9 +90,27 @@ class FederatedCoordinator:
     # ------------------------------------------------------------ membership
 
     def register_node(self, node_id: str, address: str) -> Response:
+        known = self.registry.get_node(node_id) is not None
         self.registry.register_node(node_id, address)
+        # a rejoining node usually comes back at a NEW address — drop any
+        # cached client or every call would hit the dead socket
+        with self._clients_lock:
+            stale = self._clients.pop(node_id, None)
+        if stale is not None:
+            stale.close()
         logger.info("registered node %s at %s", node_id, address)
+        if known:
+            # rejoin after a death: the node's replicas are stale — pull it
+            # up to date from its shard peers in the background
+            self._pool.submit(self._sync_quietly, node_id)
         return Response.ok(f"registered {node_id}")
+
+    def _sync_quietly(self, node_id: str):
+        try:
+            r = self.sync_node(node_id)
+            logger.info("rejoin sync for %s: %s", node_id, r.message)
+        except Exception:
+            logger.exception("rejoin sync for %s failed", node_id)
 
     # ------------------------------------------------------------------- ops
 
@@ -104,25 +122,66 @@ class FederatedCoordinator:
         r = self._call_node(master, "put", data.to_dict())
         if r is None:
             return Response.fail(f"master {master} unreachable")
-        # replicate to slaves (best effort; the reference declares this and
-        # never does it — SURVEY.md §2.3)
-        for slave in self._slaves_for_key(data.key):
+        # replicate to slaves (the reference declares this and never does
+        # it — SURVEY.md §2.3). write_acks=1 acks after the master alone
+        # (async replicas); write_acks>=2 waits for replica acks, closing
+        # the acked-but-unreplicated durability window.
+        futs = [
             self._pool.submit(self._call_node, slave, "replicate",
                               {"op_type": "put", "data": data.to_dict(),
                                "no_wal": False})
+            for slave in self._slaves_for_key(data.key)
+        ]
+        err = self._await_replica_acks(futs)
+        if err is not None:
+            return err
         return Response.from_dict(r)
+
+    def _await_replica_acks(self, futs) -> Optional[Response]:
+        """Wait for write_acks-1 replica successes (None = satisfied)."""
+        need = min(self.config.write_acks - 1, len(futs))
+        if need <= 0:
+            return None
+        got = 0
+        deadline = self.config.rpc_timeout_s
+        for fut in futs:
+            try:
+                r = fut.result(timeout=deadline)
+            except Exception:
+                r = None
+            if r is not None and r.get("success"):
+                got += 1
+                if got >= need:
+                    return None
+        return Response.fail(
+            f"quorum not met: {got + 1}/{need + 1} acks (written on the "
+            "master; replicas will converge via sync)")
 
     def get(self, key: str) -> Response:
         master = self._master_for_key(key)
         if master is None:
             return Response.fail(f"no online node for shard of key {key!r}")
+        tried = {master}
         r = self._call_node(master, "get", {"key": key})
-        if r is None:
+        if r is None or not r.get("success"):
             # failover read: slaves hold real replicas here
             for slave in self._slaves_for_key(key):
-                r = self._call_node(slave, "get", {"key": key})
-                if r is not None:
-                    break
+                tried.add(slave)
+                r2 = self._call_node(slave, "get", {"key": key})
+                if r2 is not None and r2.get("success"):
+                    return Response.from_dict(r2)
+                r = r or r2
+        if r is None or not r.get("success"):
+            # last resort: a membership change reassigns shard ownership
+            # round-robin WITHOUT moving data (sync_all re-places it lazily),
+            # so until a rebalance lands the record may live on a node no
+            # longer in the shard group — ask everyone before failing.
+            for nid in self.registry.online_nodes():
+                if nid in tried:
+                    continue
+                r2 = self._call_node(nid, "get", {"key": key})
+                if r2 is not None and r2.get("success"):
+                    return Response.from_dict(r2)
         return Response.from_dict(r) if r else Response.fail(
             f"no reachable replica for key {key!r}")
 
@@ -131,11 +190,104 @@ class FederatedCoordinator:
         if master is None:
             return Response.fail(f"no online node for shard of key {key!r}")
         r = self._call_node(master, "delete", {"key": key})
-        for slave in self._slaves_for_key(key):
+        futs = [
             self._pool.submit(self._call_node, slave, "replicate",
                               {"op_type": "delete", "data": {"key": key}})
+            for slave in self._slaves_for_key(key)
+        ]
+        err = self._await_replica_acks(futs)
+        if err is not None:
+            return err
         return Response.from_dict(r) if r else Response.fail(
             f"master {master} unreachable")
+
+    # ------------------------------------------------------------ anti-entropy
+
+    def sync_all(self, prune: bool = False) -> Response:
+        """Rebalance: run anti-entropy for every online node (after
+        membership changes move shard ownership, this re-places each
+        shard's data onto its current master+slaves)."""
+        msgs = []
+        for nid in self.registry.online_nodes():
+            msgs.append(f"{nid}: {self.sync_node(nid, prune=prune).message}")
+        return Response.ok("; ".join(msgs) or "no online nodes")
+
+    def _export_all(self, node_id: str) -> Optional[Dict[str, Dict[str, Any]]]:
+        """Pull a node's full record map via the paginated export RPC.
+        Returns key -> record dict, or None if the node is unreachable."""
+        out: Dict[str, Dict[str, Any]] = {}
+        cursor = 0
+        while cursor >= 0:
+            r = self._call_node(node_id, "export",
+                                {"cursor": cursor, "limit": 2000})
+            if r is None or not r.get("success"):
+                return None
+            for rec in r.get("records", []):
+                out[rec["key"]] = rec
+            cursor = int(r.get("cursor", -1))
+        return out
+
+    def sync_node(self, node_id: str, prune: bool = False) -> Response:
+        """Anti-entropy catch-up: bring `node_id` up to date from its shard
+        peers (the convergence half of replication — a node that died and
+        rejoined holds stale data forever without this; VERDICT r1 #4).
+
+        For every shard the node participates in, the newest copy of each
+        key across its online peers wins (VectorData.timestamp ordering)
+        and is pushed via the replicate RPC (WAL'd on the target, so the
+        repair itself is durable). With prune=True, keys the node holds
+        that NO peer has are deleted — that converges deletes that
+        happened while the node was down, at the cost of dropping any
+        never-replicated write the node alone held (there are no
+        tombstones to tell the two apart; default is the safe keep)."""
+        target = self.registry.get_node(node_id)
+        if target is None or not target.online:
+            return Response.fail(f"node {node_id} not online")
+        smap = self.registry.shard_map()
+        shards = [s for s, g in smap.items()
+                  if node_id in g["master"] + g["slaves"]]
+        peer_ids = sorted({
+            n for s in shards for n in smap[s]["master"] + smap[s]["slaves"]
+            if n != node_id
+        })
+        if not peer_ids:
+            return Response.ok("no peers to sync from")
+        mine = self._export_all(node_id)
+        if mine is None:
+            return Response.fail(f"node {node_id} export failed")
+        # newest-timestamp-wins union of every peer's records
+        freshest: Dict[str, Dict[str, Any]] = {}
+        for pid in peer_ids:
+            recs = self._export_all(pid)
+            if recs is None:
+                continue
+            for key, rec in recs.items():
+                cur = freshest.get(key)
+                if cur is None or rec.get("timestamp", 0) > cur.get("timestamp", 0):
+                    freshest[key] = rec
+        shard_set = set(shards)
+        pushed = pruned = 0
+        for key, rec in freshest.items():
+            if get_shard_id(key, self.config.shard_count) not in shard_set:
+                continue
+            have = mine.get(key)
+            if have is None or have.get("timestamp", 0) < rec.get("timestamp", 0):
+                r = self._call_node(node_id, "replicate",
+                                    {"op_type": "put", "data": rec})
+                if r is not None and r.get("success"):
+                    pushed += 1
+        if prune:
+            for key in mine:
+                if (get_shard_id(key, self.config.shard_count) in shard_set
+                        and key not in freshest):
+                    r = self._call_node(node_id, "replicate",
+                                        {"op_type": "delete",
+                                         "data": {"key": key}})
+                    if r is not None and r.get("success"):
+                        pruned += 1
+        return Response.ok(
+            f"synced {node_id}: {pushed} pushed, {pruned} pruned "
+            f"from {len(peer_ids)} peers over shards {sorted(shard_set)}")
 
     def search(self, req: SearchRequest) -> Response:
         """Parallel scatter-gather with dedup-by-key + ascending merge."""
@@ -193,6 +345,11 @@ class FederatedCoordinator:
                 return self.delete(params["key"]).to_dict()
             if method == "search":
                 return self.search(SearchRequest.from_dict(params)).to_dict()
+            if method == "sync_all":
+                return self.sync_all(prune=bool(params.get("prune"))).to_dict()
+            if method == "sync":
+                return self.sync_node(params["node_id"],
+                                      prune=bool(params.get("prune"))).to_dict()
             if method == "register_node":
                 return self.register_node(params["node_id"],
                                           params["address"]).to_dict()

@@ -34,6 +34,10 @@ class DBConfig:
     vector_dim: int = 512          # Config/storage_config.py:2
     shard_count: int = 4           # Config/storage_config.py:3
     replica_count: int = 2         # Config/storage_config.py:4 (hollow in ref; real here)
+    # federated writes: total acks required before a put/delete returns
+    # (1 = master only, matching the reference's declared-but-hollow
+    # replication; >=2 waits for replica acks -> bounded durability window)
+    write_acks: int = 1
     default_top_k: int = 5         # src/vector_db.thrift:25
 
     # -- durability --
