@@ -278,27 +278,51 @@ class ShardedIVFIndex:
             fill=float(gval.mean()),
         )
 
+    def _inverse_maps(self):
+        """global phys row -> flat (dev*local+pos) slot, built once; makes
+        deletes O(batch) with a device scatter of only the touched slots
+        instead of np.isin over everything + full re-upload (r1 weak #4)."""
+        if getattr(self, "_inv_g", None) is None:
+            hi = 0
+            for ids in (self.row_ids, self.spill_row_ids):
+                if ids.size:
+                    hi = max(hi, int(ids.max()) + 1)
+            flat_g = self.row_ids.reshape(-1)
+            inv_g = np.full(hi, -1, np.int64)
+            m = flat_g >= 0
+            inv_g[flat_g[m]] = np.flatnonzero(m)
+            flat_s = self.spill_row_ids.reshape(-1)
+            inv_s = np.full(hi, -1, np.int64)
+            m = flat_s >= 0
+            inv_s[flat_s[m]] = np.flatnonzero(m)
+            self._inv_g, self._inv_s = inv_g, inv_s
+        return self._inv_g, self._inv_s
+
     def invalidate_rows(self, physical_rows: np.ndarray):
-        """Soft-delete by global physical row (engine delete path); cheap
-        host-side mask rewrite, full rebuild happens at re-clustering."""
-        phys = set(int(r) for r in physical_rows)
-        gval = np.array(self.gval)
-        sval = np.array(self.sval)
-        changed = False
-        g_hits = np.isin(self.row_ids, list(phys))
-        if g_hits.any():
-            gval[g_hits] = False
-            changed = True
-        s_hits = np.isin(self.spill_row_ids, list(phys))
-        if s_hits.any():
-            sval[s_hits] = False
-            changed = True
-        if changed:
-            Pax = P(self.axis)
-            self.gval = jax.device_put(jnp.asarray(gval),
-                                       NamedSharding(self.mesh, Pax))
-            self.sval = jax.device_put(jnp.asarray(sval),
-                                       NamedSharding(self.mesh, Pax))
+        """Soft-delete by global physical row (engine delete path): O(batch)
+        host lookup + bucketed scatter into the sharded masks; full rebuild
+        happens at re-clustering."""
+        from tpuvdb.index.ivf import IVFIndex
+
+        phys = np.asarray(physical_rows, np.int64)
+        if phys.size == 0:
+            return
+        inv_g, inv_s = self._inverse_maps()
+        in_range = phys < len(inv_g)
+        g_hits = inv_g[phys[in_range]]
+        g_hits = g_hits[g_hits >= 0]
+        s_hits = inv_s[phys[in_range]]
+        s_hits = s_hits[s_hits >= 0]
+        ndev, local = self.gval.shape
+        if len(g_hits):
+            flat = self.gval.reshape(ndev * local)
+            flat = IVFIndex._scatter_bucketed(flat, g_hits)
+            self.gval = flat.reshape(ndev, local)
+        sdev, slocal = self.sval.shape
+        if len(s_hits):
+            flat = self.sval.reshape(sdev * slocal)
+            flat = IVFIndex._scatter_bucketed(flat, s_hits)
+            self.sval = flat.reshape(sdev, slocal)
 
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
