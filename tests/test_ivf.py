@@ -96,7 +96,7 @@ def test_ivf_spill_region_scanned():
     valid = np.ones(1000, bool)
     # cap below n/nlist so even cascade assignment can't place every row
     idx = IVFIndex.build(data, valid, nlist=2, nprobe=2, kmeans_iters=8,
-                         cell_cap_quantile=0.25)
+                         cell_cap_quantile=0.25, split_oversized=False)
     assert idx.stats().spill_rows > 0
     # spilled rows must still be findable
     q = data[:16]
@@ -139,3 +139,44 @@ def test_delete_cost_independent_of_corpus_size(rng):
     q = np.asarray(rng.standard_normal((1, 32)), np.float32)
     _, rows = big.search(q, k=10)
     assert not set(rows.ravel()).intersection(range(100, 164))
+
+
+def test_ivf_fill_under_zipf_skew(rng):
+    """VERDICT r1 #6 done-criterion: fill >= 0.8 on zipf-clustered data.
+    The r1 quantile-cap layout measured fill ~0.43 here (every cell padded
+    to near the hottest cell's size); splitting hot cells into real child
+    centroids keeps padding near the median."""
+    from tpuvdb.index.ivf import IVFIndex
+
+    # zipf-sized clusters: a few huge, many small
+    n_clusters = 40
+    weights = 1.0 / np.arange(1, n_clusters + 1)
+    weights /= weights.sum()
+    n = 60_000
+    counts = rng.multinomial(n, weights)
+    blobs = []
+    for c, m in enumerate(counts):
+        if m == 0:
+            continue
+        center = rng.standard_normal(24) * 8.0
+        blobs.append(center + 0.3 * rng.standard_normal((m, 24)))
+    data = np.concatenate(blobs).astype(np.float32)
+    perm = rng.permutation(len(data))
+    data = data[perm]
+
+    idx = IVFIndex.build(data, np.ones(len(data), bool), nlist=64,
+                         nprobe=16, kmeans_iters=6)
+    st = idx.stats()
+    assert st.fill >= 0.8, f"fill {st.fill:.3f} under zipf skew"
+    # spill must stay tiny (splitting, not spilling, absorbs hot cells)
+    assert st.spill_rows < 0.02 * n, st.spill_rows
+
+    # recall@10 vs brute force on 64 queries
+    q = data[:64]
+    d2 = ((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(d2, axis=1)[:, :10]
+    _, got = idx.search(q, k=10)
+    recall = np.mean([
+        len(set(got[i]) & set(truth[i])) / 10 for i in range(len(q))
+    ])
+    assert recall >= 0.9, f"recall@10 {recall:.3f} after splitting"

@@ -29,6 +29,7 @@ def test_pallas_ivf_matches_oracle(rng):
             jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
             idx.grouped_valid, cell_pad=idx.cell_pad, k=10, nprobe=nprobe,
             query_tile=8, n_buckets=128, interpret=True,
+            cell_offsets=idx.cell_offsets,
         )
         gid = np.asarray(gid)
         rows = np.where(gid >= 0, idx.row_ids[np.clip(gid, 0, None)], -1)
@@ -60,6 +61,7 @@ def test_pallas_ivf_masks_deleted(rng):
         jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
         idx.grouped_valid, cell_pad=idx.cell_pad, k=1, nprobe=4,
         query_tile=1, n_buckets=128, interpret=True,
+            cell_offsets=idx.cell_offsets,
     )
     gid = int(np.asarray(gid)[0, 0])
     assert gid < 0 or idx.row_ids[gid] != 7

@@ -48,11 +48,93 @@ def _scatter_invalid(valid, idx):
     return valid.at[idx].set(False, mode="drop")
 
 
+def split_oversized_cells(
+    vectors: np.ndarray,
+    assign: np.ndarray,       # (N,) cell id, -1 = dead
+    centroids: np.ndarray,    # (nlist, d)
+    max_cell: int,
+    seed: int = 0,
+    max_rounds: int = 12,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Recursively 2-means-bisect every cell with more members than
+    max_cell (children are REAL centroids, so coarse probing finds them
+    naturally). Bounds the packed scan window: after this, (almost) no
+    cell exceeds max_cell rows; rare residuals spill. Returns
+    (centroids, assign) with nlist grown."""
+    from tpuvdb.kernels.kmeans import kmeans as _kmeans
+
+    cents = list(np.asarray(centroids, np.float32))
+    assign = np.asarray(assign).copy()
+    for _ in range(max_rounds):
+        sizes = np.bincount(assign[assign >= 0], minlength=len(cents))
+        oversized = np.flatnonzero(sizes > max_cell)
+        if len(oversized) == 0:
+            break
+        for c in oversized:
+            members = np.flatnonzero(assign == c)
+            sub_c, sub_a = _kmeans(
+                vectors[members], np.ones(len(members), bool), nlist=2,
+                iters=4, block_size=8192, seed=seed + int(c) + 1)
+            if (sub_a == 0).all() or (sub_a == 1).all():
+                # degenerate (duplicate points): force an even split
+                sub_a = (np.arange(len(members)) % 2).astype(sub_a.dtype)
+            cents[c] = sub_c[0]
+            base = len(cents)
+            cents.append(sub_c[1])
+            assign[members[sub_a == 1]] = base
+    return np.asarray(cents, np.float32), assign
+
+
+def pack_cells(
+    vectors: np.ndarray,
+    rows: np.ndarray,        # physical row id per live vector position
+    assign_live: np.ndarray, # cell id per live vector position
+    nlist: int,
+    window: int,             # scan window (rows), multiple of 128
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
+    """Lay cells out CONTIGUOUSLY at 128-row alignment (no per-cell padding
+    to a common stride — that is what cratered fill to ~0.4 under skew).
+    Probes scan [offset[c], offset[c]+window); over-scan into following
+    cells yields valid rows scored exactly, so correctness is unaffected.
+    Rows beyond window in a cell (post-split residuals) spill.
+    Returns (gvec, gval, grow, offsets, sizes, spill_rows)."""
+    d = vectors.shape[1]
+    order = np.argsort(assign_live, kind="stable")
+    rows_sorted = rows[order]
+    cells_sorted = assign_live[order]
+    starts = np.searchsorted(cells_sorted, np.arange(nlist))
+    counts = np.bincount(cells_sorted, minlength=nlist)
+    kept = np.minimum(counts, window)
+    offsets = np.zeros(nlist, np.int64)
+    np.cumsum(_round_up_arr(kept, 128)[:-1], out=offsets[1:])
+    total = int(offsets[-1] + _round_up(int(kept[-1]), 128)) if nlist else 0
+    # + one full window of invalid tail rows so the last cells' scan
+    # windows (and index clipping) never alias a real row
+    grouped_rows = _round_up(total + window, 128)
+    gvec = np.zeros((grouped_rows, d), np.float32)
+    gval = np.zeros(grouped_rows, bool)
+    grow = np.full(grouped_rows, -1, np.int64)
+    pos_in_cell = np.arange(len(rows_sorted)) - starts[cells_sorted]
+    main = pos_in_cell < window
+    gpos = offsets[cells_sorted[main]] + pos_in_cell[main]
+    gvec[gpos] = vectors[rows_sorted[main]]
+    gval[gpos] = True
+    grow[gpos] = rows_sorted[main]
+    spill_rows = list(rows_sorted[~main])
+    return gvec, gval, grow, offsets.astype(np.int32), kept, spill_rows
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "cell_pad", "recall_target"))
 def _ivf_search(
     queries: jax.Array,        # (Q, d) f32
     centroids: jax.Array,      # (nlist, d) f32
-    grouped: jax.Array,        # (nlist*P, d) storage dtype
+    cell_offsets: jax.Array,   # (nlist,) i32 packed start row per cell
+    cell_lens: jax.Array,      # (nlist,) i32 live rows per cell (<= window)
+    grouped: jax.Array,        # (N_g, d) storage dtype, cells packed
     grouped_sq: jax.Array,     # (nlist*P,) f32
     grouped_valid: jax.Array,  # (nlist*P,) bool
     spill: jax.Array,          # (S, d)
@@ -71,12 +153,20 @@ def _ivf_search(
     # 1. coarse: nearest nprobe cells per query
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     c_scores = 2.0 * jnp.dot(qf, centroids.T,
-                             preferred_element_type=jnp.float32) - c_sq[None, :]
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
     _, cells = jax.lax.top_k(c_scores, nprobe)  # (Q, nprobe)
 
-    # 2. candidate rows: nprobe contiguous cells of P rows each
+    # 2. candidate rows: each probed cell is a PACKED run starting at
+    # cell_offsets[cell] with cell_lens[cell] live rows; the fixed window
+    # (cell_pad rows) may over-scan into the next cell, so positions past
+    # the cell's own length are masked (else a row probed via two cells
+    # could fill two top-k slots).
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
-    cand = (cells[:, :, None] * cell_pad + offs).reshape(queries.shape[0], -1)
+    starts = jnp.take(cell_offsets, cells, axis=0)
+    cand = (starts[:, :, None] + offs).reshape(queries.shape[0], -1)
+    in_cell = (offs < jnp.take(cell_lens, cells, axis=0)[:, :, None]
+               ).reshape(queries.shape[0], -1)
 
     # 3. gather + score (R = nprobe*P candidates per query)
     cvecs = jnp.take(grouped, cand, axis=0)          # (Q, R, d)
@@ -87,7 +177,7 @@ def _ivf_search(
     dots = jnp.einsum("qd,qrd->qr", qc, cvecs,
                       preferred_element_type=jnp.float32, precision=prec)
     neg = 2.0 * dots - csq
-    neg = jnp.where(cval, neg, -jnp.inf)
+    neg = jnp.where(cval & in_cell, neg, -jnp.inf)
 
     # 4. spill region: exact scan, always
     sdots = jnp.dot(qc, spill.T.astype(grouped.dtype),
@@ -117,8 +207,8 @@ def _ivf_search(
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "cell_pad", "recall_target"))
 def _ivf_search_int8(
-    queries, centroids, grouped_i8, cell_scales, grouped_sq, grouped_valid,
-    spill_i8, spill_scales, spill_sq, spill_valid,
+    queries, centroids, cell_offsets, cell_lens, grouped_i8, cell_scales,
+    grouped_sq, grouped_valid, spill_i8, spill_scales, spill_sq, spill_valid,
     nprobe: int, k: int, cell_pad: int, recall_target: float = 0.95,
 ):
     """Int8-cell variant: candidates dequantize at the gather (the gathered
@@ -127,17 +217,21 @@ def _ivf_search_int8(
     q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     c_scores = 2.0 * jnp.dot(qf, centroids.T,
-                             preferred_element_type=jnp.float32) - c_sq[None, :]
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
     _, cells = jax.lax.top_k(c_scores, nprobe)
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
-    cand = (cells[:, :, None] * cell_pad + offs).reshape(queries.shape[0], -1)
+    starts = jnp.take(cell_offsets, cells, axis=0)
+    cand = (starts[:, :, None] + offs).reshape(queries.shape[0], -1)
+    in_cell = (offs < jnp.take(cell_lens, cells, axis=0)[:, :, None]
+               ).reshape(queries.shape[0], -1)
     cvecs = jnp.take(grouped_i8, cand, axis=0).astype(jnp.float32)
     cvecs = cvecs * jnp.take(cell_scales, cand, axis=0)[:, :, None]
     csq = jnp.take(grouped_sq, cand, axis=0)
     cval = jnp.take(grouped_valid, cand, axis=0)
     dots = jnp.einsum("qd,qrd->qr", qf, cvecs,
                       preferred_element_type=jnp.float32)
-    neg = jnp.where(cval, 2.0 * dots - csq, -jnp.inf)
+    neg = jnp.where(cval & in_cell, 2.0 * dots - csq, -jnp.inf)
 
     spill_f = spill_i8.astype(jnp.float32) * spill_scales[:, None]
     sdots = jnp.dot(qf, spill_f.T, preferred_element_type=jnp.float32)
@@ -182,13 +276,20 @@ class IVFIndex:
         spill_sq: jax.Array,
         spill_valid: jax.Array,
         spill_row_ids: np.ndarray,
-        cell_pad: int,
+        cell_pad: int,            # scan WINDOW (rows), multiple of 128
+        cell_offsets: np.ndarray, # (nlist,) i32 packed start row per cell
+        cell_lens: Optional[np.ndarray] = None,  # (nlist,) live rows/cell
         nprobe: int = 32,
         recall_target: float = 0.95,
         cell_scales: Optional[jax.Array] = None,   # (N_g,) int8 dequant
         spill_scales: Optional[jax.Array] = None,  # (S,)
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.cell_offsets = jnp.asarray(cell_offsets, jnp.int32)
+        if cell_lens is None:  # legacy ctor: assume full windows
+            cell_lens = np.full(np.asarray(cell_offsets).shape[0], cell_pad,
+                                np.int32)
+        self.cell_lens = jnp.asarray(cell_lens, jnp.int32)
         self.grouped = grouped
         self.grouped_sq = grouped_sq
         self.grouped_valid = grouped_valid
@@ -220,7 +321,12 @@ class IVFIndex:
         dtype=jnp.float32,
         seed: int = 0,
         recall_target: float = 0.95,
+        split_oversized: bool = True,
     ) -> "IVFIndex":
+        """With split_oversized (default), cell_pad tracks the MEDIAN cell
+        and hot cells are subdivided into real child centroids, so fill
+        stays high under skew; cell_cap_quantile then only applies to the
+        legacy no-split path (and tests of the spill mechanism)."""
         n, d = vectors.shape
         live_idx = np.flatnonzero(valid)
         if len(live_idx) == 0:
@@ -246,56 +352,25 @@ class IVFIndex:
         )[:n]
         assign = np.where(valid, assign, -1)
 
-        # 3. cell capacity: quantile cap, overflow -> spill
+        # 3. skew control: bound the max cell, then PACK
         sizes = np.bincount(assign[assign >= 0], minlength=nlist)
-        cap = int(np.quantile(sizes, cell_cap_quantile)) if nlist > 1 else int(sizes.max())
-        cell_pad = max(_round_up(max(cap, 1), 128), 128)
+        live_sizes = sizes[sizes > 0]
+        if split_oversized and nlist > 1 and len(live_sizes):
+            # window ~ 1.25x the median cell; bisect anything bigger so the
+            # packed layout stays tight AND the scan window stays small
+            cap = int(np.quantile(live_sizes, 0.5) * 1.25)
+            cell_pad = max(_round_up(max(cap, 1), 128), 128)
+            centroids, assign = split_oversized_cells(
+                vectors, assign, centroids, cell_pad, seed=seed)
+            nlist = len(centroids)
+        else:
+            cap = (int(np.quantile(sizes, cell_cap_quantile))
+                   if nlist > 1 else int(sizes.max()))
+            cell_pad = max(_round_up(max(cap, 1), 128), 128)
 
-        grouped_rows = nlist * cell_pad
-        gvec = np.zeros((grouped_rows, d), np.float32)
-        gval = np.zeros(grouped_rows, bool)
-        grow = np.full(grouped_rows, -1, np.int64)
-        # vectorized grouping: sort live rows by cell, rank within cell,
-        # overflow past cell_pad spills (the per-row Python loop was the
-        # build bottleneck at millions of rows)
-        live_cells = assign[live_idx]
-        order = np.argsort(live_cells, kind="stable")
-        rows_sorted = live_idx[order]
-        cells_sorted = live_cells[order]
-        starts = np.searchsorted(cells_sorted, np.arange(nlist))
-        pos_in_cell = np.arange(len(rows_sorted)) - starts[cells_sorted]
-        main = pos_in_cell < cell_pad
-        gpos = cells_sorted[main] * cell_pad + pos_in_cell[main]
-        gvec[gpos] = vectors[rows_sorted[main]]
-        gval[gpos] = True
-        grow[gpos] = rows_sorted[main]
-        overflow = rows_sorted[~main]
-
-        # cascade assignment: overflow rows go to their next-nearest cell
-        # with free space (queries probing nprobe cells still find them);
-        # only rows with no nearby space land in the always-scanned spill
-        spill_list = []
-        if len(overflow):
-            fills = np.minimum(
-                np.bincount(cells_sorted[main], minlength=nlist), cell_pad
-            ).astype(np.int64)
-            c_sq_np = np.einsum("nd,nd->n", centroids, centroids)
-            chunk_sz = 65536
-            for lo in range(0, len(overflow), chunk_sz):
-                rows_c = overflow[lo : lo + chunk_sz]
-                sc = 2.0 * vectors[rows_c] @ centroids.T - c_sq_np[None, :]
-                order = np.argsort(-sc, axis=1)[:, :8]
-                for i, row in enumerate(rows_c):
-                    for c in order[i]:
-                        if fills[c] < cell_pad:
-                            pos = c * cell_pad + fills[c]
-                            gvec[pos] = vectors[row]
-                            gval[pos] = True
-                            grow[pos] = row
-                            fills[c] += 1
-                            break
-                    else:
-                        spill_list.append(row)
+        live2 = np.flatnonzero(valid & (assign >= 0))
+        gvec, gval, grow, cell_offsets, cell_lens, spill_list = pack_cells(
+            vectors, live2, assign[live2], nlist, cell_pad)
         spill_rows = np.asarray(spill_list, dtype=np.int64)
 
         s = max(len(spill_rows), 1)
@@ -337,6 +412,8 @@ class IVFIndex:
             spill_valid=jnp.asarray(sval),
             spill_row_ids=srow,
             cell_pad=cell_pad,
+            cell_offsets=cell_offsets,
+            cell_lens=cell_lens,
             nprobe=nprobe,
             recall_target=recall_target,
             cell_scales=cell_scales,
@@ -371,10 +448,12 @@ class IVFIndex:
                     spill_valid=self.spill_valid,
                     cell_scales=self.cell_scales,
                     spill_scales=self.spill_scales,
+                    cell_offsets=self.cell_offsets,
                 )
             elif self.quantized:
                 dist, gid = _ivf_search_int8(
-                    jnp.asarray(qc), self.centroids,
+                    jnp.asarray(qc), self.centroids, self.cell_offsets,
+                    self.cell_lens,
                     self.grouped, self.cell_scales, self.grouped_sq,
                     self.grouped_valid, self.spill, self.spill_scales,
                     self.spill_sq, self.spill_valid,
@@ -383,7 +462,8 @@ class IVFIndex:
                 )
             else:
                 dist, gid = _ivf_search(
-                    jnp.asarray(qc), self.centroids,
+                    jnp.asarray(qc), self.centroids, self.cell_offsets,
+                    self.cell_lens,
                     self.grouped, self.grouped_sq, self.grouped_valid,
                     self.spill, self.spill_sq, self.spill_valid,
                     nprobe=nprobe, k=k, cell_pad=self.cell_pad,

@@ -253,6 +253,7 @@ def pallas_ivf_search(
     spill_valid: jax.Array = None,  # (S,) bool
     cell_scales: jax.Array = None,  # (N_g,) f32 — REQUIRED for int8 cells
     spill_scales: jax.Array = None, # (S,) f32 — int8 spill dequant
+    cell_offsets: jax.Array = None, # (nlist,) i32 PACKED start row per cell
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF probe: coarse centroid top-nprobe (per QUERY TILE: the tile
     probes the union of its queries' nearest cells), then the DMA kernel,
@@ -275,11 +276,36 @@ def pallas_ivf_search(
     qf = q.astype(jnp.float32)
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     c_scores = 2.0 * jnp.dot(qf, centroids.T,
-                             preferred_element_type=jnp.float32) - c_sq[None, :]
-    # per-tile union: take each tile's best cells by the tile-max score
-    tile_scores = c_scores.reshape(-1, qt, c_scores.shape[1]).max(axis=1)
-    _, cells = jax.lax.top_k(tile_scores, nprobe)   # (tiles, nprobe)
-    cells = cells.astype(jnp.int32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+    # per-tile union of every query's OWN top-nprobe cells. (The old
+    # tile-max heuristic took only nprobe cells for the whole tile, which
+    # under many small cells left most queries' best cells unprobed —
+    # recall cratered to ~0.6.) The union is qt*nprobe entries with
+    # duplicates; SORTING makes duplicates adjacent, and pallas skips the
+    # HBM->VMEM DMA when consecutive grid steps map to the same block, so
+    # shared cells cost one fetch. The bucket fold dedupes their scores.
+    _, cells_pq = jax.lax.top_k(c_scores, nprobe)    # (Q, nprobe)
+    cells = cells_pq.reshape(-1, qt * nprobe).astype(jnp.int32)
+    cells = jnp.sort(cells, axis=1)                  # (tiles, qt*nprobe)
+
+    if cell_offsets is not None:
+        # PACKED layout: cells start at 128-aligned offsets instead of a
+        # fixed stride. Each probed cell expands to window/128 chunk ids of
+        # 128 rows; the kernel then runs unchanged with cell_pad=128 (a
+        # chunk IS a cell to the DMA index_map). Over-scan into a
+        # neighboring cell reads valid rows scored exactly, and a row seen
+        # via two probes lands in the same (chunk, bucket-column), so the
+        # running max self-dedupes.
+        w128 = cell_pad // 128
+        off128 = (cell_offsets // 128).astype(jnp.int32)
+        chunk0 = jnp.take(off128, cells, axis=0)          # (tiles, U)
+        cells = (chunk0[:, :, None]
+                 + jnp.arange(w128, dtype=jnp.int32)[None, None, :]
+                 ).reshape(cells.shape[0], -1)            # (tiles, U*w128)
+        cells = jnp.sort(cells, axis=1)  # adjacent dups -> DMA skipped
+        cell_pad = 128
+        n_buckets = 128
 
     neg_mask = jnp.where(grouped_valid, 0.0, NEG_INF).astype(jnp.float32)
     if grouped.dtype == jnp.int8:

@@ -43,24 +43,31 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    use_pallas: bool = False):
     ndev = mesh.shape[axis]
 
-    def local_gather(q, cents, grouped, gsq, gval, spill, ssq, sval):
-        """XLA row-gather probe (CPU path / fallback)."""
+    def local_gather(q, cents, offsets, lens, grouped, gsq, gval,
+                     spill, ssq, sval):
+        """XLA row-gather probe (CPU path / fallback). Cells are PACKED at
+        offsets with lens live rows; window over-scan is masked so a row
+        probed via two cells cannot occupy two top-k slots."""
         qf = q.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
         c_sq = jnp.sum(cents * cents, axis=-1)
         c_scores = 2.0 * jnp.dot(qf, cents.T,
-                                 preferred_element_type=jnp.float32) - c_sq[None, :]
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
         _, cells = jax.lax.top_k(c_scores, nprobe)
 
         offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
-        cand = (cells[:, :, None] * cell_pad + offs).reshape(q.shape[0], -1)
+        starts = jnp.take(offsets, cells, axis=0)
+        cand = (starts[:, :, None] + offs).reshape(q.shape[0], -1)
+        in_cell = (offs < jnp.take(lens, cells, axis=0)[:, :, None]
+                   ).reshape(q.shape[0], -1)
         cvecs = jnp.take(grouped, cand, axis=0)
         csq = jnp.take(gsq, cand, axis=0)
         cval = jnp.take(gval, cand, axis=0)
         qc = q.astype(grouped.dtype)
         dots = jnp.einsum("qd,qrd->qr", qc, cvecs,
                           preferred_element_type=jnp.float32)
-        neg = jnp.where(cval, 2.0 * dots - csq, -jnp.inf)
+        neg = jnp.where(cval & in_cell, 2.0 * dots - csq, -jnp.inf)
 
         sdots = jnp.dot(qc, spill.T, preferred_element_type=jnp.float32)
         sneg = jnp.where(sval[None, :], 2.0 * sdots - ssq[None, :], -jnp.inf)
@@ -80,9 +87,10 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         ldist = jnp.where(lids >= 0, q_sq - lneg, jnp.inf)
         return ldist, lids, kk
 
-    def local(q, cents, grouped, gsq, gval, spill, ssq, sval):
+    def local(q, cents, offsets, lens, grouped, gsq, gval, spill, ssq, sval):
         # leading device axis arrives as size-1 blocks
         cents, grouped = cents[0], grouped[0]
+        offsets, lens = offsets[0], lens[0]
         gsq, gval = gsq[0], gval[0]
         spill, ssq, sval = spill[0], ssq[0], sval[0]
 
@@ -96,11 +104,12 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                 cell_pad=cell_pad, k=k, nprobe=nprobe,
                 query_tile=min(8, q.shape[0]),
                 spill=spill, spill_sq=ssq, spill_valid=sval,
+                cell_offsets=offsets,
             )
             kk = lids.shape[1]
         else:
-            ldist, lids, kk = local_gather(q, cents, grouped, gsq, gval,
-                                           spill, ssq, sval)
+            ldist, lids, kk = local_gather(q, cents, offsets, lens, grouped,
+                                           gsq, gval, spill, ssq, sval)
 
         # encode device ownership, merge across the mesh on TRUE distances
         # (the per-query ||q||^2 shift is constant, so ordering is global)
@@ -121,7 +130,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
@@ -130,12 +139,14 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
 
 
 class ShardedIVFIndex:
-    def __init__(self, mesh, axis, centroids, grouped, gsq, gval,
-                 spill, ssq, sval, row_ids, spill_row_ids,
+    def __init__(self, mesh, axis, centroids, cell_offsets, cell_lens,
+                 grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
                  cell_pad, nprobe, recall_target):
         self.mesh = mesh
         self.axis = axis
         self.centroids = centroids
+        self.cell_offsets = cell_offsets  # (ndev, nlist) i32, P(axis)
+        self.cell_lens = cell_lens        # (ndev, nlist) i32, P(axis)
         self.grouped = grouped
         self.gsq = gsq
         self.gval = gval
@@ -195,54 +206,69 @@ class ShardedIVFIndex:
                 assign = np.where(part_val, assign, -1).astype(np.int32)
             parts.append((part_vec, part_val, cents, assign, lo))
 
-        # common cell capacity across devices
-        caps = []
+        # common scan window across devices: pooled median * 1.25, then
+        # per-device bisection of oversized cells + PACKED layout (see
+        # index/ivf.py pack_cells — fixed-stride padding measured fill
+        # ~0.43 under skew)
+        from tpuvdb.index.ivf import pack_cells, split_oversized_cells
+
+        pooled = []
         for _, part_val, _, assign, _ in parts:
-            live_assign = assign[assign >= 0]
-            if len(live_assign):
-                sizes = np.bincount(live_assign, minlength=nlist)
-                caps.append(int(np.quantile(sizes[sizes > 0], cell_cap_quantile))
-                            if (sizes > 0).any() else 1)
-        cell_pad = max(_round_up(max(caps, default=1), 128), 128)
-        local_rows = nlist * cell_pad
+            la = assign[assign >= 0]
+            if len(la):
+                pooled.append(np.bincount(la))
+        pooled_sizes = (np.concatenate(pooled) if pooled
+                        else np.asarray([1]))
+        pooled_sizes = pooled_sizes[pooled_sizes > 0]
+        cap = int(np.quantile(pooled_sizes, 0.5) * 1.25) if len(pooled_sizes) else 1
+        cell_pad = max(_round_up(max(cap, 1), 128), 128)
 
-        # common spill size
-        spill_counts = []
-        layouts = []
-        for part_vec, part_val, cents, assign, lo in parts:
-            gvec = np.zeros((local_rows, d), np.float32)
-            gval_ = np.zeros(local_rows, bool)
-            grow = np.full(local_rows, -1, np.int64)
-            live = np.flatnonzero(part_val & (assign >= 0))
-            order = np.argsort(assign[live], kind="stable")
-            rows_sorted = live[order]
-            cells_sorted = assign[rows_sorted]
-            starts = np.searchsorted(cells_sorted, np.arange(nlist))
-            pos_in_cell = np.arange(len(rows_sorted)) - starts[cells_sorted]
-            main = pos_in_cell < cell_pad
-            gpos = cells_sorted[main] * cell_pad + pos_in_cell[main]
-            gvec[gpos] = part_vec[rows_sorted[main]]
-            gval_[gpos] = True
-            grow[gpos] = lo + rows_sorted[main]
-            spill_rows_local = list(lo + rows_sorted[~main])
-            layouts.append((gvec, gval_, grow, spill_rows_local, part_vec, lo))
-            spill_counts.append(len(spill_rows_local))
-        spill_rows = max(_round_up(max(spill_counts, default=1) or 1, 128), 128)
+        packed = []
+        for dev, (part_vec, part_val, cents, assign, lo) in enumerate(parts):
+            live_mask = part_val & (assign >= 0)
+            if live_mask.any():
+                cents2, assign2 = split_oversized_cells(
+                    part_vec, assign, cents, cell_pad, seed=seed + dev)
+            else:
+                cents2, assign2 = cents, assign
+            live = np.flatnonzero(part_val & (assign2 >= 0))
+            gvec, gval_, grow, offs, lens, spill_local = pack_cells(
+                part_vec, live, assign2[live], len(cents2), cell_pad)
+            grow[grow >= 0] += lo          # local -> global physical rows
+            packed.append((cents2, gvec, gval_, grow, offs, lens,
+                           [lo + r for r in spill_local]))
 
-        cents_all = np.stack([p[2] for p in parts])
-        grouped = np.stack([l[0] for l in layouts])
-        gval = np.stack([l[1] for l in layouts])
-        row_ids = np.stack([l[2] for l in layouts])
-        gsq = np.einsum("knd,knd->kn", grouped, grouped).astype(np.float32)
+        # common shapes across devices (stacked device-major arrays)
+        nlist_c = max(len(pk[0]) for pk in packed)
+        local_rows = max(pk[1].shape[0] for pk in packed)
+        spill_n = max(max((len(pk[6]) for pk in packed), default=1), 1)
+        spill_rows = _round_up(spill_n, 128)
 
-        spill = np.zeros((ndev, spill_rows, d), np.float32)
-        sval = np.zeros((ndev, spill_rows), bool)
-        srow = np.full((ndev, spill_rows), -1, np.int64)
-        for dev, (gvec, gval_, grow, spill_local, part_vec, lo) in enumerate(layouts):
-            for j, grow_row in enumerate(spill_local):
+        ndev_ = len(packed)
+        cents_all = np.full((ndev_, nlist_c, d), 1e30, np.float32)
+        grouped = np.zeros((ndev_, local_rows, d), np.float32)
+        gval = np.zeros((ndev_, local_rows), bool)
+        row_ids = np.full((ndev_, local_rows), -1, np.int64)
+        offsets_all = np.zeros((ndev_, nlist_c), np.int32)
+        lens_all = np.zeros((ndev_, nlist_c), np.int32)
+        spill = np.zeros((ndev_, spill_rows, d), np.float32)
+        sval = np.zeros((ndev_, spill_rows), bool)
+        srow = np.full((ndev_, spill_rows), -1, np.int64)
+        for dev, (cents2, gvec, gval_, grow, offs, lens, spill_g) in enumerate(packed):
+            nl, nr = len(cents2), gvec.shape[0]
+            cents_all[dev, :nl] = cents2
+            grouped[dev, :nr] = gvec
+            gval[dev, :nr] = gval_
+            row_ids[dev, :nr] = grow
+            offsets_all[dev, :nl] = offs
+            lens_all[dev, :nl] = lens
+            # pad centroids' offsets point at the (always-invalid) tail
+            offsets_all[dev, nl:] = max(local_rows - cell_pad, 0)
+            for j, grow_row in enumerate(spill_g):
                 spill[dev, j] = vectors[grow_row]
                 sval[dev, j] = True
                 srow[dev, j] = grow_row
+        gsq = np.einsum("knd,knd->kn", grouped, grouped).astype(np.float32)
         ssq = np.einsum("knd,knd->kn", spill, spill).astype(np.float32)
 
         def put(arr, spec):
@@ -253,6 +279,8 @@ class ShardedIVFIndex:
         return cls(
             mesh, axis,
             centroids=put(cents_all, Pax),
+            cell_offsets=put(offsets_all, Pax),
+            cell_lens=put(lens_all, Pax),
             grouped=put(grouped.astype(np.float32), Pax),
             gsq=put(gsq, Pax),
             gval=put(gval, Pax),
@@ -262,7 +290,7 @@ class ShardedIVFIndex:
             row_ids=row_ids,
             spill_row_ids=srow,
             cell_pad=cell_pad,
-            nprobe=min(nprobe, nlist),
+            nprobe=min(nprobe, nlist_c),
             recall_target=recall_target,
         )
 
@@ -334,6 +362,7 @@ class ShardedIVFIndex:
                             self.recall_target, local_rows, spill_rows,
                             use_pallas)
         dist, gids = fn(jnp.asarray(queries, jnp.float32), self.centroids,
+                        self.cell_offsets, self.cell_lens,
                         self.grouped, self.gsq, self.gval,
                         self.spill, self.ssq, self.sval)
         gids = np.asarray(gids)
