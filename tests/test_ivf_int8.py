@@ -86,3 +86,52 @@ def test_int8_ivf_engine(rng):
     r = eng.search(SearchRequest(query_vector=vecs["k42"], top_k=1))
     assert r.search_result.keys == ["k42"]
     assert eng._ivf.quantized
+
+
+def test_engine_int8_rescore_tight_shells(rng):
+    """VERDICT r1 next #3: int8 storage + overfetch->exact-f32 rescore must
+    hold recall@10 >= 0.97 on adversarially TIGHT cluster shells, where raw
+    int8 scores cannot rank within-cluster neighbors (score noise exceeds
+    the margins)."""
+    from tpuvdb.core.config import DBConfig
+    from tpuvdb.core.types import VectorData
+    from tpuvdb.engine.engine import VectorDBEngine
+
+    centers = rng.standard_normal((8, 32)) * 5
+    data = np.concatenate([
+        centers[i] + 0.15 * rng.standard_normal((1024, 32))
+        for i in range(8)
+    ]).astype(np.float32)
+    data = data[rng.permutation(len(data))]
+
+    cfg = DBConfig(vector_dim=32, shard_count=2, shard_capacity=16384,
+                   block_size=128, storage_dtype="int8",
+                   rescore_overfetch=256)  # the overfetch-4k regime
+    eng = VectorDBEngine(cfg)
+    eng.put_batch([VectorData(key=f"k{i}", vector=data[i])
+                   for i in range(len(data))])
+    eng.flush()
+
+    q = data[:48]
+    d2 = ((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    truth = [set(f"k{j}" for j in np.argsort(d2[i])[:10]) for i in range(48)]
+    _, keys = eng.search_batch(q, k=10)
+    recall = np.mean([
+        len(set(keys[i][:10]) & truth[i]) / 10 for i in range(48)
+    ])
+    assert recall >= 0.97, f"int8+rescore recall {recall:.3f}"
+
+    # control: rescore off -> the same data must do WORSE (proves the test
+    # bites and the epilogue is what carries recall)
+    cfg2 = DBConfig(vector_dim=32, shard_count=2, shard_capacity=16384,
+                    block_size=128, storage_dtype="int8",
+                    rescore_overfetch=0)
+    eng2 = VectorDBEngine(cfg2)
+    eng2.put_batch([VectorData(key=f"k{i}", vector=data[i])
+                    for i in range(len(data))])
+    eng2.flush()
+    _, keys2 = eng2.search_batch(q, k=10)
+    recall2 = np.mean([
+        len(set(keys2[i][:10]) & truth[i]) / 10 for i in range(48)
+    ])
+    assert recall2 < recall, (recall2, recall)

@@ -64,3 +64,53 @@ def test_sharded_ivf_invalid_rows_skipped(rng):
     idx = ShardedIVFIndex.build(data, valid, mesh, nlist=4, nprobe=4)
     dist, rows = idx.search(data[100:101], k=3)
     assert 100 not in rows
+
+
+def test_sharded_ivf_int8_cells(rng):
+    """VERDICT r1 #6: scaled int8 cells on the DISTRIBUTED path (was
+    single-device only) — recall holds and fill stays high under skew."""
+    import jax.numpy as jnp
+
+    mesh = create_mesh()
+    # zipf-ish cluster sizes to also exercise the packed layout per device
+    sizes = (16384, 8192, 4096, 4096, 2048, 2048, 1024, 27648)  # 65536
+    centers = rng.standard_normal((len(sizes), 32)) * 5
+    # sigma 1.0: raw int8 score noise (~2|q| scale sqrt(d)) resolves these
+    # margins; tighter shells need the engine's exact-rescore epilogue
+    # (tests/test_ivf_int8.py::test_engine_int8_rescore_tight_shells)
+    data = np.concatenate([
+        centers[i] + 1.0 * rng.standard_normal((m, 32))
+        for i, m in enumerate(sizes)
+    ]).astype(np.float32)
+    data = data[rng.permutation(len(data))]
+    valid = np.ones(len(data), bool)
+
+    idx = ShardedIVFIndex.build(data, valid, mesh, nlist=16, nprobe=8,
+                                kmeans_iters=6, dtype=jnp.int8)
+    assert idx.quantized
+    assert idx.grouped.dtype == jnp.int8
+    st = idx.stats()
+    assert st.fill >= 0.75, f"fill {st.fill:.3f}"  # packed, stacked-pad slack
+
+    q = data[rng.choice(len(data), 32, replace=False)]
+    dist, rows = idx.search(q, k=10)
+    _, oidx = numpy_oracle(q, data, valid, 10)
+    recall = np.mean([
+        len(set(rows[i][rows[i] >= 0]) & set(oidx[i])) / 10 for i in range(32)
+    ])
+    # raw int8 (no rescore) keeps most of the ordering at this tightness;
+    # the engine's exact-rescore epilogue is what carries recall to >=0.97
+    assert recall >= 0.7, recall
+    # int8 distances approximate but close for returned rows
+    for i in range(4):
+        r = rows[i, 0]
+        true = float(np.sum((q[i] - data[r]) ** 2))
+        # raw int8 scores: 2 q . x~ with exact norms; a self-query can go
+        # slightly negative (quantized dot > true) — bound the absolute error
+        assert abs(true - dist[i, 0]) < 1.5 + 0.05 * true
+
+    # deletes flow through the packed int8 masks
+    victims = rows[0][rows[0] >= 0][:3]
+    idx.invalidate_rows(victims)
+    _, rows2 = idx.search(q[:1], k=10)
+    assert not set(rows2[0]).intersection(set(int(v) for v in victims))

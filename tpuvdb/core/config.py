@@ -56,6 +56,15 @@ class DBConfig:
     block_size: int = 8192         # corpus rows per scan chunk (HBM->VMEM tile)
     query_block: int = 128         # query batch tile (MXU sublane-friendly)
     storage_dtype: str = "float32" # "float32" | "bfloat16" | "int8"
+    # int8 storage: overfetch rescore_overfetch*k device candidates, then
+    # re-rank them by EXACT f32 distance against the host mirrors. Int8
+    # score noise (~2|q|*scale*sqrt(d/12)) swamps within-cluster margins on
+    # tight shells; the rescore restores exact ordering over the candidate
+    # set. 16 (fetch 160 at k=10) is cheap and covers SIFT-like margins;
+    # adversarially tight shells (sigma ~0.15 around far centers) need
+    # ~256 (fetch ~2.5k, the "overfetch-4k" regime) for recall ~1.0 —
+    # still <1% extra HBM traffic vs the 1M-row scan. 0 disables.
+    rescore_overfetch: int = 16
     flush_batch: int = 1024        # staged inserts per device flush
     search_mode: str = "approx"    # "approx" = hardware PartialReduce top-k
                                    # (recall@10 ~0.98, ~25x faster on TPU);

@@ -360,13 +360,11 @@ class VectorDBEngine:
 
                 nlist = max(1, min(cfg.ivf_nlist // ndev or 1,
                                    max(1, live // (8 * ndev))))
-                # NOTE: sharded IVF stores f32 cells regardless of
-                # storage_dtype (scaled int8 cells are single-device IVF +
-                # flat-index features so far)
                 self._ivf = ShardedIVFIndex.build(
                     vecs, valid, self.mesh, axis=cfg.mesh_axis,
                     nlist=nlist, nprobe=min(cfg.ivf_nprobe, nlist),
                     kmeans_iters=cfg.ivf_kmeans_iters,
+                    dtype=cfg.jnp_dtype(),
                     recall_target=cfg.recall_target,
                 )
                 self._ivf_layout = layout
@@ -603,6 +601,11 @@ class VectorDBEngine:
                     continue  # flush raced with a compaction; retry
                 layout = self._ivf_layout if ivf_mode else self._index.layout
                 fetch_k = max(2 * k, k + 16) if overfetch else k
+                rescore = (self.config.storage_dtype == "int8"
+                           and self.config.rescore_overfetch > 0)
+                if rescore:
+                    fetch_k = max(fetch_k,
+                                  self.config.rescore_overfetch * k)
                 fetch_k = min(fetch_k, layout.total_rows)
                 self.stats["searches"] += 1
                 gen = self._generation
@@ -639,6 +642,9 @@ class VectorDBEngine:
             with self._lock:
                 if self._generation != gen:
                     continue  # compacted mid-search: slot map changed, retry
+                if rescore:
+                    dists, rows = self._rescore_exact(
+                        np.asarray(queries, np.float32), rows, layout)
                 keys: List[List[Optional[str]]] = []
                 for qi in range(rows.shape[0]):
                     row_keys: List[Optional[str]] = []
@@ -651,6 +657,30 @@ class VectorDBEngine:
                     keys.append(row_keys)
                 return dists, keys
         raise RuntimeError("search retry limit exceeded (compaction storm)")
+
+    def _rescore_exact(self, queries: np.ndarray, rows: np.ndarray, layout):
+        """Re-rank device candidates by exact f32 distance from the host
+        mirrors (caller holds the engine lock). Int8 scanning trades score
+        precision for 2x HBM capacity; this epilogue restores exact
+        ordering over the overfetched candidate set."""
+        q = np.atleast_2d(queries)
+        Q, F = rows.shape
+        flat = rows.ravel()
+        ok = flat >= 0
+        vecs = np.zeros((flat.size, q.shape[1]), np.float32)
+        if ok.any():
+            shards = flat[ok] // layout.phys_cap
+            slots = flat[ok] % layout.phys_cap
+            pos = np.flatnonzero(ok)
+            for s in range(len(self.mirrors)):
+                m = shards == s
+                if m.any():
+                    vecs[pos[m]] = self.mirrors[s].vectors[slots[m]]
+        d = ((q[:, None, :] - vecs.reshape(Q, F, -1)) ** 2).sum(-1)
+        d = np.where(rows >= 0, d, np.inf).astype(np.float32)
+        order = np.argsort(d, axis=1, kind="stable")
+        return (np.take_along_axis(d, order, 1),
+                np.take_along_axis(rows, order, 1))
 
     def _flat_search_rows(self, queries: np.ndarray, k: int, index, delta, n_del):
         """Device scan + host delta scan over staged-but-unflushed writes.

@@ -40,11 +40,11 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=16)
 def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    recall_target: float, local_rows: int, spill_rows: int,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, quantized: bool = False):
     ndev = mesh.shape[axis]
 
-    def local_gather(q, cents, offsets, lens, grouped, gsq, gval,
-                     spill, ssq, sval):
+    def local_gather(q, cents, offsets, lens, grouped, gscale, gsq, gval,
+                     spill, sscale, ssq, sval):
         """XLA row-gather probe (CPU path / fallback). Cells are PACKED at
         offsets with lens live rows; window over-scan is masked so a row
         probed via two cells cannot occupy two top-k slots."""
@@ -61,15 +61,27 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         cand = (starts[:, :, None] + offs).reshape(q.shape[0], -1)
         in_cell = (offs < jnp.take(lens, cells, axis=0)[:, :, None]
                    ).reshape(q.shape[0], -1)
-        cvecs = jnp.take(grouped, cand, axis=0)
         csq = jnp.take(gsq, cand, axis=0)
         cval = jnp.take(gval, cand, axis=0)
-        qc = q.astype(grouped.dtype)
-        dots = jnp.einsum("qd,qrd->qr", qc, cvecs,
-                          preferred_element_type=jnp.float32)
+        if quantized:
+            # scaled int8 cells: dequantize at the gather (small candidate
+            # set), norms stay exact f32 (index/ivf.py int8 scheme)
+            cvecs = jnp.take(grouped, cand, axis=0).astype(jnp.float32)
+            cvecs = cvecs * jnp.take(gscale, cand, axis=0)[:, :, None]
+            dots = jnp.einsum("qd,qrd->qr", qf, cvecs,
+                              preferred_element_type=jnp.float32)
+        else:
+            cvecs = jnp.take(grouped, cand, axis=0)
+            dots = jnp.einsum("qd,qrd->qr", q.astype(grouped.dtype), cvecs,
+                              preferred_element_type=jnp.float32)
         neg = jnp.where(cval & in_cell, 2.0 * dots - csq, -jnp.inf)
 
-        sdots = jnp.dot(qc, spill.T, preferred_element_type=jnp.float32)
+        if quantized:
+            spill_f = spill.astype(jnp.float32) * sscale[:, None]
+            sdots = jnp.dot(qf, spill_f.T, preferred_element_type=jnp.float32)
+        else:
+            sdots = jnp.dot(q.astype(grouped.dtype), spill.T,
+                            preferred_element_type=jnp.float32)
         sneg = jnp.where(sval[None, :], 2.0 * sdots - ssq[None, :], -jnp.inf)
         spill_ids = local_rows + jax.lax.broadcasted_iota(
             jnp.int32, (1, spill.shape[0]), 1)
@@ -87,10 +99,12 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         ldist = jnp.where(lids >= 0, q_sq - lneg, jnp.inf)
         return ldist, lids, kk
 
-    def local(q, cents, offsets, lens, grouped, gsq, gval, spill, ssq, sval):
+    def local(q, cents, offsets, lens, grouped, gscale, gsq, gval,
+              spill, sscale, ssq, sval):
         # leading device axis arrives as size-1 blocks
         cents, grouped = cents[0], grouped[0]
         offsets, lens = offsets[0], lens[0]
+        gscale, sscale = gscale[0], sscale[0]
         gsq, gval = gsq[0], gval[0]
         spill, ssq, sval = spill[0], ssq[0], sval[0]
 
@@ -105,11 +119,14 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                 query_tile=min(8, q.shape[0]),
                 spill=spill, spill_sq=ssq, spill_valid=sval,
                 cell_offsets=offsets,
+                cell_scales=gscale if quantized else None,
+                spill_scales=sscale if quantized else None,
             )
             kk = lids.shape[1]
         else:
             ldist, lids, kk = local_gather(q, cents, offsets, lens, grouped,
-                                           gsq, gval, spill, ssq, sval)
+                                           gscale, gsq, gval,
+                                           spill, sscale, ssq, sval)
 
         # encode device ownership, merge across the mesh on TRUE distances
         # (the per-query ||q||^2 shift is constant, so ordering is global)
@@ -131,7 +148,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         local,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis)),
+                  P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -141,7 +158,8 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
 class ShardedIVFIndex:
     def __init__(self, mesh, axis, centroids, cell_offsets, cell_lens,
                  grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
-                 cell_pad, nprobe, recall_target):
+                 cell_pad, nprobe, recall_target,
+                 cell_scales=None, spill_scales=None):
         self.mesh = mesh
         self.axis = axis
         self.centroids = centroids
@@ -158,6 +176,9 @@ class ShardedIVFIndex:
         self.cell_pad = cell_pad
         self.nprobe = nprobe
         self.recall_target = recall_target
+        self.cell_scales = cell_scales    # (ndev, local_rows) f32 | None
+        self.spill_scales = spill_scales  # (ndev, spill_rows) f32 | None
+        self.quantized = cell_scales is not None
 
     @classmethod
     def build(
@@ -271,6 +292,22 @@ class ShardedIVFIndex:
         gsq = np.einsum("knd,knd->kn", grouped, grouped).astype(np.float32)
         ssq = np.einsum("knd,knd->kn", spill, spill).astype(np.float32)
 
+        gscale = sscale = None
+        if dtype == jnp.int8:
+            # scaled int8 cells: per-row quantization, exact f32 norms —
+            # the HBM capacity knob for the 100M-scale config, now on the
+            # distributed path too (was single-device only in r1)
+            from tpuvdb.kernels.quant import quantize_rows_np
+
+            gq = np.zeros(grouped.shape[:2] + (d,), np.int8)
+            gscale = np.zeros(grouped.shape[:2], np.float32)
+            sq8 = np.zeros(spill.shape[:2] + (d,), np.int8)
+            sscale = np.zeros(spill.shape[:2], np.float32)
+            for dev in range(ndev_):
+                gq[dev], gscale[dev] = quantize_rows_np(grouped[dev])
+                sq8[dev], sscale[dev] = quantize_rows_np(spill[dev])
+            grouped, spill = gq, sq8
+
         def put(arr, spec):
             return jax.device_put(jnp.asarray(arr),
                                   NamedSharding(mesh, spec))
@@ -281,7 +318,8 @@ class ShardedIVFIndex:
             centroids=put(cents_all, Pax),
             cell_offsets=put(offsets_all, Pax),
             cell_lens=put(lens_all, Pax),
-            grouped=put(grouped.astype(np.float32), Pax),
+            grouped=put(grouped if dtype == jnp.int8
+                        else grouped.astype(np.float32), Pax),
             gsq=put(gsq, Pax),
             gval=put(gval, Pax),
             spill=put(spill, Pax),
@@ -292,6 +330,8 @@ class ShardedIVFIndex:
             cell_pad=cell_pad,
             nprobe=min(nprobe, nlist_c),
             recall_target=recall_target,
+            cell_scales=put(gscale, Pax) if gscale is not None else None,
+            spill_scales=put(sscale, Pax) if sscale is not None else None,
         )
 
     def stats(self):
@@ -360,11 +400,16 @@ class ShardedIVFIndex:
         use_pallas = jax.default_backend() == "tpu"
         fn = _build_program(self.mesh, self.axis, k, nprobe, self.cell_pad,
                             self.recall_target, local_rows, spill_rows,
-                            use_pallas)
+                            use_pallas, quantized=self.quantized)
+        if self.quantized:
+            gscale, sscale = self.cell_scales, self.spill_scales
+        else:  # placeholder rides the same specs; the f32 branch ignores it
+            gscale = self.gsq
+            sscale = self.ssq
         dist, gids = fn(jnp.asarray(queries, jnp.float32), self.centroids,
                         self.cell_offsets, self.cell_lens,
-                        self.grouped, self.gsq, self.gval,
-                        self.spill, self.ssq, self.sval)
+                        self.grouped, gscale, self.gsq, self.gval,
+                        self.spill, sscale, self.ssq, self.sval)
         gids = np.asarray(gids)
         dist = np.asarray(dist)
         stride = local_rows + spill_rows
