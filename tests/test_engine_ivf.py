@@ -55,7 +55,16 @@ def test_ivf_delta_inserts_visible(rng):
     eng.put(VectorData(key="fresh", vector=v))
     r = eng.search(SearchRequest(query_vector=v, top_k=1))
     assert r.search_result.keys == ["fresh"]
+    # hysteresis: the search served the STAGED row from the host delta
+    # scan without forcing a flush (r1 flushed on every search under
+    # ingest); an explicit flush moves it into the standing IVF delta
+    assert eng.info()["staged"] == 1
+    assert eng.info()["ivf_delta"] == 0
+    eng.flush()
+    assert eng.info()["staged"] == 0
     assert eng.info()["ivf_delta"] == 1
+    r = eng.search(SearchRequest(query_vector=v, top_k=1))
+    assert r.search_result.keys == ["fresh"]
 
 
 def test_ivf_delta_overflow_triggers_rebuild(rng):
@@ -88,3 +97,54 @@ def test_ivf_delete_and_overwrite(rng):
         i = r.search_result.keys.index("k11")
         old_d = float(np.sum((np.asarray(vecs["k11"]) - np.asarray(v2)) ** 2))
         assert abs(r.search_result.scores[i] - old_d) < 1e-2
+
+
+def test_ivf_concurrent_ingest_search_bounded(rng):
+    """VERDICT r1 #8 done-criterion: concurrent ingest+search in IVF mode
+    with bounded search latency — sustained puts must NOT force a delta
+    re-cluster (or any flush) on every search."""
+    import threading
+    import time
+
+    eng = VectorDBEngine(ivf_config())
+    vecs = fill(eng, rng, 400)
+    eng.flush()
+    flushes_before = eng.stats["flushes"]
+
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            try:
+                eng.put(VectorData(
+                    key=f"w{i}",
+                    vector=rng.standard_normal(16).astype(np.float32)))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+            i += 1
+            time.sleep(0.001)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        lat = []
+        target = vecs["k7"]
+        for _ in range(30):
+            t0 = time.perf_counter()
+            r = eng.search(SearchRequest(query_vector=target, top_k=5))
+            lat.append(time.perf_counter() - t0)
+            assert r.success
+            assert r.search_result.keys[0] == "k7"
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not errors
+    # searches did not trigger a flush storm: far fewer flushes than
+    # searches (the r1 behavior flushed on EVERY search under ingest)
+    flushes = eng.stats["flushes"] - flushes_before
+    assert flushes < 10, f"{flushes} flushes for 30 searches under ingest"
+    lat.sort()
+    assert lat[len(lat) // 2] < 1.0  # bounded (CPU jit, generous)

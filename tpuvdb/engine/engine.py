@@ -575,12 +575,15 @@ class VectorDBEngine:
                 # flush only when unavoidable (no index yet / layout outgrown
                 # / staging buffer large); small staged write sets are served
                 # by a host-side delta scan so ingest never stalls queries
+                # IVF gets the same staged-write hysteresis as flat: staged
+                # ops are served by the host delta scan below, so sustained
+                # ingest no longer forces per-search flushes (delta
+                # re-clustering only happens at ivf_delta_max in flush)
                 must_flush = (
                     (self._ivf is None if ivf_mode else self._index is None)
                     or (not ivf_mode and self._index.needs_rebuild(self.mirrors))
                     or len(self._staged_updates) + len(self._staged_deletes)
                     > self.config.flush_batch
-                    or (ivf_mode and (self._staged_updates or self._staged_deletes))
                 )
             if must_flush:
                 with self.timers.stage("search.flush"):
@@ -623,6 +626,13 @@ class VectorDBEngine:
                     if self.mirrors[s].is_valid(sl):
                         delta.append((layout.row_of(s, sl),
                                       self.mirrors[s].vector_at(sl).copy()))
+                ivf = self._ivf
+                if ivf_mode:
+                    # IVF's standing delta (flushed-but-unclustered inserts)
+                    # joins the same host-side exact scan
+                    for (s, sl), v in self._ivf_delta.items():
+                        if self.mirrors[s].is_valid(sl):
+                            delta.append((layout.row_of(s, sl), v))
             # the device call runs OUTSIDE the engine lock: the snapshot's
             # jax buffers are immutable and slots are append-only, so
             # concurrent puts/deletes can't corrupt this search. A
@@ -632,7 +642,8 @@ class VectorDBEngine:
             try:
                 with self.timers.stage("search.device"):
                     if ivf_mode:
-                        dists, rows = self._ivf_search_rows(queries, fetch_k)
+                        dists, rows = self._ivf_search_rows(
+                            queries, fetch_k, ivf, delta, n_del)
                     else:
                         dists, rows = self._flat_search_rows(
                             queries, fetch_k, index, delta, n_del
@@ -718,34 +729,41 @@ class VectorDBEngine:
             return all_d[:, :k], all_r[:, :k]
         return dists[:, :k], rows[:, :k]
 
-    def _ivf_search_rows(self, queries: np.ndarray, k: int):
-        """IVF main search + exact scan of the delta region, merged.
+    def _ivf_search_rows(self, queries: np.ndarray, k: int, ivf,
+                         delta, n_del):
+        """IVF main search + host exact scan of the delta snapshot (staged
+        writes AND the standing unclustered delta), merged. Runs OUTSIDE
+        the engine lock on an under-lock snapshot, like the flat path.
         Empty engine (no IVF yet) returns all-empty results."""
         qn = queries.shape[0]
-        if self._ivf is None:
+        if ivf is None:
             return (np.full((qn, k), np.inf, np.float32),
                     np.full((qn, k), -1, np.int64))
-        dists, rows = self._ivf.search(queries, k)
-        if self._ivf_delta:
-            pairs = list(self._ivf_delta.keys())
-            mat = np.stack([self._ivf_delta[p] for p in pairs])
+        dev_k = k + n_del
+        dev_k = 1 << (dev_k - 1).bit_length()  # pow2: avoid k recompiles
+        dists, rows = ivf.search(queries, dev_k)
+        rows = rows.astype(np.int64)
+        if delta:
+            mat = np.stack([v for _, v in delta])
             q = np.asarray(queries, np.float32)
             d2 = (
                 np.sum(q * q, axis=1, keepdims=True)
                 + np.einsum("nd,nd->n", mat, mat)[None, :]
                 - 2.0 * (q @ mat.T)
             )
-            drows = np.array(
-                [self._ivf_layout.row_of(s, sl) for s, sl in pairs], np.int64
-            )
+            drows = np.array([r for r, _ in delta], np.int64)
             all_d = np.concatenate([dists, d2], axis=1)
             all_r = np.concatenate(
-                [rows, np.broadcast_to(drows, (qn, len(pairs)))], axis=1
+                [rows, np.broadcast_to(drows, (qn, len(delta)))], axis=1
             )
-            order = np.argsort(all_d, axis=1, kind="stable")[:, :k]
-            dists = np.take_along_axis(all_d, order, axis=1)
-            rows = np.take_along_axis(all_r, order, axis=1)
-        return dists, rows
+            # no dedupe needed: delta rows (staged + unclustered) are by
+            # construction absent from the main clustered index (flush
+            # moves staged -> delta; rebuild clears delta into main)
+            order = np.argsort(all_d, axis=1, kind="stable")
+            all_d = np.take_along_axis(all_d, order, axis=1)
+            all_r = np.take_along_axis(all_r, order, axis=1)
+            return all_d[:, :k], all_r[:, :k]
+        return dists[:, :k], rows[:, :k]
 
     # ---------------------------------------------------- background flushing
 
