@@ -11,7 +11,8 @@ from tpuvdb.engine.engine import VectorDBEngine
 from tpuvdb.index.layout import ShardMirror
 from tpuvdb.index.exact import DeviceExactIndex
 from tpuvdb.kernels.distance import numpy_oracle
-from tpuvdb.kernels.quant import l2sq_topk_int8_xla, quantize_batch, quantize_rows_np
+from tpuvdb.kernels.quant import (l2sq_topk_int8_rescored, l2sq_topk_int8_xla,
+                                  quantize_batch, quantize_rows_np)
 
 
 def test_quantize_roundtrip(rng):
@@ -40,6 +41,61 @@ def test_int8_kernel_recall(rng):
     _, oidx = numpy_oracle(q, corpus, valid, k)
     recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(16)])
     assert recall >= 0.9, recall
+
+
+def test_int8_rescored_beats_plain_int8(rng):
+    """Device-side exact re-rank over dequantized candidates must match or
+    beat the plain int8 scan's recall — it removes query-quantization and
+    approx-selection error (only corpus quantization remains)."""
+    n, d, k = 4096, 64, 10
+    # adversarial: tight near-duplicate shells where int8 noise flips order
+    base = rng.standard_normal((n // 2, d)).astype(np.float32) * 3
+    dups = base + 0.02 * rng.standard_normal(base.shape).astype(np.float32)
+    corpus = np.concatenate([base, dups])
+    ci8, scales = quantize_rows_np(corpus)
+    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
+    valid = np.ones(n, bool)
+    q = corpus[rng.choice(n, 32)] + 0.05 * rng.standard_normal(
+        (32, d)).astype(np.float32)
+    args = (jnp.asarray(q), jnp.asarray(ci8), jnp.asarray(scales),
+            jnp.asarray(sq), jnp.asarray(valid))
+    _, idx_plain = l2sq_topk_int8_xla(*args, k=k)
+    dist_r, idx_r = l2sq_topk_int8_rescored(*args, k=k, fetch=128)
+    idx_plain, idx_r = np.asarray(idx_plain), np.asarray(idx_r)
+    dist_r = np.asarray(dist_r)
+    _, oidx = numpy_oracle(q, corpus, valid, k)
+    rec_plain = np.mean([len(set(idx_plain[i]) & set(oidx[i])) / k
+                         for i in range(32)])
+    rec_resc = np.mean([len(set(idx_r[i]) & set(oidx[i])) / k
+                        for i in range(32)])
+    assert rec_resc >= rec_plain - 1e-9, (rec_plain, rec_resc)
+    assert rec_resc >= 0.95, rec_resc
+    # rescored distances are exact w.r.t. the DEQUANTIZED rows
+    deq = ci8.astype(np.float32) * scales[:, None]
+    for i in range(4):
+        for j in range(k):
+            r = idx_r[i, j]
+            if r >= 0:
+                want = float(((q[i] - deq[r]) ** 2).sum())
+                assert abs(dist_r[i, j] - want) < 1e-2 + 1e-3 * want
+    # distances ascend
+    fin = np.where(np.isfinite(dist_r), dist_r, np.inf)
+    assert (np.diff(fin, axis=1) >= -1e-5).all()
+
+
+def test_int8_rescored_fetch_clamps_to_corpus(rng):
+    n, d, k = 32, 16, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    ci8, scales = quantize_rows_np(corpus)
+    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[n // 2:] = False
+    dist, idx = l2sq_topk_int8_rescored(
+        jnp.asarray(corpus[:3]), jnp.asarray(ci8), jnp.asarray(scales),
+        jnp.asarray(sq), jnp.asarray(valid), k=k, fetch=128)
+    idx = np.asarray(idx)
+    assert ((idx < n // 2)).all()  # invalid rows never surface
+    assert (idx[:, 0] == np.arange(3)).all()  # self is nearest
 
 
 def test_int8_device_index_updates(rng):

@@ -47,19 +47,28 @@ def test_serve_subprocess_roundtrip(tmp_path, rng):
     try:
         # generous: the subprocess pays a cold jax import on a single
         # contended CPU core (slowest when the rest of the suite ran first)
-        for _ in range(180):
-            try:
-                import http.client
+        import http.client
 
+        deadline = time.monotonic() + 300
+        healthy = False
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                pytest.fail(f"server died during startup (rc={proc.returncode}); "
+                            f"output:\n{out[-4000:]}")
+            try:
                 conn = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
                 conn.request("GET", "/healthz")
                 if conn.getresponse().status == 200:
+                    healthy = True
                     break
-            except OSError:
-                time.sleep(1)
-        else:
-            out = proc.stdout.read().decode() if proc.poll() is not None else ""
-            pytest.fail(f"server never became healthy; output: {out[:2000]}")
+            except (OSError, http.client.HTTPException):
+                pass
+            time.sleep(1)
+        if not healthy:
+            proc.send_signal(signal.SIGKILL)
+            out = proc.stdout.read().decode(errors="replace")
+            pytest.fail(f"server never became healthy; output:\n{out[-4000:]}")
 
         v = rng.standard_normal(8).astype(np.float32)
         try:
