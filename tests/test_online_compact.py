@@ -74,6 +74,68 @@ def test_online_compact_journals_interim_ops(rng):
     assert not eng.get("k10").success
 
 
+def test_get_after_overwrite_during_compaction(rng):
+    """VERDICT r1 weak #9: `get` reads the mirror slot the docstore points
+    at. After an overwrite (delete old slot + reinsert into a fresh slot),
+    a get racing a compaction must return the NEW vector — never the stale
+    slot, never a miss — because compaction reuses/remaps slots."""
+    eng = VectorDBEngine(cfg())
+    fill(eng, rng, 300)
+    errors = []
+    stop = threading.Event()
+    # per-key write protocol: values are appended to hist BEFORE the put
+    # starts; acked[key] = index of the last put that returned success.
+    # A get that started after ack may only observe hist[key][acked:] —
+    # anything earlier is a stale pre-overwrite slot.
+    hist = {f"k{i}": [] for i in range(50)}
+    acked = {}
+    lock = threading.Lock()
+
+    def overwriter():
+        i = 0
+        while not stop.is_set():
+            key = f"k{i % 50}"
+            v = rng.standard_normal(16).astype(np.float32)
+            with lock:
+                pos = len(hist[key])
+                hist[key].append(v)
+            if eng.put(VectorData(key=key, vector=v)).success:
+                with lock:
+                    acked[key] = pos
+            i += 1
+
+    def getter():
+        while not stop.is_set():
+            with lock:
+                if not acked:
+                    continue
+                key, pos = next(iter(acked.items()))
+            g = eng.get(key)
+            if not g.success:
+                errors.append(f"get({key}) missed")
+                continue
+            got = np.asarray(g.vector_data.vector, np.float32)
+            with lock:  # read AFTER the get: includes racing in-flight puts
+                legal = list(hist[key][pos:])
+            if not any(np.allclose(got, v, rtol=1e-5) for v in legal):
+                errors.append(f"stale read on {key}")
+
+    threads = [threading.Thread(target=overwriter),
+               threading.Thread(target=getter)]
+    for t in threads:
+        t.start()
+    for _ in range(4):
+        eng.compact(online=True)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]
+    # post-race: every key's get matches the last acked overwrite exactly
+    for key, pos in acked.items():
+        np.testing.assert_allclose(eng.get(key).vector_data.vector,
+                                   hist[key][pos], rtol=1e-6)
+
+
 def test_compact_under_concurrent_load(rng):
     eng = VectorDBEngine(cfg())
     fill(eng, rng, 400)

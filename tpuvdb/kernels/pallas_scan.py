@@ -155,10 +155,12 @@ def pallas_candidates(
 
 def _scan_kernel_int8(qscale_ref, q_ref, chunk_ref, rowscale_ref, sq_ref,
                       mask_ref, val_out, idx_out, run_val, run_idx,
-                      *, block_rows: int, n_buckets: int):
+                      *, block_rows: int, n_buckets: int, sub_rows: int):
     """Int8 variant: int8 x int8 -> int32 dots on the MXU; exact f32 norm
     correction; per-row scales from VMEM, the batch-global query scale from
-    SMEM (see kernels.quant for the scheme)."""
+    SMEM (see kernels.quant for the scheme). Scores materialize sub_rows at
+    a time — a full (QT, block_rows) f32 buffer (16 MB at QT=256/B=16k)
+    blows VMEM and was measured 1.8x slower than the sub-chunked form."""
     ni = pl.num_programs(1)
     i = pl.program_id(1)
 
@@ -167,24 +169,28 @@ def _scan_kernel_int8(qscale_ref, q_ref, chunk_ref, rowscale_ref, sq_ref,
         run_val[:] = jnp.full_like(run_val, NEG_INF)
         run_idx[:] = jnp.full_like(run_idx, -1)
 
-    dots = jax.lax.dot_general(
-        q_ref[:], chunk_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)                  # (QT, B)
+    q = q_ref[:]                           # (QT, d) int8
     qs = qscale_ref[0, 0]
-    scores = 2.0 * qs * rowscale_ref[:] * dots - sq_ref[:] + mask_ref[:]
-
     base = i * block_rows
-    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], n_buckets), 1)
     rv = run_val[:]
     ri = run_idx[:]
-    for j in range(block_rows // n_buckets):
-        cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
-        cidx = base + j * n_buckets + col
-        better = cand > rv
-        rv = jnp.where(better, cand, rv)
-        ri = jnp.where(better, cidx, ri)
+    for s in range(block_rows // sub_rows):
+        part = chunk_ref[s * sub_rows : (s + 1) * sub_rows, :]
+        dots = jax.lax.dot_general(
+            q, part,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)              # (QT, sub)
+        sl = slice(s * sub_rows, (s + 1) * sub_rows)
+        scores = (2.0 * qs * rowscale_ref[:, sl] * dots
+                  - sq_ref[:, sl] + mask_ref[:, sl])
+        for j in range(sub_rows // n_buckets):
+            cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
+            cidx = base + s * sub_rows + j * n_buckets + col
+            better = cand > rv
+            rv = jnp.where(better, cand, rv)
+            ri = jnp.where(better, cidx, ri)
     run_val[:] = rv
     run_idx[:] = ri
 
@@ -196,7 +202,8 @@ def _scan_kernel_int8(qscale_ref, q_ref, chunk_ref, rowscale_ref, sq_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_rows", "n_buckets", "query_tile", "interpret"),
+    static_argnames=("block_rows", "n_buckets", "query_tile", "sub_rows",
+                     "interpret"),
 )
 def pallas_candidates_int8(
     queries: jax.Array,       # (Q, d) f32
@@ -207,6 +214,7 @@ def pallas_candidates_int8(
     block_rows: int = 16384,
     n_buckets: int = 512,
     query_tile: int = 256,
+    sub_rows: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     from tpuvdb.kernels.quant import quantize_batch
@@ -217,10 +225,14 @@ def pallas_candidates_int8(
         raise ValueError(f"corpus rows {n} %% block_rows {block_rows} != 0")
     if qn % query_tile != 0:
         raise ValueError(f"queries {qn} %% query_tile {query_tile} != 0")
+    if block_rows % sub_rows != 0 or sub_rows % n_buckets != 0:
+        raise ValueError(
+            "need block_rows % sub_rows == 0 and sub_rows % n_buckets == 0")
     qi, qscale = quantize_batch(queries)
     grid = (qn // query_tile, n // block_rows)
     kernel = functools.partial(
-        _scan_kernel_int8, block_rows=block_rows, n_buckets=n_buckets
+        _scan_kernel_int8, block_rows=block_rows, n_buckets=n_buckets,
+        sub_rows=sub_rows,
     )
     return pl.pallas_call(
         kernel,
@@ -272,6 +284,7 @@ def pallas_l2sq_topk_int8(
     block_rows: int = 16384,
     n_buckets: int = 512,
     query_tile: int = 256,
+    sub_rows: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Int8 fused scan + exact top-k epilogue. Distances carry int8 dot
@@ -282,12 +295,15 @@ def pallas_l2sq_topk_int8(
     q = queries
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
+    sub = min(sub_rows, block_rows)
+    while block_rows % sub or sub % n_buckets:
+        sub -= n_buckets
     neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     cand_val, cand_idx = pallas_candidates_int8(
         q, corpus_i8, row_scales.reshape(1, -1).astype(jnp.float32),
         corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,
         block_rows=block_rows, n_buckets=n_buckets, query_tile=qt,
-        interpret=interpret,
+        sub_rows=sub, interpret=interpret,
     )
     cand_val = cand_val[:qn]
     cand_idx = cand_idx[:qn]
