@@ -128,6 +128,34 @@ def test_int8_device_index_updates(rng):
     assert (0, slot) in found and (1, 50) in found
 
 
+def test_int8_engine_device_rescore_mode(rng):
+    """rescore_mode='device' fuses the dequant re-rank into the scan
+    program (single-device): results stay correct and the host rescore
+    path is bypassed."""
+    cfg = DBConfig(vector_dim=16, shard_count=2, shard_capacity=4096,
+                   block_size=128, storage_dtype="int8",
+                   rescore_mode="device", rescore_overfetch=16,
+                   checkpoint_every_puts=10**6, compact_every_puts=10**6)
+    eng = VectorDBEngine(cfg)  # no mesh -> single-device scan path
+    vecs = {}
+    batch = []
+    for i in range(200):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+    eng.flush()
+    assert eng._index is not None and eng._index.rescore_fetch == 32
+    r = eng.search(SearchRequest(query_vector=vecs["k7"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k7"
+    # self-distance after dequant re-rank is near zero (not int8-noisy)
+    assert r.search_result.scores[0] < 0.05
+    # deletes are honored through the fused path
+    eng.delete("k7")
+    r = eng.search(SearchRequest(query_vector=vecs["k7"], top_k=3))
+    assert "k7" not in r.search_result.keys
+
+
 def test_int8_engine_and_mesh(rng):
     from tpuvdb.mesh.mesh import create_mesh
 

@@ -65,6 +65,15 @@ class DBConfig:
     # ~256 (fetch ~2.5k, the "overfetch-4k" regime) for recall ~1.0 —
     # still <1% extra HBM traffic vs the 1M-row scan. 0 disables.
     rescore_overfetch: int = 16
+    # "exact"  — host re-rank against the f32 mirrors (recall ceiling 1.0;
+    #            costs a host gather of rescore_overfetch*k rows per query).
+    # "device" — fused on-device re-rank over DEQUANTIZED int8 rows (one
+    #            XLA program, no host round-trip; recall ceiling = corpus
+    #            quantization, ~0.97 on adversarial shells; measured 518k
+    #            QPS vs ~5k for the host path at batch 256 on v5e).
+    #            Single-device flat indexes only; mesh/IVF keep "exact".
+    # "none"   — serve raw int8 scan scores.
+    rescore_mode: str = "exact"
     flush_batch: int = 1024        # staged inserts per device flush
     search_mode: str = "approx"    # "approx" = hardware PartialReduce top-k
                                    # (recall@10 ~0.98, ~25x faster on TPU);

@@ -398,6 +398,13 @@ class VectorDBEngine:
         self.stats["flushes"] += 1
 
     def _rebuild_device_index(self):
+        # "device" rescore lives INSIDE the index's scan program (fused
+        # dequant re-rank, single-device only — mesh programs keep their
+        # own collective merge); "exact" is applied by search_batch on the
+        # host instead
+        device_rescore = (self.config.rescore_mode == "device"
+                          and (self.mesh is None or self.mesh.size == 1)
+                          and self.config.rescore_overfetch > 0)
         self._index = DeviceExactIndex.build(
             self.mirrors,
             dtype=self.config.jnp_dtype(),
@@ -406,6 +413,8 @@ class VectorDBEngine:
             mesh_axis=self.config.mesh_axis,
             search_mode=self.config.search_mode,
             recall_target=self.config.recall_target,
+            rescore_fetch=(self.config.rescore_overfetch * 2
+                           if device_rescore else 0),
         )
         self._staged_updates.clear()
         self._staged_deletes.clear()
@@ -605,7 +614,8 @@ class VectorDBEngine:
                 layout = self._ivf_layout if ivf_mode else self._index.layout
                 fetch_k = max(2 * k, k + 16) if overfetch else k
                 rescore = (self.config.storage_dtype == "int8"
-                           and self.config.rescore_overfetch > 0)
+                           and self.config.rescore_overfetch > 0
+                           and self.config.rescore_mode == "exact")
                 if rescore:
                     fetch_k = max(fetch_k,
                                   self.config.rescore_overfetch * k)

@@ -73,6 +73,7 @@ class DeviceExactIndex:
         mesh_axis: str = "shards",
         search_mode: str = "approx",
         recall_target: float = 0.95,
+        rescore_fetch: int = 0,
     ):
         self.layout = layout
         self.dtype = dtype
@@ -81,6 +82,10 @@ class DeviceExactIndex:
         self.mesh_axis = mesh_axis
         self.search_mode = search_mode
         self.recall_target = recall_target
+        # int8 only: >0 fuses an on-device exact re-rank of this many
+        # dequantized candidates into the scan (kernels.quant); removes
+        # query-quantization + approx-selection error with no host work
+        self.rescore_fetch = rescore_fetch
         self._sharding = None
         self._sharding1d = None
         if mesh is not None:
@@ -124,6 +129,7 @@ class DeviceExactIndex:
         mesh_axis: str = "shards",
         search_mode: str = "approx",
         recall_target: float = 0.95,
+        rescore_fetch: int = 0,
     ) -> "DeviceExactIndex":
         # rows must divide across the SHARD axis (a 2-D mesh's other axis
         # replicates and doesn't constrain the row count)
@@ -131,7 +137,7 @@ class DeviceExactIndex:
         layout = StackedLayout.for_mirrors(mirrors, block=block_size, min_rows_multiple=ndev)
         idx = cls(layout, dtype=dtype, block_size=block_size, mesh=mesh,
                   mesh_axis=mesh_axis, search_mode=search_mode,
-                  recall_target=recall_target)
+                  recall_target=recall_target, rescore_fetch=rescore_fetch)
         vecs, sq, valid = layout.stack(mirrors)
         if idx.quantized:
             from tpuvdb.kernels.quant import quantize_rows_np
@@ -246,6 +252,14 @@ class DeviceExactIndex:
                 mesh=self.mesh, axis=self.mesh_axis,
                 mode=self.search_mode, recall_target=self.recall_target,
                 row_scales=self.row_scales,
+            )
+        elif self.quantized and self.rescore_fetch > 0:
+            from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
+
+            dist, rows = l2sq_topk_int8_rescored(
+                q, self.vectors, self.row_scales, self.sqnorms, self.valid,
+                k=k, fetch=max(self.rescore_fetch, k),
+                recall_target=self.recall_target,
             )
         elif self.quantized:
             from tpuvdb.kernels.quant import l2sq_topk_int8_xla
