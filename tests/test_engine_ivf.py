@@ -46,6 +46,47 @@ def test_ivf_engine_end_to_end(rng):
     assert eng.info()["ivf"] is not None
 
 
+def test_ivf_staged_deletes_do_not_eat_topk_width(rng):
+    """Review regression: with staged-write hysteresis, deletes no longer
+    force a flush before search — the device still returns the deleted
+    rows, which resolve to no key. search must refill from the overfetch
+    padding and return a FULL top_k of live keys, not k minus the
+    staged-delete hits."""
+    eng = VectorDBEngine(ivf_config(flush_batch=1024))
+    vecs = fill(eng, rng, 400)
+    q = vecs["k42"]
+    # make 10 of the query's nearest neighbors, then delete them STAGED
+    near = [f"n{i}" for i in range(10)]
+    batch = [VectorData(key=nk,
+                        vector=q + 0.01 * rng.standard_normal(16).astype(np.float32))
+             for nk in near]
+    assert eng.put_batch(batch).success
+    eng.flush()  # near-dups live in the device index
+    for nk in near:
+        assert eng.delete(nk).success  # staged only (hysteresis: no flush)
+    r = eng.search(SearchRequest(query_vector=q, top_k=10))
+    assert r.success
+    keys = r.search_result.keys
+    assert len(keys) == 10, f"expected 10 live hits, got {len(keys)}: {keys}"
+    assert not (set(keys) & set(near))
+    assert keys[0] == "k42"
+    # flat mode has the same staged-delete path
+    eng2 = VectorDBEngine(ivf_config(index_type="flat", flush_batch=1024))
+    vecs2 = fill(eng2, rng, 400)
+    q2 = vecs2["k42"]
+    batch = [VectorData(key=f"n{i}",
+                        vector=q2 + 0.01 * rng.standard_normal(16).astype(np.float32))
+             for i in range(10)]
+    assert eng2.put_batch(batch).success
+    eng2.flush()
+    for i in range(10):
+        assert eng2.delete(f"n{i}").success
+    r = eng2.search(SearchRequest(query_vector=q2, top_k=10))
+    keys = r.search_result.keys
+    assert len(keys) == 10, f"flat: expected 10 live hits, got {len(keys)}"
+    assert keys[0] == "k42"
+
+
 def test_ivf_delta_inserts_visible(rng):
     eng = VectorDBEngine(ivf_config())
     fill(eng, rng, 300)

@@ -244,3 +244,53 @@ def test_rejoin_sync_converges_replicas(cluster, rng):
     finally:
         srv2.shutdown()
         svc2.close()
+
+
+def test_deleted_key_not_resurrected_by_stale_replica(cluster, rng):
+    """Review finding (round 2): a REACHABLE master's not-found must be
+    authoritative. Consulting replicas/other nodes on a clean not-found
+    resurrects deleted keys whose async replicate-delete was lost."""
+    coord, nodes = cluster
+    assert coord.sync_all().success  # land the bootstrap rebalance
+    v = rng.standard_normal(8).astype(np.float32)
+    assert coord.put(VectorData(key="zombie", vector=v)).success
+    time.sleep(0.2)  # let async replication land
+    assert coord.delete("zombie").success
+    time.sleep(0.2)
+    # simulate a replica whose replicate-delete never landed: stuff a stale
+    # copy straight into a NON-master node's engine
+    shard = get_shard_id("zombie", 4)
+    master = coord.registry.get_shard_nodes(shard)["master"][0]
+    stale_node = next((nid, svc) for nid, svc, _ in nodes if nid != master)
+    stale_node[1].engine.put(VectorData(key="zombie", vector=v))
+    # master is reachable and says not-found -> that is the answer
+    assert not coord.get("zombie").success
+
+
+def test_stale_route_window_finds_unmigrated_records(cluster, rng):
+    """Counterpart: while shard ownership has moved WITHOUT a rebalance
+    (routes stale), get() must still find records on their old owners —
+    and sync_all closes the window."""
+    coord, nodes = cluster
+    assert coord.sync_all().success
+    vecs = {}
+    for i in range(20):
+        v = rng.standard_normal(8).astype(np.float32)
+        vecs[f"m{i}"] = v
+        assert coord.put(VectorData(key=f"m{i}", vector=v)).success
+    # a NEW node joins: shard map reshuffles round-robin, no data moves
+    svc4 = DBService(node_config())
+    srv4 = DBServer(svc4, port=0)
+    srv4.start_background()
+    try:
+        coord.register_node("n3", srv4.address)
+        assert coord._routes_stale
+        for k in vecs:  # old owners still serve every key via broadcast
+            assert coord.get(k).success, k
+        assert coord.sync_all().success
+        assert not coord._routes_stale
+        for k in vecs:  # post-rebalance: served by the new owners directly
+            assert coord.get(k).success, k
+    finally:
+        srv4.shutdown()
+        svc4.close()

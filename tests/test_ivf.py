@@ -85,6 +85,21 @@ def test_ivf_invalidate_rows(rng):
     assert rows[0, 0] != 7
 
 
+def test_ivf_invalidate_ignores_negative_rows(rng):
+    """A -1 physical row (failed upstream lookup) must be a no-op: numpy
+    indexing would wrap it to inv[-1] and soft-delete an unrelated live
+    slot (review finding, round 2)."""
+    data = rng.standard_normal((512, 16)).astype(np.float32)
+    valid = np.ones(512, bool)
+    idx = IVFIndex.build(data, valid, nlist=4, nprobe=4, kmeans_iters=5)
+    live_before = int(np.asarray(idx.grouped_valid).sum()
+                      + np.asarray(idx.spill_valid).sum())
+    idx.invalidate_rows(np.array([-1, -5, 10**9]))
+    live_after = int(np.asarray(idx.grouped_valid).sum()
+                     + np.asarray(idx.spill_valid).sum())
+    assert live_after == live_before
+
+
 def test_ivf_spill_region_scanned():
     # skewed data: one dominant cluster forces spill with a low quantile
     # cap (local rng: the spill condition is sensitive to the draw)

@@ -51,6 +51,38 @@ def test_pallas_ivf_matches_oracle(rng):
                 assert abs(true - dist[i, j]) < 1e-2
 
 
+def test_pallas_ivf_wide_fetch_beyond_128(rng):
+    """Review finding (round 2): the packed path's 128-slot chunks capped
+    distinct candidates at 128/query; segment rotation must serve k > 128
+    (the int8 rescore fetch / staged-delete padding regime) with real,
+    deduped candidates."""
+    centers = rng.standard_normal((8, 16)) * 5
+    data = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((128, 16)) for i in range(8)
+    ]).astype(np.float32)
+    valid = np.ones(len(data), bool)
+    idx = IVFIndex.build(data, valid, nlist=8, nprobe=8, kmeans_iters=8)
+
+    k = 200
+    q = data[:4] + 0.05 * rng.standard_normal((4, 16)).astype(np.float32)
+    dist, gid = pallas_ivf_search(
+        jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
+        idx.grouped_valid, cell_pad=idx.cell_pad, k=k, nprobe=8,
+        query_tile=4, interpret=True, cell_offsets=idx.cell_offsets,
+        spill=idx.spill, spill_sq=idx.spill_sq, spill_valid=idx.spill_valid,
+    )
+    gid, dist = np.asarray(gid), np.asarray(dist)
+    for i in range(4):
+        live = gid[i][gid[i] >= 0]
+        assert len(live) > 128, f"only {len(live)} candidates (old cap)"
+        assert len(set(live.tolist())) == len(live), "duplicate candidates"
+        # full-probe top-k matches the oracle head
+        _, oidx = numpy_oracle(q[i:i+1], data, valid, 64)
+        rows = np.where(gid[i] >= 0, idx.row_ids[np.clip(gid[i], 0, None)], -1)
+        rec = len(set(rows[:64][rows[:64] >= 0]) & set(oidx[0])) / 64
+        assert rec >= 0.95, rec
+
+
 def test_pallas_ivf_masks_deleted(rng):
     data = rng.standard_normal((512, 16)).astype(np.float32)
     valid = np.ones(512, bool)

@@ -156,6 +156,31 @@ def test_int8_engine_device_rescore_mode(rng):
     assert "k7" not in r.search_result.keys
 
 
+def test_int8_device_rescore_falls_back_to_host_on_ivf(rng):
+    """rescore_mode='device' on a config without the fused path (IVF) must
+    fall back to the exact HOST rescore, not silently serve raw int8
+    scores (review finding, round 2)."""
+    cfg = DBConfig(vector_dim=16, shard_count=2, shard_capacity=4096,
+                   block_size=128, storage_dtype="int8", index_type="ivf",
+                   ivf_nlist=4, ivf_nprobe=4, ivf_kmeans_iters=3,
+                   rescore_mode="device", rescore_overfetch=8,
+                   checkpoint_every_puts=10**6, compact_every_puts=10**6)
+    eng = VectorDBEngine(cfg)
+    vecs = {}
+    batch = []
+    for i in range(300):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+    eng.flush()
+    r = eng.search(SearchRequest(query_vector=vecs["k42"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k42"
+    # host rescore ran: self-distance is EXACT zero (f32 mirrors), not
+    # int8-noisy
+    assert r.search_result.scores[0] < 1e-9
+
+
 def test_int8_engine_and_mesh(rng):
     from tpuvdb.mesh.mesh import create_mesh
 

@@ -24,7 +24,8 @@ RPC (REPLICA_COUNT semantics the reference declares but never implements).
 from __future__ import annotations
 
 import threading
-from concurrent.futures import ThreadPoolExecutor
+import time
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from typing import Any, Dict, List, Optional
 
 from tpuvdb.api.client import DBClient
@@ -50,6 +51,12 @@ class FederatedCoordinator:
         self._clients_lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="tpuvdb-fed")
+        # True between a membership change (shard ownership moved WITHOUT
+        # data migration) and a completed sync_all rebalance. Only in this
+        # window may get() distrust a clean not-found from a reachable
+        # master — outside it, asking other nodes would resurrect deleted
+        # keys from stale replicas (review finding, round 2).
+        self._routes_stale = False
 
     # ---------------------------------------------------------------- helpers
 
@@ -92,6 +99,11 @@ class FederatedCoordinator:
     def register_node(self, node_id: str, address: str) -> Response:
         known = self.registry.get_node(node_id) is not None
         self.registry.register_node(node_id, address)
+        if not known:
+            # a NEW node reshuffles shard ownership round-robin without
+            # moving data (ref parity, src/coordinator/handler.py:96-99):
+            # reads must consider old owners until a rebalance lands
+            self._routes_stale = True
         # a rejoining node usually comes back at a NEW address — drop any
         # cached client or every call would hit the dead socket
         with self._clients_lock:
@@ -138,21 +150,31 @@ class FederatedCoordinator:
         return Response.from_dict(r)
 
     def _await_replica_acks(self, futs) -> Optional[Response]:
-        """Wait for write_acks-1 replica successes (None = satisfied)."""
+        """Wait for write_acks-1 replica successes (None = satisfied).
+        One SHARED deadline across all futures: waiting rpc_timeout_s per
+        future in list order would block on a slow slave even after a
+        later slave acked, degrading put latency to the sum of timeouts."""
         need = min(self.config.write_acks - 1, len(futs))
         if need <= 0:
             return None
         got = 0
-        deadline = self.config.rpc_timeout_s
-        for fut in futs:
-            try:
-                r = fut.result(timeout=deadline)
-            except Exception:
-                r = None
-            if r is not None and r.get("success"):
-                got += 1
-                if got >= need:
-                    return None
+        pending = set(futs)
+        deadline = time.monotonic() + self.config.rpc_timeout_s
+        while pending:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            done, pending = wait(pending, timeout=remaining,
+                                 return_when=FIRST_COMPLETED)
+            for fut in done:
+                try:
+                    r = fut.result()
+                except Exception:
+                    r = None
+                if r is not None and r.get("success"):
+                    got += 1
+                    if got >= need:
+                        return None
         return Response.fail(
             f"quorum not met: {got + 1}/{need + 1} acks (written on the "
             "master; replicas will converge via sync)")
@@ -163,7 +185,15 @@ class FederatedCoordinator:
             return Response.fail(f"no online node for shard of key {key!r}")
         tried = {master}
         r = self._call_node(master, "get", {"key": key})
-        if r is None or not r.get("success"):
+        if r is not None and r.get("success"):
+            return Response.from_dict(r)
+        # A REACHABLE master's not-found is authoritative: asking replicas
+        # (whose async delete may still be in flight) or the whole cluster
+        # would resurrect deleted keys from stale copies. Failover reads
+        # run only when the master is UNREACHABLE — except while routes are
+        # stale (shard ownership moved without data migration), where the
+        # record may legitimately live on another node.
+        if r is None:
             # failover read: slaves hold real replicas here
             for slave in self._slaves_for_key(key):
                 tried.add(slave)
@@ -171,11 +201,10 @@ class FederatedCoordinator:
                 if r2 is not None and r2.get("success"):
                     return Response.from_dict(r2)
                 r = r or r2
-        if r is None or not r.get("success"):
-            # last resort: a membership change reassigns shard ownership
-            # round-robin WITHOUT moving data (sync_all re-places it lazily),
-            # so until a rebalance lands the record may live on a node no
-            # longer in the shard group — ask everyone before failing.
+        if (r is None or not r.get("success")) and self._routes_stale:
+            # membership changed and no rebalance has landed yet: the
+            # record may live on a node no longer in the shard group —
+            # ask everyone before failing (closed again by sync_all)
             for nid in self.registry.online_nodes():
                 if nid in tried:
                     continue
@@ -208,8 +237,15 @@ class FederatedCoordinator:
         membership changes move shard ownership, this re-places each
         shard's data onto its current master+slaves)."""
         msgs = []
+        all_ok = True
         for nid in self.registry.online_nodes():
-            msgs.append(f"{nid}: {self.sync_node(nid, prune=prune).message}")
+            r = self.sync_node(nid, prune=prune)
+            all_ok = all_ok and r.success
+            msgs.append(f"{nid}: {r.message}")
+        if all_ok:
+            # every shard's data is back on its current owners: reachable
+            # not-found is authoritative again (see get())
+            self._routes_stale = False
         return Response.ok("; ".join(msgs) or "no online nodes")
 
     def _export_all(self, node_id: str) -> Optional[Dict[str, Dict[str, Any]]]:

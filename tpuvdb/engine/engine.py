@@ -613,9 +613,17 @@ class VectorDBEngine:
                     continue  # flush raced with a compaction; retry
                 layout = self._ivf_layout if ivf_mode else self._index.layout
                 fetch_k = max(2 * k, k + 16) if overfetch else k
+                # host rescore runs for int8 unless disabled ("none") or
+                # the fused device re-rank is wired into THIS index (flat
+                # single-device only) — "device" on IVF/mesh configs falls
+                # back to the exact host path rather than silently serving
+                # raw int8 scores (config.py documents this fallback)
+                fused_device = (not ivf_mode and self._index is not None
+                                and self._index.rescore_fetch > 0)
                 rescore = (self.config.storage_dtype == "int8"
                            and self.config.rescore_overfetch > 0
-                           and self.config.rescore_mode == "exact")
+                           and self.config.rescore_mode != "none"
+                           and not fused_device)
                 if rescore:
                     fetch_k = max(fetch_k,
                                   self.config.rescore_overfetch * k)
@@ -666,17 +674,33 @@ class VectorDBEngine:
                 if rescore:
                     dists, rows = self._rescore_exact(
                         np.asarray(queries, np.float32), rows, layout)
+                # the helpers return the FULL device width (fetch_k padded
+                # by the staged-delete count): staged-deleted slots resolve
+                # to no key here, so compact live hits to the front and
+                # truncate to fetch_k — otherwise deleted rows would eat
+                # the caller's requested width and top_k=10 could return 3
+                # live hits (found by review after the flush-hysteresis
+                # change stopped flushing deletes before every search)
+                qn = rows.shape[0]
+                out_d = np.full((qn, fetch_k), np.inf, np.float32)
                 keys: List[List[Optional[str]]] = []
-                for qi in range(rows.shape[0]):
+                for qi in range(qn):
                     row_keys: List[Optional[str]] = []
-                    for r in rows[qi]:
+                    for j in range(rows.shape[1]):
+                        if len(row_keys) == fetch_k:
+                            break
+                        r = rows[qi, j]
                         if r < 0:
-                            row_keys.append(None)
                             continue
                         shard, slot = layout.shard_slot_of(int(r))
-                        row_keys.append(self.docstore.key_at(shard, slot))
+                        key = self.docstore.key_at(shard, slot)
+                        if key is None:
+                            continue  # staged-delete leftover on device
+                        out_d[qi, len(row_keys)] = dists[qi, j]
+                        row_keys.append(key)
+                    row_keys.extend([None] * (fetch_k - len(row_keys)))
                     keys.append(row_keys)
-                return dists, keys
+                return out_d, keys
         raise RuntimeError("search retry limit exceeded (compaction storm)")
 
     def _rescore_exact(self, queries: np.ndarray, rows: np.ndarray, layout):
@@ -736,8 +760,11 @@ class VectorDBEngine:
             order = np.argsort(all_d, axis=1, kind="stable")
             all_d = np.take_along_axis(all_d, order, axis=1)
             all_r = np.take_along_axis(all_r, order, axis=1)
-            return all_d[:, :k], all_r[:, :k]
-        return dists[:, :k], rows[:, :k]
+            # FULL width returned (>= k + n_del): the caller drops rows
+            # whose slot was staged-deleted, so truncating to k here would
+            # hand back deleted slots in place of live candidates
+            return all_d, all_r
+        return dists, rows
 
     def _ivf_search_rows(self, queries: np.ndarray, k: int, ivf,
                          delta, n_del):
@@ -772,8 +799,9 @@ class VectorDBEngine:
             order = np.argsort(all_d, axis=1, kind="stable")
             all_d = np.take_along_axis(all_d, order, axis=1)
             all_r = np.take_along_axis(all_r, order, axis=1)
-            return all_d[:, :k], all_r[:, :k]
-        return dists[:, :k], rows[:, :k]
+            # FULL width returned — see _flat_search_rows
+            return all_d, all_r
+        return dists, rows
 
     # ---------------------------------------------------- background flushing
 

@@ -124,6 +124,37 @@ def pack_cells(
     return gvec, gval, grow, offsets.astype(np.int32), kept, spill_rows
 
 
+def build_inverse_maps(row_ids: np.ndarray, spill_row_ids: np.ndarray):
+    """phys row -> FLAT grouped/spill position (-1 = absent). Shared by the
+    single-device and sharded IVF delete paths so the lookup semantics
+    (and fixes to them) cannot drift apart."""
+    flat_g = np.asarray(row_ids).reshape(-1)
+    flat_s = np.asarray(spill_row_ids).reshape(-1)
+    hi = 0
+    for ids in (flat_g, flat_s):
+        if ids.size:
+            hi = max(hi, int(ids.max()) + 1)
+    inv_g = np.full(hi, -1, np.int64)
+    m = flat_g >= 0
+    inv_g[flat_g[m]] = np.flatnonzero(m)
+    inv_s = np.full(hi, -1, np.int64)
+    m = flat_s >= 0
+    inv_s[flat_s[m]] = np.flatnonzero(m)
+    return inv_g, inv_s
+
+
+def lookup_inverse(inv_g: np.ndarray, inv_s: np.ndarray,
+                   phys: np.ndarray):
+    """Map physical rows to (grouped_hits, spill_hits). NEGATIVE rows are
+    excluded explicitly: a -1 (failed upstream lookup) would wrap to
+    inv[-1] under numpy indexing and soft-delete an unrelated live slot."""
+    in_range = (phys >= 0) & (phys < len(inv_g))
+    sel = phys[in_range]
+    g_hits = inv_g[sel]
+    s_hits = inv_s[sel]
+    return g_hits[g_hits >= 0], s_hits[s_hits >= 0]
+
+
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return ((x + m - 1) // m) * m
 
@@ -489,17 +520,8 @@ class IVFIndex:
         every later delete O(batch) instead of np.isin over the corpus +
         a full-array device re-upload (VERDICT r1 weak #4)."""
         if getattr(self, "_inv_g", None) is None:
-            hi = 0
-            for ids in (self.row_ids, self.spill_row_ids):
-                if len(ids):
-                    hi = max(hi, int(ids.max()) + 1)
-            inv_g = np.full(hi, -1, np.int64)
-            m = self.row_ids >= 0
-            inv_g[self.row_ids[m]] = np.flatnonzero(m)
-            inv_s = np.full(hi, -1, np.int64)
-            m = self.spill_row_ids >= 0
-            inv_s[self.spill_row_ids[m]] = np.flatnonzero(m)
-            self._inv_g, self._inv_s = inv_g, inv_s
+            self._inv_g, self._inv_s = build_inverse_maps(
+                self.row_ids, self.spill_row_ids)
         return self._inv_g, self._inv_s
 
     def invalidate_rows(self, physical_rows: np.ndarray):
@@ -510,12 +532,7 @@ class IVFIndex:
         phys = np.asarray(physical_rows, np.int64)
         if phys.size == 0:
             return
-        inv_g, inv_s = self._inverse_maps()
-        in_range = phys < len(inv_g)
-        g_hits = inv_g[phys[in_range]]
-        g_hits = g_hits[g_hits >= 0]
-        s_hits = inv_s[phys[in_range]]
-        s_hits = s_hits[s_hits >= 0]
+        g_hits, s_hits = lookup_inverse(*self._inverse_maps(), phys)
         self.grouped_valid = self._scatter_bucketed(
             self.grouped_valid, g_hits)
         self.spill_valid = self._scatter_bucketed(self.spill_valid, s_hits)

@@ -34,9 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _probe_kernel(cells_ref, q_ref, cell_ref, sq_ref, mask_ref,
+def _probe_kernel(cells_ref, segs_ref, q_ref, cell_ref, sq_ref, mask_ref,
                   val_out, idx_out, run_val, run_idx,
-                  *, cell_pad: int, n_buckets: int):
+                  *, cell_pad: int, n_buckets: int, n_segments: int):
+    """n_segments > 1 rotates chunks across SEGMENTS of the candidate
+    buffer, multiplying per-query candidate capacity to
+    n_buckets*n_segments without changing the DMA. The segment id comes
+    precomputed in segs_ref: the chunk's RANK among the tile's DISTINCT
+    sorted chunks, mod n_segments — duplicates of a chunk share a rank
+    (so the running max still self-dedupes) while ADJACENT distinct
+    chunks land in different segments (a plain cell_id %% n_segments let
+    the two hottest neighboring cells collide in one segment and lose
+    half their rows)."""
     np_probe = pl.num_programs(1)
     p = pl.program_id(1)
 
@@ -61,29 +70,32 @@ def _probe_kernel(cells_ref, q_ref, cell_ref, sq_ref, mask_ref,
     scores = 2.0 * dots - sq_ref[:] + mask_ref[:]
 
     base = cell_id * cell_pad
+    off = segs_ref[qt, p] * n_buckets
     col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
-    rv = run_val[:]
-    ri = run_idx[:]
+    rv = run_val[:, pl.ds(off, n_buckets)]
+    ri = run_idx[:, pl.ds(off, n_buckets)]
     for j in range(cell_pad // n_buckets):
         cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
         cidx = base + j * n_buckets + col
         better = cand > rv
         rv = jnp.where(better, cand, rv)
         ri = jnp.where(better, cidx, ri)
-    run_val[:] = rv
-    run_idx[:] = ri
+    run_val[:, pl.ds(off, n_buckets)] = rv
+    run_idx[:, pl.ds(off, n_buckets)] = ri
 
     @pl.when(p == np_probe - 1)
     def _():
-        val_out[:] = rv
-        idx_out[:] = ri
+        val_out[:] = run_val[:]
+        idx_out[:] = run_idx[:]
 
 
-def _probe_kernel_int8(cells_ref, qscale_ref, q_ref, cell_ref, rowscale_ref,
-                       sq_ref, mask_ref, val_out, idx_out, run_val, run_idx,
-                       *, cell_pad: int, n_buckets: int):
+def _probe_kernel_int8(cells_ref, segs_ref, qscale_ref, q_ref, cell_ref,
+                       rowscale_ref, sq_ref, mask_ref, val_out, idx_out,
+                       run_val, run_idx,
+                       *, cell_pad: int, n_buckets: int, n_segments: int):
     """Int8-cell probe: int8 x int8 MXU dots, per-row dequant scales from
-    VMEM, batch-global query scale from SMEM (see kernels.quant)."""
+    VMEM, batch-global query scale from SMEM (see kernels.quant).
+    Segment rotation as in _probe_kernel."""
     np_probe = pl.num_programs(1)
     p = pl.program_id(1)
 
@@ -103,31 +115,34 @@ def _probe_kernel_int8(cells_ref, qscale_ref, q_ref, cell_ref, rowscale_ref,
     scores = 2.0 * qs * rowscale_ref[:] * dots - sq_ref[:] + mask_ref[:]
 
     base = cell_id * cell_pad
+    off = segs_ref[qt, p] * n_buckets
     col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
-    rv = run_val[:]
-    ri = run_idx[:]
+    rv = run_val[:, pl.ds(off, n_buckets)]
+    ri = run_idx[:, pl.ds(off, n_buckets)]
     for j in range(cell_pad // n_buckets):
         cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
         cidx = base + j * n_buckets + col
         better = cand > rv
         rv = jnp.where(better, cand, rv)
         ri = jnp.where(better, cidx, ri)
-    run_val[:] = rv
-    run_idx[:] = ri
+    run_val[:, pl.ds(off, n_buckets)] = rv
+    run_idx[:, pl.ds(off, n_buckets)] = ri
 
     @pl.when(p == np_probe - 1)
     def _():
-        val_out[:] = rv
-        idx_out[:] = ri
+        val_out[:] = run_val[:]
+        idx_out[:] = run_idx[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cell_pad", "n_buckets", "query_tile", "interpret"),
+    static_argnames=("cell_pad", "n_buckets", "query_tile", "n_segments",
+                     "interpret"),
 )
 def pallas_ivf_candidates_int8(
     queries: jax.Array,       # (Q, d) f32
     cells: jax.Array,         # (Q // query_tile, nprobe) int32
+    segs: jax.Array,          # (Q // query_tile, nprobe) int32 segment ids
     grouped_i8: jax.Array,    # (nlist * cell_pad, d) int8
     cell_scales: jax.Array,   # (1, nlist * cell_pad) f32
     grouped_sq: jax.Array,    # (1, nlist * cell_pad) f32
@@ -135,61 +150,66 @@ def pallas_ivf_candidates_int8(
     cell_pad: int,
     n_buckets: int = 128,
     query_tile: int = 8,
+    n_segments: int = 1,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     from tpuvdb.kernels.quant import quantize_batch
 
     qn, d = queries.shape
     nprobe = cells.shape[1]
+    cand_w = n_buckets * n_segments
     qi, qscale = quantize_batch(queries)
     grid = (qn // query_tile, nprobe)
     kernel = functools.partial(_probe_kernel_int8, cell_pad=cell_pad,
-                               n_buckets=n_buckets)
+                               n_buckets=n_buckets, n_segments=n_segments)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda qt, p, c: (0, 0),
+            pl.BlockSpec((1, 1), lambda qt, p, c, s: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((query_tile, d), lambda qt, p, c: (qt, 0)),
-            pl.BlockSpec((cell_pad, d), lambda qt, p, c: (c[qt, p], 0)),
-            pl.BlockSpec((1, cell_pad), lambda qt, p, c: (0, c[qt, p])),
-            pl.BlockSpec((1, cell_pad), lambda qt, p, c: (0, c[qt, p])),
-            pl.BlockSpec((1, cell_pad), lambda qt, p, c: (0, c[qt, p])),
+            pl.BlockSpec((query_tile, d), lambda qt, p, c, s: (qt, 0)),
+            pl.BlockSpec((cell_pad, d), lambda qt, p, c, s: (c[qt, p], 0)),
+            pl.BlockSpec((1, cell_pad), lambda qt, p, c, s: (0, c[qt, p])),
+            pl.BlockSpec((1, cell_pad), lambda qt, p, c, s: (0, c[qt, p])),
+            pl.BlockSpec((1, cell_pad), lambda qt, p, c, s: (0, c[qt, p])),
         ],
         out_specs=[
-            pl.BlockSpec((query_tile, n_buckets), lambda qt, p, c: (qt, 0)),
-            pl.BlockSpec((query_tile, n_buckets), lambda qt, p, c: (qt, 0)),
+            pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
+            pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((query_tile, n_buckets), jnp.float32),
-            pltpu.VMEM((query_tile, n_buckets), jnp.int32),
+            pltpu.VMEM((query_tile, cand_w), jnp.float32),
+            pltpu.VMEM((query_tile, cand_w), jnp.int32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((qn, n_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((qn, n_buckets), jnp.int32),
+            jax.ShapeDtypeStruct((qn, cand_w), jnp.float32),
+            jax.ShapeDtypeStruct((qn, cand_w), jnp.int32),
         ],
         interpret=interpret,
-    )(cells, qscale, qi, grouped_i8, cell_scales, grouped_sq, neg_mask)
+    )(cells, segs, qscale, qi, grouped_i8, cell_scales, grouped_sq, neg_mask)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cell_pad", "n_buckets", "query_tile", "interpret"),
+    static_argnames=("cell_pad", "n_buckets", "query_tile", "n_segments",
+                     "interpret"),
 )
 def pallas_ivf_candidates(
     queries: jax.Array,     # (Q, d); Q % query_tile == 0
     cells: jax.Array,       # (Q // query_tile, nprobe) int32 cell ids
+    segs: jax.Array,        # (Q // query_tile, nprobe) int32 segment ids
     grouped: jax.Array,     # (nlist * cell_pad, d)
     grouped_sq: jax.Array,  # (1, nlist * cell_pad) f32
     neg_mask: jax.Array,    # (1, nlist * cell_pad) f32 additive mask
     cell_pad: int,
     n_buckets: int = 128,
     query_tile: int = 8,
+    n_segments: int = 1,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     qn, d = queries.shape
@@ -198,41 +218,43 @@ def pallas_ivf_candidates(
         raise ValueError(f"queries {qn} %% query_tile {query_tile} != 0")
     if cell_pad % n_buckets != 0:
         raise ValueError("cell_pad must be a multiple of n_buckets")
+    cand_w = n_buckets * n_segments
     grid = (qn // query_tile, nprobe)
 
     kernel = functools.partial(_probe_kernel, cell_pad=cell_pad,
-                               n_buckets=n_buckets)
+                               n_buckets=n_buckets, n_segments=n_segments)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((query_tile, d), lambda qt, p, cells_ref: (qt, 0)),
+            pl.BlockSpec((query_tile, d), lambda qt, p, c, s: (qt, 0)),
             # the probed cell's contiguous block, chosen by the prefetched id
             pl.BlockSpec((cell_pad, d),
-                         lambda qt, p, cells_ref: (cells_ref[qt, p], 0)),
+                         lambda qt, p, c, s: (c[qt, p], 0)),
             pl.BlockSpec((1, cell_pad),
-                         lambda qt, p, cells_ref: (0, cells_ref[qt, p])),
+                         lambda qt, p, c, s: (0, c[qt, p])),
             pl.BlockSpec((1, cell_pad),
-                         lambda qt, p, cells_ref: (0, cells_ref[qt, p])),
+                         lambda qt, p, c, s: (0, c[qt, p])),
         ],
         out_specs=[
-            pl.BlockSpec((query_tile, n_buckets), lambda qt, p, cells_ref: (qt, 0)),
-            pl.BlockSpec((query_tile, n_buckets), lambda qt, p, cells_ref: (qt, 0)),
+            pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
+            pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((query_tile, n_buckets), jnp.float32),
-            pltpu.VMEM((query_tile, n_buckets), jnp.int32),
+            pltpu.VMEM((query_tile, cand_w), jnp.float32),
+            pltpu.VMEM((query_tile, cand_w), jnp.int32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((qn, n_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((qn, n_buckets), jnp.int32),
+            jax.ShapeDtypeStruct((qn, cand_w), jnp.float32),
+            jax.ShapeDtypeStruct((qn, cand_w), jnp.int32),
         ],
         interpret=interpret,
-    )(cells, queries.astype(grouped.dtype), grouped, grouped_sq, neg_mask)
+    )(cells, segs, queries.astype(grouped.dtype), grouped, grouped_sq,
+      neg_mask)
 
 
 def pallas_ivf_search(
@@ -289,6 +311,7 @@ def pallas_ivf_search(
     cells = cells_pq.reshape(-1, qt * nprobe).astype(jnp.int32)
     cells = jnp.sort(cells, axis=1)                  # (tiles, qt*nprobe)
 
+    n_segments = 1
     if cell_offsets is not None:
         # PACKED layout: cells start at 128-aligned offsets instead of a
         # fixed stride. Each probed cell expands to window/128 chunk ids of
@@ -306,26 +329,42 @@ def pallas_ivf_search(
         cells = jnp.sort(cells, axis=1)  # adjacent dups -> DMA skipped
         cell_pad = 128
         n_buckets = 128
+        # 128-slot chunks cap distinct candidates per query at 128 —
+        # too few when the caller overfetches (int8 rescore fetch, staged-
+        # delete padding) and collision-prone for tight cells. Rotate
+        # chunks over segments so capacity is >= 2k and at least the 512
+        # the strided path gets. Segment id = rank among the tile's
+        # DISTINCT sorted chunks (see _probe_kernel for why not cell %% n).
+        n_segments = max(4, -(-2 * k // n_buckets))
+
+    if n_segments > 1:
+        first = jnp.ones((cells.shape[0], 1), bool)
+        distinct = jnp.concatenate(
+            [first, cells[:, 1:] != cells[:, :-1]], axis=1)
+        ranks = jnp.cumsum(distinct.astype(jnp.int32), axis=1) - 1
+        segs = (ranks % n_segments).astype(jnp.int32)
+    else:
+        segs = jnp.zeros(cells.shape, jnp.int32)
 
     neg_mask = jnp.where(grouped_valid, 0.0, NEG_INF).astype(jnp.float32)
     if grouped.dtype == jnp.int8:
         if cell_scales is None:
             raise ValueError("int8 cells require cell_scales")
         cand_val, cand_idx = pallas_ivf_candidates_int8(
-            q, cells, grouped,
+            q, cells, segs, grouped,
             cell_scales.reshape(1, -1).astype(jnp.float32),
             grouped_sq.reshape(1, -1).astype(jnp.float32),
             neg_mask.reshape(1, -1),
             cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
-            interpret=interpret,
+            n_segments=n_segments, interpret=interpret,
         )
     else:
         cand_val, cand_idx = pallas_ivf_candidates(
-            q, cells, grouped,
+            q, cells, segs, grouped,
             grouped_sq.reshape(1, -1).astype(jnp.float32),
             neg_mask.reshape(1, -1),
             cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
-            interpret=interpret,
+            n_segments=n_segments, interpret=interpret,
         )
     cand_val = cand_val[:qn]
     cand_idx = cand_idx[:qn]

@@ -296,8 +296,15 @@ def pallas_l2sq_topk_int8(
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
     sub = min(sub_rows, block_rows)
-    while block_rows % sub or sub % n_buckets:
+    while sub > n_buckets and (block_rows % sub or sub % n_buckets):
         sub -= n_buckets
+    if sub < n_buckets or block_rows % sub or sub % n_buckets:
+        # e.g. n_buckets that doesn't divide block_rows: no valid sub-chunk
+        # exists — fail loudly instead of looping forever / going negative
+        raise ValueError(
+            f"no sub_rows in [{n_buckets}, {block_rows}] divides "
+            f"block_rows={block_rows} and is a multiple of "
+            f"n_buckets={n_buckets}")
     neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     cand_val, cand_idx = pallas_candidates_int8(
         q, corpus_i8, row_scales.reshape(1, -1).astype(jnp.float32),
@@ -340,8 +347,15 @@ def pallas_l2sq_topk(
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
     sub = min(sub_rows, block_rows)
-    while block_rows % sub or sub % n_buckets:
+    while sub > n_buckets and (block_rows % sub or sub % n_buckets):
         sub -= n_buckets
+    if sub < n_buckets or block_rows % sub or sub % n_buckets:
+        # e.g. n_buckets that doesn't divide block_rows: no valid sub-chunk
+        # exists — fail loudly instead of looping forever / going negative
+        raise ValueError(
+            f"no sub_rows in [{n_buckets}, {block_rows}] divides "
+            f"block_rows={block_rows} and is a multiple of "
+            f"n_buckets={n_buckets}")
     neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     cand_val, cand_idx = pallas_candidates(
         q, corpus, corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,

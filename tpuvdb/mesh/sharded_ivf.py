@@ -351,36 +351,22 @@ class ShardedIVFIndex:
         deletes O(batch) with a device scatter of only the touched slots
         instead of np.isin over everything + full re-upload (r1 weak #4)."""
         if getattr(self, "_inv_g", None) is None:
-            hi = 0
-            for ids in (self.row_ids, self.spill_row_ids):
-                if ids.size:
-                    hi = max(hi, int(ids.max()) + 1)
-            flat_g = self.row_ids.reshape(-1)
-            inv_g = np.full(hi, -1, np.int64)
-            m = flat_g >= 0
-            inv_g[flat_g[m]] = np.flatnonzero(m)
-            flat_s = self.spill_row_ids.reshape(-1)
-            inv_s = np.full(hi, -1, np.int64)
-            m = flat_s >= 0
-            inv_s[flat_s[m]] = np.flatnonzero(m)
-            self._inv_g, self._inv_s = inv_g, inv_s
+            from tpuvdb.index.ivf import build_inverse_maps
+
+            self._inv_g, self._inv_s = build_inverse_maps(
+                self.row_ids, self.spill_row_ids)
         return self._inv_g, self._inv_s
 
     def invalidate_rows(self, physical_rows: np.ndarray):
         """Soft-delete by global physical row (engine delete path): O(batch)
         host lookup + bucketed scatter into the sharded masks; full rebuild
         happens at re-clustering."""
-        from tpuvdb.index.ivf import IVFIndex
+        from tpuvdb.index.ivf import IVFIndex, lookup_inverse
 
         phys = np.asarray(physical_rows, np.int64)
         if phys.size == 0:
             return
-        inv_g, inv_s = self._inverse_maps()
-        in_range = phys < len(inv_g)
-        g_hits = inv_g[phys[in_range]]
-        g_hits = g_hits[g_hits >= 0]
-        s_hits = inv_s[phys[in_range]]
-        s_hits = s_hits[s_hits >= 0]
+        g_hits, s_hits = lookup_inverse(*self._inverse_maps(), phys)
         ndev, local = self.gval.shape
         if len(g_hits):
             flat = self.gval.reshape(ndev * local)
