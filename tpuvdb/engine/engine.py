@@ -681,23 +681,33 @@ class VectorDBEngine:
                 # the caller's requested width and top_k=10 could return 3
                 # live hits (found by review after the flush-hysteresis
                 # change stopped flushing deletes before every search)
-                qn = rows.shape[0]
+                qn, width = rows.shape
                 out_d = np.full((qn, fetch_k), np.inf, np.float32)
+                # vectorized row -> key resolution: one docstore lock for
+                # the whole Q x width candidate matrix (a per-row key_at
+                # was lock-acquisition-bound at serving batch sizes)
+                flat = rows.reshape(-1)
+                nn = flat >= 0
+                flat_keys: List[Optional[str]] = [None] * flat.shape[0]
+                if nn.any():
+                    sh = (flat[nn] // layout.phys_cap).tolist()
+                    sl = (flat[nn] % layout.phys_cap).tolist()
+                    resolved = self.docstore.keys_at_bulk(sh, sl)
+                    for pos, key in zip(np.flatnonzero(nn).tolist(),
+                                        resolved):
+                        flat_keys[pos] = key
                 keys: List[List[Optional[str]]] = []
                 for qi in range(qn):
                     row_keys: List[Optional[str]] = []
-                    for j in range(rows.shape[1]):
-                        if len(row_keys) == fetch_k:
-                            break
-                        r = rows[qi, j]
-                        if r < 0:
-                            continue
-                        shard, slot = layout.shard_slot_of(int(r))
-                        key = self.docstore.key_at(shard, slot)
+                    base = qi * width
+                    for j in range(width):
+                        key = flat_keys[base + j]
                         if key is None:
-                            continue  # staged-delete leftover on device
+                            continue  # pad or staged-delete leftover
                         out_d[qi, len(row_keys)] = dists[qi, j]
                         row_keys.append(key)
+                        if len(row_keys) == fetch_k:
+                            break
                     row_keys.extend([None] * (fetch_k - len(row_keys)))
                     keys.append(row_keys)
                 return out_d, keys

@@ -174,6 +174,25 @@ class DocStore:
                 return None
             return slots[slot]
 
+    def keys_at_bulk(self, shards, slots) -> List[Optional[str]]:
+        """Vectorized key_at over parallel (shard, slot) sequences: ONE
+        lock acquisition for the whole batch. The search path resolves
+        Q * fetch_k candidate rows per batch; a per-row key_at was
+        lock-acquisition-bound at serving batch sizes."""
+        with self._lock:
+            by_shard = self._slots
+            out: List[Optional[str]] = []
+            cache_sh = -1
+            cache_lst: Optional[List[Optional[str]]] = None
+            for sh, sl in zip(shards, slots):
+                if sh != cache_sh:
+                    cache_sh = sh
+                    cache_lst = by_shard.get(sh)
+                out.append(cache_lst[sl]
+                           if cache_lst is not None and sl < len(cache_lst)
+                           else None)
+            return out
+
     def __len__(self) -> int:
         if self._native is not None:
             return len(self._native)
