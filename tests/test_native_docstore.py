@@ -71,3 +71,18 @@ def test_engine_with_native_docstore(rng, tmp_data_dir):
     assert eng2.docstore.backend == "native"
     assert eng2.count() == 100
     assert eng2.get("k7").vector_data.metadata == {"i": "7"}
+
+
+def test_keys_at_bulk_matches_key_at():
+    """Bulk reverse lookup (one lock per batch, per-shard list cache) must
+    agree with per-row key_at across shard switches, stale slots, and
+    out-of-range indices."""
+    store = DocStore(backend="python")
+    for i in range(50):
+        store.put(DocEntry(f"k{i}", i % 3, i // 3, {}, i))
+    store.delete("k7")
+    shards = [0, 1, 2, 0, 0, 1, 9, 2, 1]
+    slots = [0, 0, 0, 16, 999, 2, 0, 1, 2]
+    bulk = store.keys_at_bulk(shards, slots)
+    assert bulk == [store.key_at(sh, sl) for sh, sl in zip(shards, slots)]
+    assert store.keys_at_bulk([], []) == []

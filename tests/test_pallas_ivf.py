@@ -97,3 +97,18 @@ def test_pallas_ivf_masks_deleted(rng):
     )
     gid = int(np.asarray(gid)[0, 0])
     assert gid < 0 or idx.row_ids[gid] != 7
+
+
+def test_pallas_ivf_empty_query_batch_raises(rng):
+    """An empty query batch must raise a clear ValueError, not the cryptic
+    ZeroDivisionError the tile reshape produced during tracing."""
+    data = rng.standard_normal((512, 16)).astype(np.float32)
+    valid = np.ones(512, bool)
+    idx = IVFIndex.build(data, valid, nlist=4, nprobe=4, kmeans_iters=3)
+    with pytest.raises(ValueError, match="empty query batch"):
+        pallas_ivf_search(
+            jnp.zeros((0, 16), jnp.float32), idx.centroids, idx.grouped,
+            idx.grouped_sq, idx.grouped_valid, cell_pad=idx.cell_pad,
+            k=4, nprobe=4, interpret=True, cell_offsets=idx.cell_offsets,
+            spill=idx.spill, spill_sq=idx.spill_sq,
+            spill_valid=idx.spill_valid)

@@ -60,9 +60,15 @@ def split_oversized_cells(
     max_cell (children are REAL centroids, so coarse probing finds them
     naturally). Bounds the packed scan window: after this, (almost) no
     cell exceeds max_cell rows; rare residuals spill. Returns
-    (centroids, assign) with nlist grown."""
-    from tpuvdb.kernels.kmeans import kmeans as _kmeans
+    (centroids, assign) with nlist grown.
 
+    The bisection runs in HOST numpy deliberately: each oversized cell
+    has a distinct member count, so a device k-means here would trigger
+    one fresh XLA compile per cell (minutes to hours at 1M-row scale
+    with zipf skew, measured through the remote-compile relay). The
+    2-means problems are tiny (m x d x 4 iters); numpy does each in
+    milliseconds with zero compiles."""
+    rng = np.random.default_rng(seed)
     cents = list(np.asarray(centroids, np.float32))
     assign = np.asarray(assign).copy()
     for _ in range(max_rounds):
@@ -72,17 +78,44 @@ def split_oversized_cells(
             break
         for c in oversized:
             members = np.flatnonzero(assign == c)
-            sub_c, sub_a = _kmeans(
-                vectors[members], np.ones(len(members), bool), nlist=2,
-                iters=4, block_size=8192, seed=seed + int(c) + 1)
+            sub_a = _bisect_2means(vectors[members], rng)
             if (sub_a == 0).all() or (sub_a == 1).all():
                 # degenerate (duplicate points): force an even split
                 sub_a = (np.arange(len(members)) % 2).astype(sub_a.dtype)
-            cents[c] = sub_c[0]
+            half0 = vectors[members[sub_a == 0]]
+            half1 = vectors[members[sub_a == 1]]
+            cents[c] = half0.mean(axis=0).astype(np.float32)
             base = len(cents)
-            cents.append(sub_c[1])
+            cents.append(half1.mean(axis=0).astype(np.float32))
             assign[members[sub_a == 1]] = base
     return np.asarray(cents, np.float32), assign
+
+
+def _bisect_2means(x: np.ndarray, rng: np.random.Generator,
+                   iters: int = 4, sample: int = 16384) -> np.ndarray:
+    """2-means labels for one cell, pure numpy. Trains on a subsample for
+    very large cells, then assigns everyone — same structure as the main
+    trainer (train on sample, assign all)."""
+    m = len(x)
+    xs = x[rng.choice(m, size=sample, replace=False)] if m > sample else x
+    # k-means++ style init: a random point + the farthest point from it
+    c0 = xs[rng.integers(len(xs))]
+    d0 = np.einsum("nd,nd->n", xs - c0, xs - c0)
+    c1 = xs[int(np.argmax(d0))]
+    cents = np.stack([c0, c1])
+    for _ in range(iters):
+        d = (np.einsum("nd,nd->n", xs, xs)[:, None]
+             - 2.0 * (xs @ cents.T)
+             + np.einsum("kd,kd->k", cents, cents)[None, :])
+        lab = np.argmin(d, axis=1)
+        for j in (0, 1):
+            sel = xs[lab == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    d = (np.einsum("nd,nd->n", x, x)[:, None]
+         - 2.0 * (x @ cents.T)
+         + np.einsum("kd,kd->k", cents, cents)[None, :])
+    return np.argmin(d, axis=1)
 
 
 def pack_cells(

@@ -283,6 +283,10 @@ def pallas_ivf_search(
     (dist, grouped_row) — spill rows get ids >= nlist*cell_pad — with exact
     ascending squared-L2."""
     qn, d = queries.shape
+    if qn == 0:
+        # fail with a clear message: downstream reshapes turn an empty
+        # query batch into a cryptic ZeroDivisionError during tracing
+        raise ValueError("pallas_ivf_search: empty query batch")
     if n_buckets is None:
         # largest 128-multiple divisor of cell_pad up to 512 (cell_pad is
         # always a multiple of 128, so 128 always qualifies)
