@@ -189,3 +189,27 @@ def test_ivf_concurrent_ingest_search_bounded(rng):
     assert flushes < 10, f"{flushes} flushes for 30 searches under ingest"
     lat.sort()
     assert lat[len(lat) // 2] < 1.0  # bounded (CPU jit, generous)
+
+
+def test_ivf_engine_incremental_append_instead_of_rebuild(rng):
+    """Sustained ingest past ivf_delta_max must drain through
+    IVFIndex.append_rows (stats['ivf_appends'] grows) rather than a full
+    k-means rebuild, and every vector stays searchable."""
+    eng = VectorDBEngine(ivf_config(ivf_delta_max=64))
+    vecs = fill(eng, rng, 500)
+    eng.flush()  # initial clustered build
+    appends0 = eng.stats.get("ivf_appends", 0)
+    # ingest 3 more delta_max-sized waves: each flush should append
+    for wave in range(3):
+        vecs.update(fill(eng, rng, 100, prefix=f"w{wave}_"))
+        eng.flush()
+    assert eng.stats.get("ivf_appends", 0) > appends0
+    for key in ("k42", "w0_5", "w1_50", "w2_99"):
+        r = eng.search(SearchRequest(query_vector=vecs[key], top_k=3))
+        assert r.success and r.search_result.keys[0] == key, key
+        assert r.search_result.scores[0] < 1e-2
+    # deletes of appended rows take effect
+    assert eng.delete("w1_50").success
+    eng.flush()
+    r = eng.search(SearchRequest(query_vector=vecs["w1_50"], top_k=3))
+    assert "w1_50" not in r.search_result.keys

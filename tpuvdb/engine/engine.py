@@ -342,8 +342,36 @@ class VectorDBEngine:
             self._ivf is None
             or self._ivf_layout is None
             or any(m.phys_cap > self._ivf_layout.phys_cap for m in self.mirrors)
-            or len(self._ivf_delta) + len(self._staged_updates) > cfg.ivf_delta_max
         )
+        overflow = (len(self._ivf_delta) + len(self._staged_updates)
+                    > cfg.ivf_delta_max)
+        if not needs_rebuild and overflow:
+            # sustained ingest: drain the delta buffer into the existing
+            # clustering via IVFIndex.append_rows (assignment GEMM +
+            # bucketed scatters) instead of a full k-means rebuild
+            # (minutes at 1M rows). Falls back to the rebuild when cell +
+            # spill capacity is exhausted. Mesh-sharded IVF keeps the
+            # rebuild path (its cells live per-device).
+            if isinstance(self._ivf, IVFIndex):
+                for s, sl in self._staged_updates:
+                    if self.mirrors[s].is_valid(sl):
+                        self._ivf_delta[(s, sl)] = (
+                            self.mirrors[s].vector_at(sl).copy())
+                self._staged_updates.clear()
+                if self._ivf_delta:
+                    pairs = list(self._ivf_delta.items())
+                    rows = np.asarray(
+                        [self._ivf_layout.row_of(s, sl)
+                         for (s, sl), _ in pairs], np.int64)
+                    vecs = np.stack([v for _, v in pairs])
+                    if self._ivf.append_rows(rows, vecs):
+                        self._ivf_delta.clear()
+                        self.stats["ivf_appends"] = (
+                            self.stats.get("ivf_appends", 0) + len(pairs))
+                    else:
+                        needs_rebuild = True
+            else:
+                needs_rebuild = True
         if needs_rebuild:
             use_mesh = (self.mesh is not None and self.mesh.size > 1
                         and len(self.mesh.axis_names) == 1)

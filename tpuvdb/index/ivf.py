@@ -48,6 +48,26 @@ def _scatter_invalid(valid, idx):
     return valid.at[idx].set(False, mode="drop")
 
 
+_APPEND_BUCKET = 4096
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(arr, idx, vals):
+    """Write vals rows at idx (out-of-range pad indices drop). Donated so
+    the multi-GB grouped buffer is updated in place, not copied."""
+    return arr.at[idx].set(vals, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_scalars(arr, idx, vals):
+    return arr.at[idx].set(vals, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_true(valid, idx):
+    return valid.at[idx].set(True, mode="drop")
+
+
 def split_oversized_cells(
     vectors: np.ndarray,
     assign: np.ndarray,       # (N,) cell id, -1 = dead
@@ -437,8 +457,12 @@ class IVFIndex:
             vectors, live2, assign[live2], nlist, cell_pad)
         spill_rows = np.asarray(spill_list, dtype=np.int64)
 
+        # spill reserve: free tail capacity so append_rows can overflow
+        # full cells here instead of forcing a rebuild (scaled down for
+        # small corpora — spill is scanned densely by every query)
+        reserve = min(8192, max(128, n // 8))
         s = max(len(spill_rows), 1)
-        s_pad = _round_up(s, 128)
+        s_pad = _round_up(s + reserve, 128)
         svec = np.zeros((s_pad, d), np.float32)
         sval = np.zeros(s_pad, bool)
         srow = np.full(s_pad, -1, np.int64)
@@ -569,6 +593,130 @@ class IVFIndex:
         self.grouped_valid = self._scatter_bucketed(
             self.grouped_valid, g_hits)
         self.spill_valid = self._scatter_bucketed(self.spill_valid, s_hits)
+
+    def append_rows(self, physical_rows: np.ndarray,
+                    vectors: np.ndarray) -> bool:
+        """Incrementally add rows WITHOUT re-clustering (the engine's
+        sustained-ingest path: a full k-means rebuild at 1M rows costs
+        minutes; this costs one assignment GEMM + bucketed scatters).
+
+        Each row is assigned to its nearest EXISTING centroid and written
+        into that cell's free alignment slots (inside the scan window, so
+        probes see it immediately); full cells overflow into the reserved
+        spill region (always scanned). Returns False — with NO state
+        mutated — when capacity is exhausted; the caller then does a full
+        rebuild. Centroids drift from optimal as cells absorb appends;
+        compaction's rebuild restores clustering quality.
+        """
+        from tpuvdb.kernels.kmeans import assign_blockwise
+
+        phys = np.asarray(physical_rows, np.int64)
+        vecs = np.asarray(vectors, np.float32)
+        m = len(phys)
+        if m == 0:
+            return True
+        # shape-stable padded assignment: one compile per pad step
+        pad_n = _round_up(m, 16384)
+        vp = np.zeros((pad_n, vecs.shape[1]), np.float32)
+        vp[:m] = vecs
+        assign = np.asarray(
+            assign_blockwise(jnp.asarray(vp), self.centroids,
+                             block_size=2048))[:m]
+
+        # ---- plan ALL slot allocations first; bail before any mutation
+        offs = np.asarray(self.cell_offsets).astype(np.int64)
+        lens = np.asarray(self.cell_lens).astype(np.int64)
+        glen = self.grouped.shape[0]
+        nexts = np.empty_like(offs)
+        if len(offs) > 1:
+            nexts[:-1] = offs[1:]
+        nexts[-1] = min(glen, int(offs[-1]) + self.cell_pad)
+        # usable capacity: allocated span, clipped to the scan window
+        # (rows past offset+cell_pad would never be probed)
+        caps = np.minimum(nexts - offs, self.cell_pad)
+        spill_len = int((np.asarray(self.spill_row_ids) >= 0).sum())
+        s_cap = self.spill.shape[0]
+        g_pos: list = []
+        g_take: list = []
+        s_take: list = []
+        for i in range(m):
+            c = int(assign[i])
+            if lens[c] < caps[c]:
+                g_pos.append(int(offs[c] + lens[c]))
+                lens[c] += 1
+                g_take.append(i)
+            elif spill_len + len(s_take) < s_cap:
+                s_take.append(i)
+            else:
+                return False  # out of room everywhere: rebuild
+
+        # ---- commit: host maps first, then bucketed device scatters
+        sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+        if self.quantized:
+            from tpuvdb.kernels.quant import quantize_rows_np
+
+            qvecs, qscales = quantize_rows_np(vecs)
+        self.cell_lens = jnp.asarray(lens, jnp.int32)
+        self._inv_g = self._inv_s = None  # inverse maps grew: rebuild lazily
+        if g_take:
+            gp = np.asarray(g_pos, np.int64)
+            gt = np.asarray(g_take, np.int64)
+            self.row_ids = np.asarray(self.row_ids).copy()
+            self.row_ids[gp] = phys[gt]
+            payload = qvecs[gt] if self.quantized else vecs[gt]
+            self.grouped = self._scatter_payload(
+                self.grouped, gp, payload, self.grouped.dtype)
+            self.grouped_sq = self._scatter_payload(
+                self.grouped_sq, gp, sq[gt], jnp.float32)
+            self.grouped_valid = self._scatter_flags(self.grouped_valid, gp)
+            if self.quantized:
+                self.cell_scales = self._scatter_payload(
+                    self.cell_scales, gp, qscales[gt], jnp.float32)
+        if s_take:
+            st = np.asarray(s_take, np.int64)
+            sp = spill_len + np.arange(len(st), dtype=np.int64)
+            self.spill_row_ids = np.asarray(self.spill_row_ids).copy()
+            self.spill_row_ids[sp] = phys[st]
+            payload = qvecs[st] if self.quantized else vecs[st]
+            self.spill = self._scatter_payload(
+                self.spill, sp, payload, self.spill.dtype)
+            self.spill_sq = self._scatter_payload(
+                self.spill_sq, sp, sq[st], jnp.float32)
+            self.spill_valid = self._scatter_flags(self.spill_valid, sp)
+            if self.quantized:
+                self.spill_scales = self._scatter_payload(
+                    self.spill_scales, sp, qscales[st], jnp.float32)
+        return True
+
+    @staticmethod
+    def _scatter_payload(arr, pos: np.ndarray, vals: np.ndarray, dtype):
+        """Fixed-bucket scatter of value rows/scalars at pos (one compile
+        per (arr shape, bucket); pad indices out of range -> dropped)."""
+        n_slots = arr.shape[0]
+        tail = (vals.shape[1:]) if vals.ndim > 1 else ()
+        for lo in range(0, len(pos), _APPEND_BUCKET):
+            idx = pos[lo : lo + _APPEND_BUCKET].astype(np.int32)
+            chunk = vals[lo : lo + _APPEND_BUCKET]
+            pad = _APPEND_BUCKET - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, n_slots, np.int32)])
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + tail, chunk.dtype)])
+            scat = _scatter_rows if vals.ndim > 1 else _scatter_scalars
+            arr = scat(arr, jnp.asarray(idx),
+                       jnp.asarray(chunk).astype(dtype))
+        return arr
+
+    @staticmethod
+    def _scatter_flags(valid, pos: np.ndarray):
+        n_slots = valid.shape[0]
+        for lo in range(0, len(pos), _APPEND_BUCKET):
+            idx = pos[lo : lo + _APPEND_BUCKET].astype(np.int32)
+            pad = _APPEND_BUCKET - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, n_slots, np.int32)])
+            valid = _scatter_true(valid, jnp.asarray(idx))
+        return valid
 
     @staticmethod
     def _scatter_bucketed(valid, hits: np.ndarray):
