@@ -204,6 +204,10 @@ def test_ivf_engine_incremental_append_instead_of_rebuild(rng):
         vecs.update(fill(eng, rng, 100, prefix=f"w{wave}_"))
         eng.flush()
     assert eng.stats.get("ivf_appends", 0) > appends0
+    # the in-place append must bump the generation so an off-lock search
+    # that snapshotted the delta pre-append retries instead of scoring
+    # the same row twice (delta copy + appended copy)
+    assert eng._generation > 0
     for key in ("k42", "w0_5", "w1_50", "w2_99"):
         r = eng.search(SearchRequest(query_vector=vecs[key], top_k=3))
         assert r.success and r.search_result.keys[0] == key, key

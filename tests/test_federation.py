@@ -294,3 +294,84 @@ def test_stale_route_window_finds_unmigrated_records(cluster, rng):
     finally:
         srv4.shutdown()
         svc4.close()
+
+
+def test_any_shardmap_rebuild_flips_routes_stale(cluster, rng):
+    """Review findings (round 2): EVERY shard-map rebuild — not just a new
+    node's registration — moves ownership without data, so mark_offline /
+    mark_online must reopen the stale-routes window until a sync lands."""
+    coord, nodes = cluster
+    assert coord.sync_all().success
+    assert not coord._routes_stale
+    vecs = {}
+    for i in range(16):
+        v = rng.standard_normal(8).astype(np.float32)
+        vecs[f"o{i}"] = v
+        assert coord.put(VectorData(key=f"o{i}", vector=v)).success
+    # an unrelated failure marks n2 offline: shard map reshuffles,
+    # surviving-but-demoted owners still hold their records
+    coord.registry.mark_offline("n2")
+    assert coord._routes_stale
+    for k in vecs:
+        assert coord.get(k).success, k
+    # the flap back online reshuffles AGAIN -> still stale until sync
+    coord.registry.mark_online("n2")
+    assert coord._routes_stale
+    assert coord.sync_all().success
+    assert not coord._routes_stale
+    for k in vecs:
+        assert coord.get(k).success, k
+
+
+def test_master_error_fails_over_but_clean_miss_does_not(cluster, rng):
+    """Only the literal 'key not found' skips failover; any other master
+    error (handler exception, mid-recovery) must try the replicas."""
+    coord, nodes = cluster
+    assert coord.sync_all().success
+    v = rng.standard_normal(8).astype(np.float32)
+    assert coord.put(VectorData(key="failover-me", vector=v)).success
+    time.sleep(0.3)  # async replication to the slave
+    shard = get_shard_id("failover-me", 4)
+    master = coord.registry.get_shard_nodes(shard)["master"][0]
+    real_call = coord._call_node
+
+    def broken_master(node_id, method, params):
+        if node_id == master and method == "get":
+            return {"success": False, "message": "internal error: boom"}
+        return real_call(node_id, method, params)
+
+    coord._call_node = broken_master
+    try:
+        r = coord.get("failover-me")
+        assert r.success, r.message  # served by the replica
+    finally:
+        coord._call_node = real_call
+    # clean miss stays authoritative: no resurrect of deleted keys
+    assert coord.delete("failover-me").success
+    time.sleep(0.3)
+    assert not coord.get("failover-me").success
+
+
+def test_sync_all_mid_membership_change_keeps_routes_stale(cluster, rng):
+    """A shard-map rebuild DURING sync_all must leave routes stale (epoch
+    comparison), not be clobbered by the sync's completion."""
+    coord, nodes = cluster
+    assert coord.sync_all().success
+    orig_sync_node = coord.sync_node
+    fired = []
+
+    def sync_with_midflight_change(node_id, prune=False):
+        if not fired:
+            fired.append(1)
+            coord.registry.mark_offline("n2")  # topology changes mid-sync
+            coord.registry.mark_online("n2")
+        return orig_sync_node(node_id, prune=prune)
+
+    coord.sync_node = sync_with_midflight_change
+    try:
+        coord.sync_all()
+    finally:
+        coord.sync_node = orig_sync_node
+    assert coord._routes_stale  # the mid-flight topology was never synced
+    assert coord.sync_all().success
+    assert not coord._routes_stale

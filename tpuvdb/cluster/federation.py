@@ -51,12 +51,20 @@ class FederatedCoordinator:
         self._clients_lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="tpuvdb-fed")
-        # True between a membership change (shard ownership moved WITHOUT
-        # data migration) and a completed sync_all rebalance. Only in this
-        # window may get() distrust a clean not-found from a reachable
-        # master — outside it, asking other nodes would resurrect deleted
-        # keys from stale replicas (review finding, round 2).
-        self._routes_stale = False
+        # Shard-map epoch this coordinator last fully rebalanced at.
+        # Routes are STALE whenever the registry's epoch differs — every
+        # map rebuild (register, deregister, mark_offline/online) moves
+        # shard ownership WITHOUT data migration. Only while stale may
+        # get() distrust a clean not-found from a reachable master —
+        # outside that window, asking other nodes would resurrect deleted
+        # keys from stale replicas. An epoch (not a bool) so a membership
+        # change DURING sync_all keeps routes stale (review findings,
+        # round 2). -1 = never synced: stale until the first sync_all.
+        self._synced_epoch = -1
+
+    @property
+    def _routes_stale(self) -> bool:
+        return self.registry.map_epoch() != self._synced_epoch
 
     # ---------------------------------------------------------------- helpers
 
@@ -98,12 +106,9 @@ class FederatedCoordinator:
 
     def register_node(self, node_id: str, address: str) -> Response:
         known = self.registry.get_node(node_id) is not None
+        # the registry bumps its map epoch on the rebuild this triggers,
+        # which flips _routes_stale until the next completed sync_all
         self.registry.register_node(node_id, address)
-        if not known:
-            # a NEW node reshuffles shard ownership round-robin without
-            # moving data (ref parity, src/coordinator/handler.py:96-99):
-            # reads must consider old owners until a rebalance lands
-            self._routes_stale = True
         # a rejoining node usually comes back at a NEW address — drop any
         # cached client or every call would hit the dead socket
         with self._clients_lock:
@@ -187,13 +192,18 @@ class FederatedCoordinator:
         r = self._call_node(master, "get", {"key": key})
         if r is not None and r.get("success"):
             return Response.from_dict(r)
-        # A REACHABLE master's not-found is authoritative: asking replicas
-        # (whose async delete may still be in flight) or the whole cluster
-        # would resurrect deleted keys from stale copies. Failover reads
-        # run only when the master is UNREACHABLE — except while routes are
-        # stale (shard ownership moved without data migration), where the
-        # record may legitimately live on another node.
-        if r is None:
+        # A REACHABLE master's CLEAN not-found is authoritative: asking
+        # replicas (whose async delete may still be in flight) or the
+        # whole cluster would resurrect deleted keys from stale copies.
+        # Failover reads run when the master is unreachable OR errored for
+        # any other reason (handler exception, mid-recovery) — only the
+        # literal "key not found" response skips them — and while routes
+        # are stale (shard ownership moved without data migration), where
+        # the record may legitimately live on another node.
+        clean_miss = (r is not None and not r.get("success")
+                      and str(r.get("message", "")).startswith(
+                          "key not found"))
+        if not clean_miss:
             # failover read: slaves hold real replicas here
             for slave in self._slaves_for_key(key):
                 tried.add(slave)
@@ -236,6 +246,10 @@ class FederatedCoordinator:
         """Rebalance: run anti-entropy for every online node (after
         membership changes move shard ownership, this re-places each
         shard's data onto its current master+slaves)."""
+        # capture the epoch FIRST: a membership change while syncing
+        # bumps it, so _synced_epoch below records a topology we actually
+        # finished rebalancing — routes stay stale for the new one
+        epoch0 = self.registry.map_epoch()
         msgs = []
         all_ok = True
         for nid in self.registry.online_nodes():
@@ -245,7 +259,7 @@ class FederatedCoordinator:
         if all_ok:
             # every shard's data is back on its current owners: reachable
             # not-found is authoritative again (see get())
-            self._routes_stale = False
+            self._synced_epoch = epoch0
         return Response.ok("; ".join(msgs) or "no online nodes")
 
     def _export_all(self, node_id: str) -> Optional[Dict[str, Dict[str, Any]]]:
@@ -282,10 +296,15 @@ class FederatedCoordinator:
         smap = self.registry.shard_map()
         shards = [s for s, g in smap.items()
                   if node_id in g["master"] + g["slaves"]]
-        peer_ids = sorted({
-            n for s in shards for n in smap[s]["master"] + smap[s]["slaves"]
-            if n != node_id
-        })
+        # pull candidates from EVERY online node, not just the shard's
+        # current group: membership churn moves ownership without moving
+        # data, so after a reshuffle the freshest copy of a key may live
+        # on a node that is no longer in the shard's group at all. Only
+        # all-node sourcing makes "sync_all completed => every node holds
+        # its shards' data" true, which is what lets sync_all clear the
+        # routes-stale window (review finding, round 2).
+        peer_ids = sorted(n for n in self.registry.online_nodes()
+                          if n != node_id)
         if not peer_ids:
             return Response.ok("no peers to sync from")
         mine = self._export_all(node_id)

@@ -58,6 +58,7 @@ class NodeRegistry:
         self.probe_timeout_s = probe_timeout_s
         self._lock = threading.RLock()
         self._nodes: Dict[str, NodeInfo] = {}
+        self._map_epoch = 0
         self._shard_map: Dict[int, Dict[str, List[str]]] = {
             i: {"master": [], "slaves": []} for i in range(shard_count)
         }
@@ -114,6 +115,17 @@ class NodeRegistry:
         self._shard_map = assign_shards_to_nodes(
             online, self.shard_count, self.replica_count
         )
+        # every rebuild moves shard ownership WITHOUT moving data (ref
+        # parity, src/coordinator/handler.py:96-99). The epoch lets
+        # readers detect "routes may not match data placement" for ALL
+        # rebuild triggers — register, deregister, mark_offline/online —
+        # until an anti-entropy pass lands (federation.sync_all).
+        self._map_epoch += 1
+
+    def map_epoch(self) -> int:
+        """Monotonic counter of shard-map rebuilds (see above)."""
+        with self._lock:
+            return self._map_epoch
 
     def list_nodes(self) -> List[NodeInfo]:
         with self._lock:

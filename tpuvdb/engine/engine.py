@@ -358,18 +358,43 @@ class VectorDBEngine:
                         self._ivf_delta[(s, sl)] = (
                             self.mirrors[s].vector_at(sl).copy())
                 self._staged_updates.clear()
-                if self._ivf_delta:
-                    pairs = list(self._ivf_delta.items())
+                # staged deletes drain FIRST: a put-then-deleted slot must
+                # not be appended (it would permanently consume one slot of
+                # the fixed cell/spill append capacity); deletes of rows
+                # already in the main index are invalidated after the
+                # append so the rebuilt inverse maps include new rows
+                del_rows = []
+                for s, sl in self._staged_deletes:
+                    self._ivf_delta.pop((s, sl), None)
+                    del_rows.append(self._ivf_layout.row_of(s, sl))
+                self._staged_deletes.clear()
+                pairs = [((s, sl), v) for (s, sl), v in
+                         self._ivf_delta.items()
+                         if self.mirrors[s].is_valid(sl)]
+                appended = True
+                if pairs:
                     rows = np.asarray(
                         [self._ivf_layout.row_of(s, sl)
                          for (s, sl), _ in pairs], np.int64)
                     vecs = np.stack([v for _, v in pairs])
-                    if self._ivf.append_rows(rows, vecs):
-                        self._ivf_delta.clear()
-                        self.stats["ivf_appends"] = (
-                            self.stats.get("ivf_appends", 0) + len(pairs))
-                    else:
-                        needs_rebuild = True
+                    appended = self._ivf.append_rows(rows, vecs)
+                if appended:
+                    self._ivf_delta.clear()
+                    if del_rows:
+                        self._ivf.invalidate_rows(
+                            np.asarray(del_rows, np.int64))
+                    self.stats["ivf_appends"] = (
+                        self.stats.get("ivf_appends", 0) + len(pairs))
+                    # the append mutated the live IVFIndex in place; an
+                    # off-lock search that snapshotted the delta BEFORE
+                    # this flush could read the post-append device buffers
+                    # and score the same row twice (delta copy + appended
+                    # copy). Bumping the generation makes that search
+                    # retry with a fresh snapshot (engine.py search gen
+                    # check) instead of returning a duplicated key.
+                    self._generation += 1
+                else:
+                    needs_rebuild = True
             else:
                 needs_rebuild = True
         if needs_rebuild:
