@@ -39,3 +39,39 @@ def test_engine_ivf_on_mesh(rng):
     r = eng.search(SearchRequest(query_vector=vecs["k123"], top_k=3))
     assert "k123" not in r.search_result.keys
     assert eng.info()["ivf"]["nlist"] > 0
+
+
+def test_engine_mesh_ivf_incremental_append(rng):
+    """Mesh-sharded IVF drains delta overflow through
+    ShardedIVFIndex.append_rows (same plan-then-commit contract as the
+    single-device index) — no full rebuild per wave."""
+    cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=8192,
+                   block_size=128, index_type="ivf", ivf_nlist=32,
+                   ivf_nprobe=8, ivf_kmeans_iters=4, ivf_delta_max=64,
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg, mesh=create_mesh())
+    vecs = {}
+    batch = []
+    for i in range(600):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v))
+    assert eng.put_batch(batch).success
+    eng.flush()
+    for wave in range(3):
+        batch = []
+        for i in range(100):
+            v = rng.standard_normal(16).astype(np.float32)
+            vecs[f"w{wave}_{i}"] = v
+            batch.append(VectorData(key=f"w{wave}_{i}", vector=v))
+        assert eng.put_batch(batch).success
+        eng.flush()
+    assert eng.stats.get("ivf_appends", 0) > 0
+    for key in ("k42", "w0_5", "w2_99"):
+        r = eng.search(SearchRequest(query_vector=vecs[key], top_k=3))
+        assert r.success and r.search_result.keys[0] == key, key
+        assert r.search_result.scores[0] < 1e-2
+    assert eng.delete("w0_5").success
+    eng.flush()
+    r = eng.search(SearchRequest(query_vector=vecs["w0_5"], top_k=3))
+    assert "w0_5" not in r.search_result.keys

@@ -114,3 +114,45 @@ def test_sharded_ivf_int8_cells(rng):
     idx.invalidate_rows(victims)
     _, rows2 = idx.search(q[:1], k=10)
     assert not set(rows2[0]).intersection(set(int(v) for v in victims))
+
+
+def test_sharded_append_rows_searchable(rng):
+    mesh8 = create_mesh()
+    """Distributed appends: rows route to their owning device partition,
+    land in cell windows or the reserved spill tail, and are found by the
+    collective search at exact distance."""
+    n, d = 2048, 32
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[n - 64:] = False  # engine slots not yet written at build time
+    idx = ShardedIVFIndex.build(data, valid, mesh8,
+                                nlist=8, nprobe=8, kmeans_iters=4)
+    new = (15.0 + rng.standard_normal((64, d))).astype(np.float32)
+    phys = np.arange(n - 64, n)  # fresh ids: never live in the build
+    assert idx.append_rows(phys, new)
+    dist, rows = idx.search(new[:16], k=1)
+    assert (rows[:, 0] == phys[:16]).all(), rows[:, 0]
+    assert (np.abs(dist[:, 0]) < 1e-2).all()
+    # appended rows delete cleanly through the inverse maps
+    idx.invalidate_rows(phys[:1])
+    d2, r2 = idx.search(new[:1], k=1)
+    assert r2[0, 0] != phys[0]
+
+
+def test_sharded_append_rows_int8(rng):
+    mesh8 = create_mesh()
+    import jax.numpy as jnp
+    n, d = 1024, 32
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[n - 32:] = False
+    idx = ShardedIVFIndex.build(data, valid, mesh8,
+                                nlist=4, nprobe=4, kmeans_iters=4,
+                                dtype=jnp.int8)
+    new = (15.0 + rng.standard_normal((32, d))).astype(np.float32)
+    phys = np.arange(n - 32, n)  # fresh ids: never live in the build
+    assert idx.append_rows(phys, new)
+    dist, rows = idx.search(new[:8], k=1)
+    assert (rows[:, 0] == phys[:8]).all()
+    # int8 dot noise ~2*sqrt(d)*|q|_inf*s/2 ~ +-10 at these norms
+    assert (np.abs(dist[:, 0]) < 40.0).all()

@@ -347,12 +347,12 @@ class VectorDBEngine:
                     > cfg.ivf_delta_max)
         if not needs_rebuild and overflow:
             # sustained ingest: drain the delta buffer into the existing
-            # clustering via IVFIndex.append_rows (assignment GEMM +
-            # bucketed scatters) instead of a full k-means rebuild
-            # (minutes at 1M rows). Falls back to the rebuild when cell +
-            # spill capacity is exhausted. Mesh-sharded IVF keeps the
-            # rebuild path (its cells live per-device).
-            if isinstance(self._ivf, IVFIndex):
+            # clustering via append_rows (assignment + bucketed scatters)
+            # instead of a full k-means rebuild (minutes at 1M rows) —
+            # both the single-device IVFIndex and the mesh-sharded index
+            # implement the same plan-then-commit contract. Falls back to
+            # the rebuild when cell + spill capacity is exhausted.
+            if hasattr(self._ivf, "append_rows"):
                 for s, sl in self._staged_updates:
                     if self.mirrors[s].is_valid(sl):
                         self._ivf_delta[(s, sl)] = (

@@ -159,9 +159,10 @@ class ShardedIVFIndex:
     def __init__(self, mesh, axis, centroids, cell_offsets, cell_lens,
                  grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
                  cell_pad, nprobe, recall_target,
-                 cell_scales=None, spill_scales=None):
+                 cell_scales=None, spill_scales=None, rows_per_dev=0):
         self.mesh = mesh
         self.axis = axis
+        self.rows_per_dev = rows_per_dev  # global-row ownership stride
         self.centroids = centroids
         self.cell_offsets = cell_offsets  # (ndev, nlist) i32, P(axis)
         self.cell_lens = cell_lens        # (ndev, nlist) i32, P(axis)
@@ -263,7 +264,10 @@ class ShardedIVFIndex:
         nlist_c = max(len(pk[0]) for pk in packed)
         local_rows = max(pk[1].shape[0] for pk in packed)
         spill_n = max(max((len(pk[6]) for pk in packed), default=1), 1)
-        spill_rows = _round_up(spill_n, 128)
+        # per-device spill reserve so append_rows can overflow full cells
+        # without forcing a rebuild (scaled down for small partitions)
+        reserve = min(4096, max(128, per // 8))
+        spill_rows = _round_up(spill_n + reserve, 128)
 
         ndev_ = len(packed)
         cents_all = np.full((ndev_, nlist_c, d), 1e30, np.float32)
@@ -332,6 +336,7 @@ class ShardedIVFIndex:
             recall_target=recall_target,
             cell_scales=put(gscale, Pax) if gscale is not None else None,
             spill_scales=put(sscale, Pax) if sscale is not None else None,
+            rows_per_dev=per,
         )
 
     def stats(self):
@@ -377,6 +382,128 @@ class ShardedIVFIndex:
             flat = self.sval.reshape(sdev * slocal)
             flat = IVFIndex._scatter_bucketed(flat, s_hits)
             self.sval = flat.reshape(sdev, slocal)
+
+    def append_rows(self, physical_rows: np.ndarray,
+                    vectors: np.ndarray) -> bool:
+        """Incremental appends on the DISTRIBUTED index (same contract as
+        IVFIndex.append_rows): each row routes to its owning device
+        partition (global row // rows_per_dev, the build-time split),
+        assigns to that device's nearest existing centroid, and lands in
+        the cell's free window slots or the device's reserved spill tail.
+        Allocation is fully planned before any mutation; False = some
+        device is out of room (caller rebuilds)."""
+        phys = np.asarray(physical_rows, np.int64)
+        vecs = np.asarray(vectors, np.float32)
+        m = len(phys)
+        if m == 0:
+            return True
+        if not self.rows_per_dev:
+            return False  # legacy ctor without ownership stride
+        ndev, local_rows = self.row_ids.shape
+        sdev, spill_rows = self.spill_row_ids.shape
+        dev_of = phys // self.rows_per_dev
+        if (dev_of >= ndev).any() or (dev_of < 0).any():
+            return False  # rows outside the built partition: rebuild
+
+        cents_all = np.asarray(self.centroids)
+        offs_all = np.asarray(self.cell_offsets).astype(np.int64)
+        lens_all = np.asarray(self.cell_lens).astype(np.int64).copy()
+        spill_fill = (np.asarray(self.spill_row_ids) >= 0).sum(axis=1)
+
+        # ---- plan per device (host 2-means-style assignment: the batch
+        # is small and per-device centroid tables differ in live count,
+        # so a padded device call per device would compile per shape)
+        g_pos_flat: list = []
+        g_take: list = []
+        s_pos_flat: list = []
+        s_take: list = []
+        for dev in range(ndev):
+            sel = np.flatnonzero(dev_of == dev)
+            if not len(sel):
+                continue
+            cents = cents_all[dev]
+            live_c = cents[:, 0] < 1e29  # 1e30 rows pad the centroid table
+            if not live_c.any():
+                return False
+            cids = np.flatnonzero(live_c)
+            sub = vecs[sel]
+            d2 = (np.einsum("nd,nd->n", sub, sub)[:, None]
+                  - 2.0 * (sub @ cents[cids].T)
+                  + np.einsum("kd,kd->k", cents[cids], cents[cids])[None, :])
+            assign = cids[np.argmin(d2, axis=1)]
+            nexts = np.empty_like(offs_all[dev])
+            nexts[:-1] = offs_all[dev][1:]
+            nexts[-1] = min(local_rows, int(offs_all[dev][-1]) + self.cell_pad)
+            # pad-centroid offsets all point at the tail; keep spans sane
+            caps = np.clip(nexts - offs_all[dev], 0, self.cell_pad)
+            fill = int(spill_fill[dev])
+            for i, c in zip(sel, assign):
+                if lens_all[dev, c] < caps[c]:
+                    pos = int(offs_all[dev, c] + lens_all[dev, c])
+                    g_pos_flat.append(dev * local_rows + pos)
+                    lens_all[dev, c] += 1
+                    g_take.append(i)
+                elif fill < spill_rows:
+                    s_pos_flat.append(dev * spill_rows + fill)
+                    fill += 1
+                    s_take.append(i)
+                else:
+                    return False
+
+        # ---- commit (mirrors IVFIndex.append_rows, on flattened views)
+        from tpuvdb.index.ivf import IVFIndex
+
+        sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+        if self.quantized:
+            from tpuvdb.kernels.quant import quantize_rows_np
+
+            qvecs, qscales = quantize_rows_np(vecs)
+        Pax = NamedSharding(self.mesh, P(self.axis))
+
+        def reshard(flat, shape):
+            return jax.device_put(flat.reshape(shape), Pax)
+
+        self.cell_lens = jax.device_put(
+            jnp.asarray(lens_all, jnp.int32), Pax)
+        self._inv_g = self._inv_s = None
+        d = vecs.shape[1]
+        if g_take:
+            gp = np.asarray(g_pos_flat, np.int64)
+            gt = np.asarray(g_take, np.int64)
+            self.row_ids = np.asarray(self.row_ids).copy()
+            self.row_ids.reshape(-1)[gp] = phys[gt]
+            payload = qvecs[gt] if self.quantized else vecs[gt]
+            self.grouped = reshard(IVFIndex._scatter_payload(
+                self.grouped.reshape(ndev * local_rows, d), gp, payload,
+                self.grouped.dtype), (ndev, local_rows, d))
+            self.gsq = reshard(IVFIndex._scatter_payload(
+                self.gsq.reshape(-1), gp, sq[gt], jnp.float32),
+                (ndev, local_rows))
+            self.gval = reshard(IVFIndex._scatter_flags(
+                self.gval.reshape(-1), gp), (ndev, local_rows))
+            if self.quantized:
+                self.cell_scales = reshard(IVFIndex._scatter_payload(
+                    self.cell_scales.reshape(-1), gp, qscales[gt],
+                    jnp.float32), (ndev, local_rows))
+        if s_take:
+            sp = np.asarray(s_pos_flat, np.int64)
+            st = np.asarray(s_take, np.int64)
+            self.spill_row_ids = np.asarray(self.spill_row_ids).copy()
+            self.spill_row_ids.reshape(-1)[sp] = phys[st]
+            payload = qvecs[st] if self.quantized else vecs[st]
+            self.spill = reshard(IVFIndex._scatter_payload(
+                self.spill.reshape(sdev * spill_rows, d), sp, payload,
+                self.spill.dtype), (sdev, spill_rows, d))
+            self.ssq = reshard(IVFIndex._scatter_payload(
+                self.ssq.reshape(-1), sp, sq[st], jnp.float32),
+                (sdev, spill_rows))
+            self.sval = reshard(IVFIndex._scatter_flags(
+                self.sval.reshape(-1), sp), (sdev, spill_rows))
+            if self.quantized:
+                self.spill_scales = reshard(IVFIndex._scatter_payload(
+                    self.spill_scales.reshape(-1), sp, qscales[st],
+                    jnp.float32), (sdev, spill_rows))
+        return True
 
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
