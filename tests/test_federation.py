@@ -15,8 +15,11 @@ from tpuvdb.utils.sharding_utils import get_shard_id
 
 
 def node_config():
+    # rebalance_debounce_s=0: routing tests assert the stale-routes
+    # window deterministically (the auto-closer has its own test below)
     return DBConfig(vector_dim=8, shard_count=4, replica_count=1,
-                    shard_capacity=1024, block_size=128)
+                    shard_capacity=1024, block_size=128,
+                    rebalance_debounce_s=0)
 
 
 @pytest.fixture()
@@ -357,21 +360,59 @@ def test_sync_all_mid_membership_change_keeps_routes_stale(cluster, rng):
     comparison), not be clobbered by the sync's completion."""
     coord, nodes = cluster
     assert coord.sync_all().success
-    orig_sync_node = coord.sync_node
+    orig_sync_one = coord._sync_one
     fired = []
 
-    def sync_with_midflight_change(node_id, prune=False):
+    def sync_with_midflight_change(node_id, freshest, mine, n_peers, prune):
         if not fired:
             fired.append(1)
             coord.registry.mark_offline("n2")  # topology changes mid-sync
             coord.registry.mark_online("n2")
-        return orig_sync_node(node_id, prune=prune)
+        return orig_sync_one(node_id, freshest, mine, n_peers, prune)
 
-    coord.sync_node = sync_with_midflight_change
+    coord._sync_one = sync_with_midflight_change
     try:
         coord.sync_all()
     finally:
-        coord.sync_node = orig_sync_node
+        coord._sync_one = orig_sync_one
     assert coord._routes_stale  # the mid-flight topology was never synced
     assert coord.sync_all().success
     assert not coord._routes_stale
+
+
+def test_auto_rebalance_closes_stale_window(rng):
+    """With rebalance_debounce_s > 0, a membership flap triggers a
+    debounced background sync_all that closes the broadcast-on-miss
+    window without operator action (review finding, round 2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(node_config(), rebalance_debounce_s=0.1)
+    nodes = []
+    for i in range(2):
+        svc = DBService(node_config())
+        srv = DBServer(svc, port=0)
+        srv.start_background()
+        nodes.append((svc, srv))
+    coord = FederatedCoordinator(cfg)
+    try:
+        for i, (_, srv) in enumerate(nodes):
+            coord.register_node(f"n{i}", srv.address)
+        v = rng.standard_normal(8).astype(np.float32)
+        assert coord.put(VectorData(key="auto", vector=v)).success
+        deadline = time.monotonic() + 15
+        while coord._routes_stale and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert not coord._routes_stale, "auto rebalance never landed"
+        assert coord.get("auto").success
+        # a flap re-opens and re-closes the window by itself
+        coord.registry.mark_offline("n1")
+        coord.registry.mark_online("n1")
+        deadline = time.monotonic() + 15
+        while coord._routes_stale and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert not coord._routes_stale, "flap rebalance never landed"
+    finally:
+        coord.close()
+        for svc, srv in nodes:
+            srv.shutdown()
+            svc.close()

@@ -117,10 +117,10 @@ def test_sharded_ivf_int8_cells(rng):
 
 
 def test_sharded_append_rows_searchable(rng):
-    mesh8 = create_mesh()
     """Distributed appends: rows route to their owning device partition,
     land in cell windows or the reserved spill tail, and are found by the
     collective search at exact distance."""
+    mesh8 = create_mesh()
     n, d = 2048, 32
     data = rng.standard_normal((n, d)).astype(np.float32)
     valid = np.ones(n, bool)

@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Optional
 
 from tpuvdb.api.client import DBClient
 from tpuvdb.cluster.membership import NodeRegistry
+from tpuvdb.core import errors
 from tpuvdb.core.config import DBConfig
 from tpuvdb.core.types import Response, SearchRequest, SearchResult, VectorData
 from tpuvdb.utils.logging import get_logger
@@ -61,10 +62,41 @@ class FederatedCoordinator:
         # change DURING sync_all keeps routes stale (review findings,
         # round 2). -1 = never synced: stale until the first sync_all.
         self._synced_epoch = -1
+        self._rebalance_lock = threading.Lock()
+        self._rebalance_pending = False
+        if self.config.rebalance_debounce_s > 0:
+            # auto-close the stale window: without this, one offline/
+            # online flap (epoch bump, no operator action) leaves every
+            # clean miss broadcasting to all nodes forever
+            self.registry.subscribe(self._on_membership_change)
 
     @property
     def _routes_stale(self) -> bool:
         return self.registry.map_epoch() != self._synced_epoch
+
+    def _on_membership_change(self, _nodes) -> None:
+        with self._rebalance_lock:
+            if self._rebalance_pending:
+                return  # single-flight; the running worker re-checks
+            self._rebalance_pending = True
+        self._pool.submit(self._rebalance_until_current)
+
+    def _rebalance_until_current(self) -> None:
+        """Debounced background sync_all, repeated while routes trail the
+        registry's map epoch (bounded: persistent churn ends with routes
+        stale and the next membership change re-arms)."""
+        try:
+            time.sleep(self.config.rebalance_debounce_s)  # coalesce flaps
+            for _ in range(8):
+                if not self._routes_stale:
+                    return
+                r = self.sync_all()
+                logger.info("auto rebalance: %s", r.message)
+        except Exception:
+            logger.exception("auto rebalance failed")
+        finally:
+            with self._rebalance_lock:
+                self._rebalance_pending = False
 
     # ---------------------------------------------------------------- helpers
 
@@ -202,7 +234,7 @@ class FederatedCoordinator:
         # the record may legitimately live on another node.
         clean_miss = (r is not None and not r.get("success")
                       and str(r.get("message", "")).startswith(
-                          "key not found"))
+                          errors.NOT_FOUND_PREFIX))
         if not clean_miss:
             # failover read: slaves hold real replicas here
             for slave in self._slaves_for_key(key):
@@ -250,13 +282,23 @@ class FederatedCoordinator:
         # bumps it, so _synced_epoch below records a topology we actually
         # finished rebalancing — routes stay stale for the new one
         epoch0 = self.registry.map_epoch()
+        online = self.registry.online_nodes()
+        # ONE all-node export shared by every per-node pass (O(n) exports;
+        # the naive per-node union re-exported the whole cluster n times)
+        freshest, exports = self._freshest_union()
         msgs = []
         all_ok = True
-        for nid in self.registry.online_nodes():
-            r = self.sync_node(nid, prune=prune)
+        for nid in online:
+            mine = exports.get(nid)
+            if mine is None:
+                all_ok = False
+                msgs.append(f"{nid}: export failed")
+                continue
+            r = self._sync_one(nid, freshest, mine,
+                               n_peers=len(exports) - 1, prune=prune)
             all_ok = all_ok and r.success
             msgs.append(f"{nid}: {r.message}")
-        if all_ok:
+        if all_ok and online:
             # every shard's data is back on its current owners: reachable
             # not-found is authoritative again (see get())
             self._synced_epoch = epoch0
@@ -293,33 +335,44 @@ class FederatedCoordinator:
         target = self.registry.get_node(node_id)
         if target is None or not target.online:
             return Response.fail(f"node {node_id} not online")
+        freshest, exports = self._freshest_union()
+        if len(exports) <= 1:
+            return Response.ok("no peers to sync from")
+        mine = exports.get(node_id)
+        if mine is None:
+            return Response.fail(f"node {node_id} export failed")
+        return self._sync_one(node_id, freshest, mine,
+                              n_peers=len(exports) - 1, prune=prune)
+
+    def _freshest_union(self):
+        """Export EVERY online node once; newest-timestamp-wins union.
+
+        All-node sourcing (not just each shard's current group) is what
+        makes "sync completed => every node holds its shards' data" true:
+        membership churn moves ownership without moving data, so the
+        freshest copy of a key may live on a node outside the shard's
+        current group entirely. Computed ONCE per rebalance — sync_all
+        passes the same union to every node instead of re-exporting the
+        cluster per node (O(n) exports, not O(n^2))."""
+        freshest: Dict[str, Dict[str, Any]] = {}
+        exports: Dict[str, Optional[Dict[str, Dict[str, Any]]]] = {}
+        for nid in sorted(self.registry.online_nodes()):
+            recs = self._export_all(nid)
+            if recs is None:
+                continue
+            exports[nid] = recs
+            for key, rec in recs.items():
+                cur = freshest.get(key)
+                if (cur is None
+                        or rec.get("timestamp", 0) > cur.get("timestamp", 0)):
+                    freshest[key] = rec
+        return freshest, exports
+
+    def _sync_one(self, node_id: str, freshest, mine, n_peers: int,
+                  prune: bool) -> Response:
         smap = self.registry.shard_map()
         shards = [s for s, g in smap.items()
                   if node_id in g["master"] + g["slaves"]]
-        # pull candidates from EVERY online node, not just the shard's
-        # current group: membership churn moves ownership without moving
-        # data, so after a reshuffle the freshest copy of a key may live
-        # on a node that is no longer in the shard's group at all. Only
-        # all-node sourcing makes "sync_all completed => every node holds
-        # its shards' data" true, which is what lets sync_all clear the
-        # routes-stale window (review finding, round 2).
-        peer_ids = sorted(n for n in self.registry.online_nodes()
-                          if n != node_id)
-        if not peer_ids:
-            return Response.ok("no peers to sync from")
-        mine = self._export_all(node_id)
-        if mine is None:
-            return Response.fail(f"node {node_id} export failed")
-        # newest-timestamp-wins union of every peer's records
-        freshest: Dict[str, Dict[str, Any]] = {}
-        for pid in peer_ids:
-            recs = self._export_all(pid)
-            if recs is None:
-                continue
-            for key, rec in recs.items():
-                cur = freshest.get(key)
-                if cur is None or rec.get("timestamp", 0) > cur.get("timestamp", 0):
-                    freshest[key] = rec
         shard_set = set(shards)
         pushed = pruned = 0
         for key, rec in freshest.items():
@@ -342,7 +395,7 @@ class FederatedCoordinator:
                         pruned += 1
         return Response.ok(
             f"synced {node_id}: {pushed} pushed, {pruned} pruned "
-            f"from {len(peer_ids)} peers over shards {sorted(shard_set)}")
+            f"from {n_peers} peers over shards {sorted(shard_set)}")
 
     def search(self, req: SearchRequest) -> Response:
         """Parallel scatter-gather with dedup-by-key + ascending merge."""

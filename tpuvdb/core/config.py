@@ -38,6 +38,12 @@ class DBConfig:
     # (1 = master only, matching the reference's declared-but-hollow
     # replication; >=2 waits for replica acks -> bounded durability window)
     write_acks: int = 1
+    # every shard-map rebuild opens the broadcast-on-miss window (routes
+    # moved, data didn't); the coordinator auto-runs a debounced
+    # background sync_all to close it — without this, one offline/online
+    # flap would leave every miss fanning out to all nodes forever.
+    # 0 disables (operator-driven sync_all only, used by routing tests).
+    rebalance_debounce_s: float = 3.0
     default_top_k: int = 5         # src/vector_db.thrift:25
 
     # -- durability --

@@ -1,6 +1,14 @@
 """Typed errors for tpuvdb."""
 
 
+# Engine get/delete miss responses start with this prefix. The federated
+# coordinator keys its read-failover decision on it (a reachable master's
+# CLEAN miss is authoritative; any other error fails over to replicas), so
+# the coupling is a named constant, not a magic string — and
+# tests/test_federation.py asserts the engine side still emits it.
+NOT_FOUND_PREFIX = "key not found"
+
+
 class TpuVdbError(Exception):
     """Base class for all tpuvdb errors."""
 

@@ -260,7 +260,7 @@ class VectorDBEngine:
             self.stats["gets"] += 1
             e = self.docstore.get(key)
             if e is None:
-                return Response.fail(f"key not found: {key}")
+                return Response.fail(f"{errors.NOT_FOUND_PREFIX}: {key}")
             vec = self.mirrors[e.shard].vector_at(e.slot)
             return Response.ok(
                 "ok",
@@ -274,7 +274,7 @@ class VectorDBEngine:
         with self._lock:
             e = self.docstore.delete(key)
             if e is None:
-                return Response.fail(f"key not found: {key}")
+                return Response.fail(f"{errors.NOT_FOUND_PREFIX}: {key}")
             self.mirrors[e.shard].mark_deleted(e.slot)
             self._staged_deletes.append((e.shard, e.slot))
             if self._compact_journal is not None:
@@ -432,6 +432,10 @@ class VectorDBEngine:
                     dtype=cfg.jnp_dtype(),
                     recall_target=cfg.recall_target,
                 )
+                # compile the append-path programs NOW (rebuilds are the
+                # expected slow path) so the first serving-path append
+                # doesn't stall puts/searches on fresh XLA compiles
+                self._ivf.warm_append()
                 self._ivf_layout = layout
             self._ivf_delta.clear()
             self._staged_updates.clear()

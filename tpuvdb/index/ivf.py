@@ -68,6 +68,27 @@ def _scatter_true(valid, idx):
     return valid.at[idx].set(True, mode="drop")
 
 
+def commit_append_region(vec_arr, sq_arr, val_arr, scale_arr,
+                         row_ids_flat: np.ndarray, pos: np.ndarray,
+                         phys: np.ndarray, vecs: np.ndarray, sq: np.ndarray,
+                         qvecs, qscales):
+    """Shared append commit for one region (grouped or spill), on FLAT
+    device views: record phys ids in row_ids_flat (mutated in place) and
+    scatter payload rows + exact norms + validity (+ dequant scales when
+    quantized) at pos. Used by both IVFIndex and the mesh-sharded index
+    so fixes to the commit semantics cannot drift apart."""
+    row_ids_flat[pos] = phys
+    quantized = qvecs is not None
+    payload = qvecs if quantized else vecs
+    vec_arr = IVFIndex._scatter_payload(vec_arr, pos, payload, vec_arr.dtype)
+    sq_arr = IVFIndex._scatter_payload(sq_arr, pos, sq, jnp.float32)
+    val_arr = IVFIndex._scatter_flags(val_arr, pos)
+    if quantized:
+        scale_arr = IVFIndex._scatter_payload(scale_arr, pos, qscales,
+                                              jnp.float32)
+    return vec_arr, sq_arr, val_arr, scale_arr
+
+
 def split_oversized_cells(
     vectors: np.ndarray,
     assign: np.ndarray,       # (N,) cell id, -1 = dead
@@ -662,31 +683,55 @@ class IVFIndex:
             gp = np.asarray(g_pos, np.int64)
             gt = np.asarray(g_take, np.int64)
             self.row_ids = np.asarray(self.row_ids).copy()
-            self.row_ids[gp] = phys[gt]
-            payload = qvecs[gt] if self.quantized else vecs[gt]
-            self.grouped = self._scatter_payload(
-                self.grouped, gp, payload, self.grouped.dtype)
-            self.grouped_sq = self._scatter_payload(
-                self.grouped_sq, gp, sq[gt], jnp.float32)
-            self.grouped_valid = self._scatter_flags(self.grouped_valid, gp)
-            if self.quantized:
-                self.cell_scales = self._scatter_payload(
-                    self.cell_scales, gp, qscales[gt], jnp.float32)
+            (self.grouped, self.grouped_sq, self.grouped_valid,
+             self.cell_scales) = commit_append_region(
+                self.grouped, self.grouped_sq, self.grouped_valid,
+                self.cell_scales, self.row_ids, gp, phys[gt], vecs[gt],
+                sq[gt], qvecs[gt] if self.quantized else None,
+                qscales[gt] if self.quantized else None)
         if s_take:
             st = np.asarray(s_take, np.int64)
             sp = spill_len + np.arange(len(st), dtype=np.int64)
             self.spill_row_ids = np.asarray(self.spill_row_ids).copy()
-            self.spill_row_ids[sp] = phys[st]
-            payload = qvecs[st] if self.quantized else vecs[st]
-            self.spill = self._scatter_payload(
-                self.spill, sp, payload, self.spill.dtype)
-            self.spill_sq = self._scatter_payload(
-                self.spill_sq, sp, sq[st], jnp.float32)
-            self.spill_valid = self._scatter_flags(self.spill_valid, sp)
-            if self.quantized:
-                self.spill_scales = self._scatter_payload(
-                    self.spill_scales, sp, qscales[st], jnp.float32)
+            (self.spill, self.spill_sq, self.spill_valid,
+             self.spill_scales) = commit_append_region(
+                self.spill, self.spill_sq, self.spill_valid,
+                self.spill_scales, self.spill_row_ids, sp, phys[st],
+                vecs[st], sq[st], qvecs[st] if self.quantized else None,
+                qscales[st] if self.quantized else None)
         return True
+
+    def warm_append(self):
+        """Compile the append-path programs (assignment GEMM + one bucket
+        of each scatter, with all-pad dropped indices) at (re)build time.
+        The first serving-path append otherwise pays every compile while
+        holding the engine lock — measured ~27 s through the remote-
+        compile relay — stalling puts and searches mid-serving. Rebuilds
+        already run on the slow path, so the cost lands where stalls are
+        expected, and the compile cache makes later appends ~0.2 s."""
+        from tpuvdb.kernels.kmeans import assign_blockwise
+
+        d = self.grouped.shape[1]
+        assign_blockwise(jnp.zeros((16384, d), jnp.float32),
+                         self.centroids, block_size=2048)
+        z = np.zeros((1, d), np.float32)
+        s1 = np.zeros(1, np.float32)
+        for arr_name, payload in (("grouped", z), ("grouped_sq", s1),
+                                  ("spill", z), ("spill_sq", s1)):
+            arr = getattr(self, arr_name)
+            pad_pos = np.full(1, arr.shape[0], np.int64)  # dropped
+            setattr(self, arr_name, self._scatter_payload(
+                arr, pad_pos, payload, arr.dtype))
+        for arr_name in ("grouped_valid", "spill_valid"):
+            arr = getattr(self, arr_name)
+            pad_pos = np.full(1, arr.shape[0], np.int64)
+            setattr(self, arr_name, self._scatter_flags(arr, pad_pos))
+        if self.quantized:
+            for arr_name in ("cell_scales", "spill_scales"):
+                arr = getattr(self, arr_name)
+                pad_pos = np.full(1, arr.shape[0], np.int64)
+                setattr(self, arr_name, self._scatter_payload(
+                    arr, pad_pos, s1, jnp.float32))
 
     @staticmethod
     def _scatter_payload(arr, pos: np.ndarray, vals: np.ndarray, dtype):

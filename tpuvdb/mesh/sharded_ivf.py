@@ -450,8 +450,9 @@ class ShardedIVFIndex:
                 else:
                     return False
 
-        # ---- commit (mirrors IVFIndex.append_rows, on flattened views)
-        from tpuvdb.index.ivf import IVFIndex
+        # ---- commit: the shared region helper on flattened views, then
+        # re-shard each updated array back over the mesh axis
+        from tpuvdb.index.ivf import commit_append_region
 
         sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
         if self.quantized:
@@ -471,38 +472,34 @@ class ShardedIVFIndex:
             gp = np.asarray(g_pos_flat, np.int64)
             gt = np.asarray(g_take, np.int64)
             self.row_ids = np.asarray(self.row_ids).copy()
-            self.row_ids.reshape(-1)[gp] = phys[gt]
-            payload = qvecs[gt] if self.quantized else vecs[gt]
-            self.grouped = reshard(IVFIndex._scatter_payload(
-                self.grouped.reshape(ndev * local_rows, d), gp, payload,
-                self.grouped.dtype), (ndev, local_rows, d))
-            self.gsq = reshard(IVFIndex._scatter_payload(
-                self.gsq.reshape(-1), gp, sq[gt], jnp.float32),
-                (ndev, local_rows))
-            self.gval = reshard(IVFIndex._scatter_flags(
-                self.gval.reshape(-1), gp), (ndev, local_rows))
+            vec_a, sq_a, val_a, scale_a = commit_append_region(
+                self.grouped.reshape(ndev * local_rows, d),
+                self.gsq.reshape(-1), self.gval.reshape(-1),
+                self.cell_scales.reshape(-1) if self.quantized else None,
+                self.row_ids.reshape(-1), gp, phys[gt], vecs[gt], sq[gt],
+                qvecs[gt] if self.quantized else None,
+                qscales[gt] if self.quantized else None)
+            self.grouped = reshard(vec_a, (ndev, local_rows, d))
+            self.gsq = reshard(sq_a, (ndev, local_rows))
+            self.gval = reshard(val_a, (ndev, local_rows))
             if self.quantized:
-                self.cell_scales = reshard(IVFIndex._scatter_payload(
-                    self.cell_scales.reshape(-1), gp, qscales[gt],
-                    jnp.float32), (ndev, local_rows))
+                self.cell_scales = reshard(scale_a, (ndev, local_rows))
         if s_take:
             sp = np.asarray(s_pos_flat, np.int64)
             st = np.asarray(s_take, np.int64)
             self.spill_row_ids = np.asarray(self.spill_row_ids).copy()
-            self.spill_row_ids.reshape(-1)[sp] = phys[st]
-            payload = qvecs[st] if self.quantized else vecs[st]
-            self.spill = reshard(IVFIndex._scatter_payload(
-                self.spill.reshape(sdev * spill_rows, d), sp, payload,
-                self.spill.dtype), (sdev, spill_rows, d))
-            self.ssq = reshard(IVFIndex._scatter_payload(
-                self.ssq.reshape(-1), sp, sq[st], jnp.float32),
-                (sdev, spill_rows))
-            self.sval = reshard(IVFIndex._scatter_flags(
-                self.sval.reshape(-1), sp), (sdev, spill_rows))
+            vec_a, sq_a, val_a, scale_a = commit_append_region(
+                self.spill.reshape(sdev * spill_rows, d),
+                self.ssq.reshape(-1), self.sval.reshape(-1),
+                self.spill_scales.reshape(-1) if self.quantized else None,
+                self.spill_row_ids.reshape(-1), sp, phys[st], vecs[st],
+                sq[st], qvecs[st] if self.quantized else None,
+                qscales[st] if self.quantized else None)
+            self.spill = reshard(vec_a, (sdev, spill_rows, d))
+            self.ssq = reshard(sq_a, (sdev, spill_rows))
+            self.sval = reshard(val_a, (sdev, spill_rows))
             if self.quantized:
-                self.spill_scales = reshard(IVFIndex._scatter_payload(
-                    self.spill_scales.reshape(-1), sp, qscales[st],
-                    jnp.float32), (sdev, spill_rows))
+                self.spill_scales = reshard(scale_a, (sdev, spill_rows))
         return True
 
     def search(self, queries: np.ndarray, k: int,
