@@ -217,3 +217,29 @@ def test_ivf_engine_incremental_append_instead_of_rebuild(rng):
     eng.flush()
     r = eng.search(SearchRequest(query_vector=vecs["w1_50"], top_k=3))
     assert "w1_50" not in r.search_result.keys
+
+
+def test_ivf_warm_restart_skips_kmeans_training(rng, tmp_path, monkeypatch):
+    """A restarted IVF engine rebuilds by ASSIGNMENT against the
+    checkpointed centroids — no k-means training run (minutes at 1M
+    rows). Proven by poisoning the trainer after recovery."""
+    d = str(tmp_path / "db")
+    cfg = ivf_config(ivf_delta_max=10_000, checkpoint_every_puts=10**9)
+    eng = VectorDBEngine(cfg, data_dir=d)
+    vecs = fill(eng, rng, 400)
+    eng.flush()  # trains the initial clustering
+    eng.close()  # checkpoints (centroids included)
+
+    import tpuvdb.index.ivf as ivf_mod
+
+    def no_training(*a, **k):
+        raise AssertionError("k-means training ran on a warm restart")
+
+    monkeypatch.setattr(ivf_mod, "kmeans", no_training)
+    eng2 = VectorDBEngine(cfg, data_dir=d)
+    r = eng2.search(SearchRequest(query_vector=vecs["k42"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k42"
+    assert r.search_result.scores[0] < 1e-2
+    # and the warm centroids are one-shot: the NEXT rebuild retrains
+    assert getattr(eng2, "_ivf_warm_centroids", None) is None
+    eng2.close()

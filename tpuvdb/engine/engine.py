@@ -144,6 +144,8 @@ class VectorDBEngine:
                     f"checkpoint has {len(self.mirrors)} shards, "
                     f"config wants {self.config.shard_count}"
                 )
+        if self.config.index_type == "ivf":
+            self._ivf_warm_centroids = self.ckpts.load_ivf_centroids()
         for rec in self.wal.replay(after_seq=wal_pos):
             op = rec.get("op")
             if op == "put":
@@ -423,6 +425,11 @@ class VectorDBEngine:
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
+                # first rebuild after recovery reuses the checkpointed
+                # centroids (assignment only, no k-means training); later
+                # rebuilds retrain so clustering tracks data drift
+                warm = getattr(self, "_ivf_warm_centroids", None)
+                self._ivf_warm_centroids = None
                 self._ivf = IVFIndex.build(
                     vecs, valid,
                     nlist=nlist,
@@ -431,6 +438,7 @@ class VectorDBEngine:
                     train_sample=cfg.ivf_train_sample,
                     dtype=cfg.jnp_dtype(),
                     recall_target=cfg.recall_target,
+                    centroids=warm,
                 )
                 # compile the append-path programs NOW (rebuilds are the
                 # expected slow path) so the first serving-path append
@@ -1003,10 +1011,14 @@ class VectorDBEngine:
                     "next_slot": m.next_slot,
                     "deleted": m.deleted,
                 } for m in self.mirrors]
+                from tpuvdb.index.ivf import IVFIndex as _IVF
+
+                cents = (np.asarray(self._ivf.centroids)
+                         if isinstance(self._ivf, _IVF) else None)
                 self._puts_since_ckpt = 0
             path = self.ckpts.save_snapshot(
                 self.config, doc_rows, shard_snaps, wal_pos,
-                dim=self.config.vector_dim)
+                dim=self.config.vector_dim, ivf_centroids=cents)
             if self.wal is not None:
                 self.wal.truncate_through(wal_pos)
             with self._lock:

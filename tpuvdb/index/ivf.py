@@ -427,6 +427,7 @@ class IVFIndex:
         seed: int = 0,
         recall_target: float = 0.95,
         split_oversized: bool = True,
+        centroids: Optional[np.ndarray] = None,  # skip k-means training
     ) -> "IVFIndex":
         """With split_oversized (default), cell_pad tracks the MEDIAN cell
         and hot cells are subdivided into real child centroids, so fill
@@ -438,13 +439,19 @@ class IVFIndex:
             raise ValueError("cannot build IVF over empty corpus")
         rng = np.random.default_rng(seed)
 
-        # 1. train the coarse quantizer on a sample (TPU k-means)
-        if len(live_idx) > train_sample:
-            tr = rng.choice(live_idx, size=train_sample, replace=False)
+        # 1. train the coarse quantizer on a sample (TPU k-means) — or
+        # reuse caller-provided centroids (checkpoint warm-start: a
+        # restarted engine pays one assignment pass, not a training run)
+        if centroids is not None and centroids.shape[1] == d:
+            centroids = np.asarray(centroids, np.float32)
+            nlist = len(centroids)
         else:
-            tr = live_idx
-        centroids, _ = kmeans(vectors[tr], np.ones(len(tr), bool),
-                              nlist=nlist, iters=kmeans_iters, seed=seed)
+            if len(live_idx) > train_sample:
+                tr = rng.choice(live_idx, size=train_sample, replace=False)
+            else:
+                tr = live_idx
+            centroids, _ = kmeans(vectors[tr], np.ones(len(tr), bool),
+                                  nlist=nlist, iters=kmeans_iters, seed=seed)
 
         # 2. assign every live row
         from tpuvdb.kernels.kmeans import assign_blockwise
