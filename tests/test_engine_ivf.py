@@ -241,5 +241,37 @@ def test_ivf_warm_restart_skips_kmeans_training(rng, tmp_path, monkeypatch):
     assert r.success and r.search_result.keys[0] == "k42"
     assert r.search_result.scores[0] < 1e-2
     # and the warm centroids are one-shot: the NEXT rebuild retrains
-    assert getattr(eng2, "_ivf_warm_centroids", None) is None
+    assert eng2._ivf_warm is None
     eng2.close()
+
+
+def test_ivf_warm_restart_retrains_after_heavy_churn(rng, tmp_path):
+    """Drift guard: when the corpus at restart is outside 2x of the size
+    the centroids were TRAINED on, the warm start is discarded and
+    k-means retrains (stale clustering cannot survive generations)."""
+    d = str(tmp_path / "db")
+    cfg = ivf_config(ivf_delta_max=10_000, checkpoint_every_puts=10**9)
+    eng = VectorDBEngine(cfg, data_dir=d)
+    vecs = fill(eng, rng, 400)
+    eng.flush()
+    for i in range(360):  # shrink live rows far below 0.5x
+        eng.delete(f"k{i}")
+    eng.close()
+
+    eng2 = VectorDBEngine(cfg, data_dir=d)
+    calls = []
+    import tpuvdb.index.ivf as ivf_mod
+    real = ivf_mod.kmeans
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    ivf_mod.kmeans = counting
+    try:
+        r = eng2.search(SearchRequest(query_vector=vecs["k390"], top_k=3))
+        assert r.success and r.search_result.keys[0] == "k390"
+        assert calls, "expected a retrain after heavy churn"
+    finally:
+        ivf_mod.kmeans = real
+        eng2.close()

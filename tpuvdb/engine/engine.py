@@ -145,7 +145,7 @@ class VectorDBEngine:
                     f"config wants {self.config.shard_count}"
                 )
         if self.config.index_type == "ivf":
-            self._ivf_warm_centroids = self.ckpts.load_ivf_centroids()
+            self._ivf_warm = self.ckpts.load_ivf_warm()
         for rec in self.wal.replay(after_seq=wal_pos):
             op = rec.get("op")
             if op == "put":
@@ -426,20 +426,41 @@ class VectorDBEngine:
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
                 # first rebuild after recovery reuses the checkpointed
-                # centroids (assignment only, no k-means training); later
-                # rebuilds retrain so clustering tracks data drift
-                warm = getattr(self, "_ivf_warm_centroids", None)
-                self._ivf_warm_centroids = None
+                # centroids (assignment only, no k-means training) — but
+                # only while the corpus is within 2x of the size it was
+                # TRAINED on: a restart after heavy churn retrains so
+                # clustering cannot degrade unboundedly across process
+                # generations (review finding, round 2)
+                warm = getattr(self, "_ivf_warm", None)
+                self._ivf_warm = None
+                warm_cents = None
+                trained_live = live
+                if warm is not None:
+                    cents0, live0 = warm
+                    if live0 > 0 and 0.5 <= live / live0 <= 2.0:
+                        warm_cents = cents0
+                        trained_live = live0
                 self._ivf = IVFIndex.build(
                     vecs, valid,
                     nlist=nlist,
-                    nprobe=min(cfg.ivf_nprobe, nlist),
+                    # nprobe must follow the ACTUAL cell count: warm
+                    # centroids override nlist inside build, and probing
+                    # an engine-side nlist fraction of a much larger warm
+                    # cell set craters recall after restart
+                    nprobe=min(cfg.ivf_nprobe,
+                               len(warm_cents) if warm_cents is not None
+                               else nlist),
                     kmeans_iters=cfg.ivf_kmeans_iters,
                     train_sample=cfg.ivf_train_sample,
                     dtype=cfg.jnp_dtype(),
                     recall_target=cfg.recall_target,
-                    centroids=warm,
+                    centroids=warm_cents,
                 )
+                # cache for checkpoints (survives _ivf=None windows like
+                # compaction; trained_live marks TRAINING time, so warm
+                # reuse accumulates drift toward the forced retrain)
+                self._ivf_train_state = (np.asarray(self._ivf.centroids),
+                                         trained_live)
                 # compile the append-path programs NOW (rebuilds are the
                 # expected slow path) so the first serving-path append
                 # doesn't stall puts/searches on fresh XLA compiles
@@ -1011,14 +1032,11 @@ class VectorDBEngine:
                     "next_slot": m.next_slot,
                     "deleted": m.deleted,
                 } for m in self.mirrors]
-                from tpuvdb.index.ivf import IVFIndex as _IVF
-
-                cents = (np.asarray(self._ivf.centroids)
-                         if isinstance(self._ivf, _IVF) else None)
+                ivf_warm = getattr(self, "_ivf_train_state", None)
                 self._puts_since_ckpt = 0
             path = self.ckpts.save_snapshot(
                 self.config, doc_rows, shard_snaps, wal_pos,
-                dim=self.config.vector_dim, ivf_centroids=cents)
+                dim=self.config.vector_dim, ivf_warm=ivf_warm)
             if self.wal is not None:
                 self.wal.truncate_through(wal_pos)
             with self._lock:

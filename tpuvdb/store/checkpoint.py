@@ -73,7 +73,7 @@ class CheckpointManager:
         shard_snaps: List[dict],        # {vectors, valid, next_slot, deleted}
         wal_pos: int,
         dim: int,
-        ivf_centroids=None,             # (nlist, d) f32: warm-start restarts
+        ivf_warm=None,  # (centroids (nlist,d) f32, trained_live int)
     ) -> str:
         """Write a checkpoint from pre-copied state: callers snapshot under
         their lock (a fast memory copy) and call this with the lock
@@ -103,12 +103,16 @@ class CheckpointManager:
                      deleted=np.int64(s["deleted"]))
         with open(os.path.join(tmp, "wal_pos.txt"), "w") as f:
             f.write(str(int(wal_pos)))
-        if ivf_centroids is not None:
-            # trained coarse-quantizer centroids: a restarted IVF engine
-            # rebuilds by ASSIGNMENT against these (seconds) instead of a
-            # full k-means training run (minutes at 1M rows)
-            np.save(os.path.join(tmp, "ivf_centroids.npy"),
-                    np.asarray(ivf_centroids, np.float32))
+        if ivf_warm is not None:
+            # trained coarse-quantizer centroids + the live-row count at
+            # TRAINING time: a restarted IVF engine rebuilds by ASSIGNMENT
+            # against these (seconds) instead of a full k-means training
+            # run (minutes at 1M rows), unless the corpus has drifted too
+            # far from the training snapshot (engine checks the ratio)
+            cents, trained_live = ivf_warm
+            np.savez(os.path.join(tmp, "ivf_warm.npz"),
+                     centroids=np.asarray(cents, np.float32),
+                     trained_live=np.int64(trained_live))
         with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
             json.dump({"num_shards": len(shard_snaps), "dim": dim,
                        "docs": len(doc_rows), "timestamp": ts}, f)
@@ -124,6 +128,7 @@ class CheckpointManager:
         docstore: DocStore,
         mirrors: List[ShardMirror],
         wal_pos: int,
+        ivf_warm=None,
     ) -> str:
         ts = int(time.time() * 1000)
         path = os.path.join(self.ckpt_dir, f"checkpoint_{ts}")
@@ -145,12 +150,16 @@ class CheckpointManager:
             )
         with open(os.path.join(tmp, "wal_pos.txt"), "w") as f:
             f.write(str(int(wal_pos)))
-        if ivf_centroids is not None:
-            # trained coarse-quantizer centroids: a restarted IVF engine
-            # rebuilds by ASSIGNMENT against these (seconds) instead of a
-            # full k-means training run (minutes at 1M rows)
-            np.save(os.path.join(tmp, "ivf_centroids.npy"),
-                    np.asarray(ivf_centroids, np.float32))
+        if ivf_warm is not None:
+            # trained coarse-quantizer centroids + the live-row count at
+            # TRAINING time: a restarted IVF engine rebuilds by ASSIGNMENT
+            # against these (seconds) instead of a full k-means training
+            # run (minutes at 1M rows), unless the corpus has drifted too
+            # far from the training snapshot (engine checks the ratio)
+            cents, trained_live = ivf_warm
+            np.savez(os.path.join(tmp, "ivf_warm.npz"),
+                     centroids=np.asarray(cents, np.float32),
+                     trained_live=np.int64(trained_live))
         with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
             json.dump(
                 {
@@ -211,16 +220,17 @@ class CheckpointManager:
             wal_pos = int(f.read().strip())
         return docstore, mirrors, wal_pos
 
-    def load_ivf_centroids(self):
-        """Saved coarse-quantizer centroids of the newest checkpoint, or
-        None (older checkpoints / flat-index engines have none)."""
+    def load_ivf_warm(self):
+        """(centroids, trained_live) of the newest checkpoint, or None
+        (older checkpoints / flat-index engines have none)."""
         path = self.latest()
         if path is None:
             return None
-        p = os.path.join(path, "ivf_centroids.npy")
+        p = os.path.join(path, "ivf_warm.npz")
         if not os.path.exists(p):
             return None
         try:
-            return np.load(p)
+            z = np.load(p)
+            return z["centroids"], int(z["trained_live"])
         except Exception:
             return None  # torn/corrupt extras never block recovery
