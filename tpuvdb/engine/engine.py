@@ -415,13 +415,31 @@ class VectorDBEngine:
 
                 nlist = max(1, min(cfg.ivf_nlist // ndev or 1,
                                    max(1, live // (8 * ndev))))
+                # warm-start parity with the single-device path: reuse
+                # checkpointed per-device centroids within the 2x drift
+                # bound (3-D table = mesh-shaped warm state)
+                warm = getattr(self, "_ivf_warm", None)
+                self._ivf_warm = None
+                warm_cents = None
+                trained_live = live
+                if warm is not None:
+                    cents0, live0 = warm
+                    if (np.ndim(cents0) == 3 and live0 > 0
+                            and 0.5 <= live / live0 <= 2.0):
+                        warm_cents = np.asarray(cents0)
+                        trained_live = live0
+                nprobe = cfg.ivf_nprobe if warm_cents is not None \
+                    else min(cfg.ivf_nprobe, nlist)
                 self._ivf = ShardedIVFIndex.build(
                     vecs, valid, self.mesh, axis=cfg.mesh_axis,
-                    nlist=nlist, nprobe=min(cfg.ivf_nprobe, nlist),
+                    nlist=nlist, nprobe=nprobe,
                     kmeans_iters=cfg.ivf_kmeans_iters,
                     dtype=cfg.jnp_dtype(),
                     recall_target=cfg.recall_target,
+                    centroids=warm_cents,
                 )
+                self._ivf_train_state = (np.asarray(self._ivf.centroids),
+                                         trained_live)
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
@@ -437,7 +455,8 @@ class VectorDBEngine:
                 trained_live = live
                 if warm is not None:
                     cents0, live0 = warm
-                    if live0 > 0 and 0.5 <= live / live0 <= 2.0:
+                    if (np.ndim(cents0) == 2 and live0 > 0
+                            and 0.5 <= live / live0 <= 2.0):
                         warm_cents = cents0
                         trained_live = live0
                 self._ivf = IVFIndex.build(

@@ -195,12 +195,18 @@ class ShardedIVFIndex:
         dtype=jnp.float32,
         seed: int = 0,
         recall_target: float = 0.95,
+        centroids: Optional[np.ndarray] = None,  # (ndev, nl, d) warm-start
     ) -> "ShardedIVFIndex":
         ndev = mesh.shape[axis]
         n, d = vectors.shape
         if n % ndev != 0:
             raise ValueError(f"rows {n} % devices {ndev} != 0")
         per = n // ndev
+        warm = centroids
+        if (warm is not None
+                and (warm.ndim != 3 or warm.shape[0] != ndev
+                     or warm.shape[2] != d)):
+            warm = None  # partition geometry changed: retrain
 
         parts = []
         for dev in range(ndev):
@@ -209,13 +215,23 @@ class ShardedIVFIndex:
             part_val = valid[lo : lo + per]
             live = np.flatnonzero(part_val)
             nl = max(1, min(nlist, max(1, len(live) // 4)))
+            wc = None
+            if warm is not None:
+                wc = warm[dev][warm[dev][:, 0] < 1e29]  # drop table pads
             if len(live) == 0:
                 cents = np.zeros((nlist, d), np.float32)
                 assign = np.full(per, -1, np.int32)
             else:
-                cents, _ = kmeans(part_vec[live], np.ones(len(live), bool),
-                                  nlist=nl, iters=kmeans_iters,
-                                  block_size=4096, seed=seed + dev)
+                if wc is not None and len(wc):
+                    # checkpoint warm-start: this device's trained
+                    # centroids skip the per-device k-means run
+                    cents = np.asarray(wc, np.float32)
+                    nl = len(cents)
+                else:
+                    cents, _ = kmeans(part_vec[live],
+                                      np.ones(len(live), bool),
+                                      nlist=nl, iters=kmeans_iters,
+                                      block_size=4096, seed=seed + dev)
                 if nl < nlist:  # pad centroid table to the common size
                     cents = np.concatenate(
                         [cents, np.full((nlist - nl, d), 1e30, np.float32)])
