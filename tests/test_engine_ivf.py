@@ -275,3 +275,39 @@ def test_ivf_warm_restart_retrains_after_heavy_churn(rng, tmp_path):
     finally:
         ivf_mod.kmeans = real
         eng2.close()
+
+
+def test_ivf_warm_restart_retrains_after_churn_neutral_drift(rng, tmp_path):
+    """Delete-N-insert-N churn keeps the live count flat — only the
+    cumulative mutation counter can see it. After churn exceeding the
+    training corpus size, the warm start must be discarded."""
+    d = str(tmp_path / "db")
+    cfg = ivf_config(ivf_delta_max=10_000, checkpoint_every_puts=10**9)
+    eng = VectorDBEngine(cfg, data_dir=d)
+    vecs = fill(eng, rng, 300)
+    eng.flush()  # trains at live=300, mut=300
+    # churn-neutral rewrite: >300 mutations, live count unchanged
+    for i in range(200):
+        assert eng.delete(f"k{i}").success
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"r{i}"] = v
+        assert eng.put(VectorData(key=f"r{i}", vector=v)).success
+    eng.close()
+
+    eng2 = VectorDBEngine(cfg, data_dir=d)
+    calls = []
+    import tpuvdb.index.ivf as ivf_mod
+    real = ivf_mod.kmeans
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    ivf_mod.kmeans = counting
+    try:
+        r = eng2.search(SearchRequest(query_vector=vecs["r42"], top_k=3))
+        assert r.success and r.search_result.keys[0] == "r42"
+        assert calls, "expected retrain: churn exceeded training corpus"
+    finally:
+        ivf_mod.kmeans = real
+        eng2.close()

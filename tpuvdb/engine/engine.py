@@ -106,6 +106,11 @@ class VectorDBEngine:
         self._generation = 0
         self._puts_since_ckpt = 0
         self._puts_since_compact = 0
+        # monotonic count of accepted mutations (puts+deletes), persisted
+        # with the IVF warm state so restarts can measure cumulative churn
+        # since k-means TRAINING — live-count ratios alone cannot see
+        # churn-neutral drift (delete N + insert N per generation)
+        self._mut_count = 0
         self.stats: Dict[str, int] = {
             "puts": 0, "gets": 0, "deletes": 0, "searches": 0,
             "flushes": 0, "compactions": 0, "checkpoints": 0,
@@ -146,6 +151,13 @@ class VectorDBEngine:
                 )
         if self.config.index_type == "ivf":
             self._ivf_warm = self.ckpts.load_ivf_warm()
+            if self._ivf_warm is not None:
+                cents0, live0, mut0, mut_ckpt = self._ivf_warm
+                # WAL tail replay re-increments on top of the checkpoint
+                self._mut_count = mut_ckpt
+                # carry forward NOW: a cadence checkpoint taken before the
+                # first rebuild must not silently drop the warm state
+                self._ivf_train_state = (cents0, live0, mut0)
         for rec in self.wal.replay(after_seq=wal_pos):
             op = rec.get("op")
             if op == "put":
@@ -235,6 +247,7 @@ class VectorDBEngine:
             self._compact_journal.append(
                 ("put", key, vec.copy(), dict(metadata), timestamp))
         self.stats["puts"] += 1
+        self._mut_count += 1
         self._puts_since_ckpt += 1
         self._puts_since_compact += 1
 
@@ -284,6 +297,7 @@ class VectorDBEngine:
             if self.wal is not None and not replay_mode:
                 self.wal.append("delete", key)
             self.stats["deletes"] += 1
+            self._mut_count += 1
             logger.debug("delete %s", key)
             return Response.ok(f"deleted {key}")
 
@@ -334,6 +348,31 @@ class VectorDBEngine:
             with self._lock:
                 self._inflight.pop(token, None)
                 self.stats["flushes"] += 1
+
+    def _consume_ivf_warm(self, live, ndim, lead=None):
+        """(warm_cents | None, trained_live, mut_at_train) for the rebuild
+        branches. Warm state is consumed ONCE and accepted only when:
+        geometry matches what build would use (rejecting here keeps the
+        recorded training baseline honest — build silently retraining on
+        a mismatched table previously paired fresh centroids with a stale
+        trained_live); live rows are within 2x of the TRAINING-time count;
+        and cumulative mutations since training stay under the training
+        corpus size (churn-neutral drift — delete N + insert N — never
+        moves the live ratio, so the count ratio alone cannot see it)."""
+        warm = getattr(self, "_ivf_warm", None)
+        self._ivf_warm = None
+        if warm is None:
+            return None, live, self._mut_count
+        cents0, live0, mut0, _ = warm
+        cents0 = np.asarray(cents0)
+        geom_ok = (cents0.ndim == ndim
+                   and cents0.shape[-1] == self.config.vector_dim
+                   and (lead is None or cents0.shape[0] == lead))
+        ratio_ok = live0 > 0 and 0.5 <= live / live0 <= 2.0
+        churn_ok = (self._mut_count - mut0) <= max(live0, 1)
+        if geom_ok and ratio_ok and churn_ok:
+            return cents0, live0, mut0
+        return None, live, self._mut_count
 
     def _flush_ivf(self):
         from tpuvdb.index.ivf import IVFIndex
@@ -415,19 +454,12 @@ class VectorDBEngine:
 
                 nlist = max(1, min(cfg.ivf_nlist // ndev or 1,
                                    max(1, live // (8 * ndev))))
-                # warm-start parity with the single-device path: reuse
-                # checkpointed per-device centroids within the 2x drift
-                # bound (3-D table = mesh-shaped warm state)
-                warm = getattr(self, "_ivf_warm", None)
-                self._ivf_warm = None
-                warm_cents = None
-                trained_live = live
-                if warm is not None:
-                    cents0, live0 = warm
-                    if (np.ndim(cents0) == 3 and live0 > 0
-                            and 0.5 <= live / live0 <= 2.0):
-                        warm_cents = np.asarray(cents0)
-                        trained_live = live0
+                # warm-start parity with the single-device path (3-D
+                # table = mesh-shaped warm state; leading dim must match
+                # the CURRENT device count or build would silently
+                # retrain against a stale recorded baseline)
+                warm_cents, trained_live, mut_train = \
+                    self._consume_ivf_warm(live, ndim=3, lead=ndev)
                 nprobe = cfg.ivf_nprobe if warm_cents is not None \
                     else min(cfg.ivf_nprobe, nlist)
                 self._ivf = ShardedIVFIndex.build(
@@ -439,26 +471,15 @@ class VectorDBEngine:
                     centroids=warm_cents,
                 )
                 self._ivf_train_state = (np.asarray(self._ivf.centroids),
-                                         trained_live)
+                                         trained_live, mut_train)
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
                 # first rebuild after recovery reuses the checkpointed
-                # centroids (assignment only, no k-means training) — but
-                # only while the corpus is within 2x of the size it was
-                # TRAINED on: a restart after heavy churn retrains so
-                # clustering cannot degrade unboundedly across process
-                # generations (review finding, round 2)
-                warm = getattr(self, "_ivf_warm", None)
-                self._ivf_warm = None
-                warm_cents = None
-                trained_live = live
-                if warm is not None:
-                    cents0, live0 = warm
-                    if (np.ndim(cents0) == 2 and live0 > 0
-                            and 0.5 <= live / live0 <= 2.0):
-                        warm_cents = cents0
-                        trained_live = live0
+                # centroids (assignment only, no k-means training) within
+                # the drift/churn bounds — see _consume_ivf_warm
+                warm_cents, trained_live, mut_train = \
+                    self._consume_ivf_warm(live, ndim=2)
                 self._ivf = IVFIndex.build(
                     vecs, valid,
                     nlist=nlist,
@@ -476,10 +497,10 @@ class VectorDBEngine:
                     centroids=warm_cents,
                 )
                 # cache for checkpoints (survives _ivf=None windows like
-                # compaction; trained_live marks TRAINING time, so warm
-                # reuse accumulates drift toward the forced retrain)
+                # compaction; trained_live/mut_train mark TRAINING time,
+                # so warm reuse accumulates drift toward a forced retrain)
                 self._ivf_train_state = (np.asarray(self._ivf.centroids),
-                                         trained_live)
+                                         trained_live, mut_train)
                 # compile the append-path programs NOW (rebuilds are the
                 # expected slow path) so the first serving-path append
                 # doesn't stall puts/searches on fresh XLA compiles
@@ -1051,7 +1072,9 @@ class VectorDBEngine:
                     "next_slot": m.next_slot,
                     "deleted": m.deleted,
                 } for m in self.mirrors]
-                ivf_warm = getattr(self, "_ivf_train_state", None)
+                ts_ = getattr(self, "_ivf_train_state", None)
+                ivf_warm = ((*ts_, self._mut_count)
+                            if ts_ is not None else None)
                 self._puts_since_ckpt = 0
             path = self.ckpts.save_snapshot(
                 self.config, doc_rows, shard_snaps, wal_pos,

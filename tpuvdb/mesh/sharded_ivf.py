@@ -219,7 +219,11 @@ class ShardedIVFIndex:
             if warm is not None:
                 wc = warm[dev][warm[dev][:, 0] < 1e29]  # drop table pads
             if len(live) == 0:
-                cents = np.zeros((nlist, d), np.float32)
+                # 1e30 pads, NOT zeros: a zero table saved for an empty
+                # partition would pass the warm-start pad filter on a
+                # later restart and collapse the device into one
+                # degenerate cell (review finding, round 2)
+                cents = np.full((nlist, d), 1e30, np.float32)
                 assign = np.full(per, -1, np.int32)
             else:
                 if wc is not None and len(wc):

@@ -109,67 +109,15 @@ class CheckpointManager:
             # against these (seconds) instead of a full k-means training
             # run (minutes at 1M rows), unless the corpus has drifted too
             # far from the training snapshot (engine checks the ratio)
-            cents, trained_live = ivf_warm
+            cents, trained_live, mut_at_train, mut_now = ivf_warm
             np.savez(os.path.join(tmp, "ivf_warm.npz"),
                      centroids=np.asarray(cents, np.float32),
-                     trained_live=np.int64(trained_live))
+                     trained_live=np.int64(trained_live),
+                     mut_at_train=np.int64(mut_at_train),
+                     mut_at_ckpt=np.int64(mut_now))
         with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
             json.dump({"num_shards": len(shard_snaps), "dim": dim,
                        "docs": len(doc_rows), "timestamp": ts}, f)
-        _fsync_tree(tmp)
-        os.replace(tmp, path)
-        _fsync_path(self.ckpt_dir)
-        self._gc()
-        return path
-
-    def save(
-        self,
-        config: DBConfig,
-        docstore: DocStore,
-        mirrors: List[ShardMirror],
-        wal_pos: int,
-        ivf_warm=None,
-    ) -> str:
-        ts = int(time.time() * 1000)
-        path = os.path.join(self.ckpt_dir, f"checkpoint_{ts}")
-        tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        with open(os.path.join(tmp, "config.json"), "w") as f:
-            f.write(config.to_json())
-        docstore.dump(os.path.join(tmp, "docstore.msgpack"))
-        for i, m in enumerate(mirrors):
-            n = m.next_slot
-            np.savez(  # uncompressed: mirrors can be GBs; IO >> gzip here
-                os.path.join(tmp, f"shard_{i}.npz"),
-                vectors=m.vectors[:n],
-                valid=m.valid[:n],
-                next_slot=np.int64(n),
-                deleted=np.int64(m.deleted),
-            )
-        with open(os.path.join(tmp, "wal_pos.txt"), "w") as f:
-            f.write(str(int(wal_pos)))
-        if ivf_warm is not None:
-            # trained coarse-quantizer centroids + the live-row count at
-            # TRAINING time: a restarted IVF engine rebuilds by ASSIGNMENT
-            # against these (seconds) instead of a full k-means training
-            # run (minutes at 1M rows), unless the corpus has drifted too
-            # far from the training snapshot (engine checks the ratio)
-            cents, trained_live = ivf_warm
-            np.savez(os.path.join(tmp, "ivf_warm.npz"),
-                     centroids=np.asarray(cents, np.float32),
-                     trained_live=np.int64(trained_live))
-        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
-            json.dump(
-                {
-                    "num_shards": len(mirrors),
-                    "dim": mirrors[0].dim if mirrors else config.vector_dim,
-                    "docs": len(docstore),
-                    "timestamp": ts,
-                },
-                f,
-            )
         _fsync_tree(tmp)
         os.replace(tmp, path)
         _fsync_path(self.ckpt_dir)
@@ -221,8 +169,8 @@ class CheckpointManager:
         return docstore, mirrors, wal_pos
 
     def load_ivf_warm(self):
-        """(centroids, trained_live) of the newest checkpoint, or None
-        (older checkpoints / flat-index engines have none)."""
+        """(centroids, trained_live, mut_at_train, mut_at_ckpt) of the
+        newest checkpoint, or None (older checkpoints / flat engines)."""
         path = self.latest()
         if path is None:
             return None
@@ -231,6 +179,7 @@ class CheckpointManager:
             return None
         try:
             z = np.load(p)
-            return z["centroids"], int(z["trained_live"])
+            return (z["centroids"], int(z["trained_live"]),
+                    int(z["mut_at_train"]), int(z["mut_at_ckpt"]))
         except Exception:
             return None  # torn/corrupt extras never block recovery
