@@ -1012,7 +1012,12 @@ class VectorDBEngine:
             journal = self._compact_journal
             self._compact_journal = None
             self._swap_compacted(new_mirrors, new_docstore)
-            # replay ops that landed during the rebuild (already WAL'd)
+            # replay ops that landed during the rebuild (already WAL'd).
+            # These were COUNTED when they originally arrived — freeze the
+            # churn counter so re-application doesn't double it (an
+            # inflated count makes the warm-start churn guard force
+            # needless k-means retrains on restart).
+            mut0 = self._mut_count
             for op, key, vec, metadata, ts in journal:
                 if op == "put":
                     self._put_one(key, vec, metadata, ts, replay_mode=True)
@@ -1021,6 +1026,7 @@ class VectorDBEngine:
                     if e is not None:
                         self.mirrors[e.shard].mark_deleted(e.slot)
                         self._staged_deletes.append((e.shard, e.slot))
+            self._mut_count = mut0
 
     def _rebuild_dense(self, entries, old_mirrors):
         new_mirrors = [

@@ -73,7 +73,7 @@ class CheckpointManager:
         shard_snaps: List[dict],        # {vectors, valid, next_slot, deleted}
         wal_pos: int,
         dim: int,
-        ivf_warm=None,  # (centroids (nlist,d) f32, trained_live int)
+        ivf_warm=None,  # (centroids, trained_live, mut_at_train, mut_now)
     ) -> str:
         """Write a checkpoint from pre-copied state: callers snapshot under
         their lock (a fast memory copy) and call this with the lock
@@ -179,7 +179,12 @@ class CheckpointManager:
             return None
         try:
             z = np.load(p)
-            return (z["centroids"], int(z["trained_live"]),
-                    int(z["mut_at_train"]), int(z["mut_at_ckpt"]))
+            # pre-churn-counter checkpoints lack the mutation keys:
+            # fall back to a zeroed baseline (the counter restarts at 0,
+            # churn measures only the replayed tail) instead of silently
+            # discarding a perfectly good warm start
+            mt = int(z["mut_at_train"]) if "mut_at_train" in z else 0
+            mc = int(z["mut_at_ckpt"]) if "mut_at_ckpt" in z else 0
+            return z["centroids"], int(z["trained_live"]), mt, mc
         except Exception:
             return None  # torn/corrupt extras never block recovery
