@@ -22,7 +22,6 @@ import glob
 import json
 import os
 import shutil
-import time
 from typing import List, Optional, Tuple
 
 import numpy as np
