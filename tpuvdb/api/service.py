@@ -188,6 +188,8 @@ class DBService:
         with self.engine._lock:
             for qi in range(qs.shape[0]):
                 hits = []
+                # search_batch returns the FULL fetch width (rescore
+                # overfetch can be 16x k) — truncate to the caller's k
                 for key, score in zip(keys[qi], dists[qi]):
                     if key is None:
                         continue
@@ -196,6 +198,8 @@ class DBService:
                         continue
                     hits.append(SearchHit(key=key, score=float(score),
                                           metadata=dict(e.metadata)))
+                    if len(hits) == k:
+                        break
                 results.append(
                     SearchResult.from_hits(hits, include_vectors=False).to_dict())
         d = Response.ok(f"{len(results)} result sets").to_dict()

@@ -85,18 +85,33 @@ class FederatedCoordinator:
         """Debounced background sync_all, repeated while routes trail the
         registry's map epoch (bounded: persistent churn ends with routes
         stale and the next membership change re-arms)."""
+        epoch_at_exit = self.registry.map_epoch()
         try:
             time.sleep(self.config.rebalance_debounce_s)  # coalesce flaps
-            for _ in range(8):
+            for attempt in range(8):
                 if not self._routes_stale:
-                    return
+                    break
+                if attempt:
+                    # each retry re-exports every node's dataset: back off
+                    # between attempts so persistent churn doesn't become
+                    # an 8x back-to-back full-cluster data burst
+                    time.sleep(self.config.rebalance_debounce_s)
                 r = self.sync_all()
                 logger.info("auto rebalance: %s", r.message)
+            epoch_at_exit = self.registry.map_epoch()
         except Exception:
             logger.exception("auto rebalance failed")
         finally:
             with self._rebalance_lock:
                 self._rebalance_pending = False
+            # TOCTOU: a membership change landing between our last
+            # staleness check and the flag clear saw pending=True and
+            # skipped scheduling — re-arm for the MOVED epoch (not for a
+            # merely-failed sync: attempts are deliberately bounded, and
+            # an unsyncable cluster must not retry forever; the next real
+            # membership change re-arms that case).
+            if self.registry.map_epoch() != epoch_at_exit:
+                self._on_membership_change(None)
 
     # ---------------------------------------------------------------- helpers
 

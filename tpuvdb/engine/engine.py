@@ -470,6 +470,9 @@ class VectorDBEngine:
                     recall_target=cfg.recall_target,
                     centroids=warm_cents,
                 )
+                # compile the append-path programs on the slow path (see
+                # IVFIndex.warm_append — same stall on the mesh branch)
+                self._ivf.warm_append()
                 self._ivf_train_state = (np.asarray(self._ivf.centroids),
                                          trained_live, mut_train)
                 self._ivf_layout = layout

@@ -41,11 +41,11 @@ def _round_up(x: int, m: int) -> int:
 _DELETE_BUCKET = 1024
 
 
-@jax.jit
-def _scatter_invalid(valid, idx):
-    """Mark idx slots invalid; out-of-range pad indices drop. Fixed bucket
+@functools.partial(jax.jit, static_argnames=("value",), donate_argnums=(0,))
+def _scatter_flag(valid, idx, value: bool):
+    """Set idx slots to value; out-of-range pad indices drop. Fixed bucket
     size -> one compile per array shape (exact.py:199-213 pattern)."""
-    return valid.at[idx].set(False, mode="drop")
+    return valid.at[idx].set(value, mode="drop")
 
 
 _APPEND_BUCKET = 4096
@@ -53,19 +53,11 @@ _APPEND_BUCKET = 4096
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(arr, idx, vals):
-    """Write vals rows at idx (out-of-range pad indices drop). Donated so
-    the multi-GB grouped buffer is updated in place, not copied."""
+    """Write vals (rows or scalars) at idx (out-of-range pad indices
+    drop). Donated so the multi-GB grouped buffer is updated in place,
+    not copied; jit specializes per shape/dtype, so one definition
+    serves every payload."""
     return arr.at[idx].set(vals, mode="drop")
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _scatter_scalars(arr, idx, vals):
-    return arr.at[idx].set(vals, mode="drop")
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _scatter_true(valid, idx):
-    return valid.at[idx].set(True, mode="drop")
 
 
 def commit_append_region(vec_arr, sq_arr, val_arr, scale_arr,
@@ -754,9 +746,8 @@ class IVFIndex:
                 idx = np.concatenate([idx, np.full(pad, n_slots, np.int32)])
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + tail, chunk.dtype)])
-            scat = _scatter_rows if vals.ndim > 1 else _scatter_scalars
-            arr = scat(arr, jnp.asarray(idx),
-                       jnp.asarray(chunk).astype(dtype))
+            arr = _scatter_rows(arr, jnp.asarray(idx),
+                                jnp.asarray(chunk).astype(dtype))
         return arr
 
     @staticmethod
@@ -767,7 +758,7 @@ class IVFIndex:
             pad = _APPEND_BUCKET - len(idx)
             if pad:
                 idx = np.concatenate([idx, np.full(pad, n_slots, np.int32)])
-            valid = _scatter_true(valid, jnp.asarray(idx))
+            valid = _scatter_flag(valid, jnp.asarray(idx), True)
         return valid
 
     @staticmethod
@@ -779,7 +770,7 @@ class IVFIndex:
             if pad:  # pad with out-of-range (dropped by mode="drop")
                 chunk = np.concatenate(
                     [chunk, np.full(pad, n_slots, np.int32)])
-            valid = _scatter_invalid(valid, jnp.asarray(chunk))
+            valid = _scatter_flag(valid, jnp.asarray(chunk), False)
         return valid
 
     def stats(self) -> IVFStats:

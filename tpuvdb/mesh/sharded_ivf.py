@@ -37,6 +37,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _round_up_arr_np(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
 @functools.lru_cache(maxsize=16)
 def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    recall_target: float, local_rows: int, spill_rows: int,
@@ -159,10 +163,17 @@ class ShardedIVFIndex:
     def __init__(self, mesh, axis, centroids, cell_offsets, cell_lens,
                  grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
                  cell_pad, nprobe, recall_target,
-                 cell_scales=None, spill_scales=None, rows_per_dev=0):
+                 cell_scales=None, spill_scales=None, rows_per_dev=0,
+                 cell_caps=None):
         self.mesh = mesh
         self.axis = axis
         self.rows_per_dev = rows_per_dev  # global-row ownership stride
+        # (ndev, nlist) host i64: each cell's ALLOCATED span (clipped to
+        # the scan window) fixed at build time — the offset-difference
+        # the single-device planner uses is wrong here because pad
+        # centroids' offsets point at the tail and can PRECEDE live
+        # offsets, clipping the last live cell's capacity to 0
+        self.cell_caps = cell_caps
         self.centroids = centroids
         self.cell_offsets = cell_offsets  # (ndev, nlist) i32, P(axis)
         self.cell_lens = cell_lens        # (ndev, nlist) i32, P(axis)
@@ -357,6 +368,8 @@ class ShardedIVFIndex:
             cell_scales=put(gscale, Pax) if gscale is not None else None,
             spill_scales=put(sscale, Pax) if sscale is not None else None,
             rows_per_dev=per,
+            cell_caps=np.minimum(_round_up_arr_np(lens_all.astype(np.int64),
+                                                  128), cell_pad),
         )
 
     def stats(self):
@@ -403,6 +416,41 @@ class ShardedIVFIndex:
             flat = IVFIndex._scatter_bucketed(flat, s_hits)
             self.sval = flat.reshape(sdev, slocal)
 
+    def warm_append(self):
+        """Compile the append-path scatter programs (one all-pad bucket
+        per flat array shape) at (re)build time — mirrors
+        IVFIndex.warm_append: the first serving-path append otherwise
+        pays every compile while holding the engine lock."""
+        from tpuvdb.index.ivf import IVFIndex
+
+        ndev, local_rows = self.row_ids.shape
+        sdev, spill_rows = self.spill_row_ids.shape
+        d = self.grouped.shape[-1]
+        Pax = NamedSharding(self.mesh, P(self.axis))
+        z = np.zeros((1, d), np.float32)
+        s1 = np.zeros(1, np.float32)
+        plan = [("grouped", (ndev, local_rows, d), z),
+                ("gsq", (ndev, local_rows), s1),
+                ("spill", (sdev, spill_rows, d), z),
+                ("ssq", (sdev, spill_rows), s1)]
+        if self.quantized:
+            plan += [("cell_scales", (ndev, local_rows), s1),
+                     ("spill_scales", (sdev, spill_rows), s1)]
+        for name, shape, payload in plan:
+            arr = getattr(self, name)
+            flat = arr.reshape((-1,) + arr.shape[2:])
+            pad_pos = np.full(1, flat.shape[0], np.int64)  # dropped
+            flat = IVFIndex._scatter_payload(flat, pad_pos, payload,
+                                             flat.dtype)
+            setattr(self, name, jax.device_put(flat.reshape(shape), Pax))
+        for name, shape in (("gval", (ndev, local_rows)),
+                            ("sval", (sdev, spill_rows))):
+            arr = getattr(self, name)
+            flat = arr.reshape(-1)
+            pad_pos = np.full(1, flat.shape[0], np.int64)
+            flat = IVFIndex._scatter_flags(flat, pad_pos)
+            setattr(self, name, jax.device_put(flat.reshape(shape), Pax))
+
     def append_rows(self, physical_rows: np.ndarray,
                     vectors: np.ndarray) -> bool:
         """Incremental appends on the DISTRIBUTED index (same contract as
@@ -425,6 +473,8 @@ class ShardedIVFIndex:
         if (dev_of >= ndev).any() or (dev_of < 0).any():
             return False  # rows outside the built partition: rebuild
 
+        if self.cell_caps is None:
+            return False  # legacy ctor without capacity table: rebuild
         cents_all = np.asarray(self.centroids)
         offs_all = np.asarray(self.cell_offsets).astype(np.int64)
         lens_all = np.asarray(self.cell_lens).astype(np.int64).copy()
@@ -451,11 +501,7 @@ class ShardedIVFIndex:
                   - 2.0 * (sub @ cents[cids].T)
                   + np.einsum("kd,kd->k", cents[cids], cents[cids])[None, :])
             assign = cids[np.argmin(d2, axis=1)]
-            nexts = np.empty_like(offs_all[dev])
-            nexts[:-1] = offs_all[dev][1:]
-            nexts[-1] = min(local_rows, int(offs_all[dev][-1]) + self.cell_pad)
-            # pad-centroid offsets all point at the tail; keep spans sane
-            caps = np.clip(nexts - offs_all[dev], 0, self.cell_pad)
+            caps = self.cell_caps[dev]
             fill = int(spill_fill[dev])
             for i, c in zip(sel, assign):
                 if lens_all[dev, c] < caps[c]:
