@@ -57,7 +57,9 @@ def test_torn_tail_tolerated(tmp_path):
     wal.append("put", "a", vector=np.zeros(4, np.float32))
     wal.append("put", "b", vector=np.ones(4, np.float32))
     wal.close()
-    seg = [os.path.join(tmp_path, f) for f in os.listdir(tmp_path)][0]
+    # glob the actual segment: the dir also holds the last_seq marker file
+    seg = [os.path.join(tmp_path, f) for f in sorted(os.listdir(tmp_path))
+           if f.startswith("wal_")][0]
     data = open(seg, "rb").read()
     # simulate crash mid-write: chop the last record in half
     with open(seg, "wb") as f:

@@ -163,9 +163,12 @@ class FederatedCoordinator:
         if stale is not None:
             stale.close()
         logger.info("registered node %s at %s", node_id, address)
-        if known:
+        if known and self.config.rebalance_debounce_s <= 0:
             # rejoin after a death: the node's replicas are stale — pull it
-            # up to date from its shard peers in the background
+            # up to date in the background. Only when auto-rebalance is OFF:
+            # the registration above bumped the map epoch, so an armed
+            # debounced sync_all already covers the rejoined node — running
+            # both meant two back-to-back full-cluster exports per rejoin.
             self._pool.submit(self._sync_quietly, node_id)
         return Response.ok(f"registered {node_id}")
 

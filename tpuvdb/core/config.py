@@ -88,8 +88,24 @@ class DBConfig:
 
     # -- index selection --
     index_type: str = "flat"       # "flat" (approx_max_k scan) | "ivf"
-    docstore_backend: str = "python"  # "python" dict | "native" C++ KV
-                                      # (LevelDB-role store for 100M keys)
+    docstore_backend: str = "auto"    # "python" dict | "native" C++ KV
+                                      # (LevelDB-role store for 100M keys) |
+                                      # "auto" = native when the .so builds,
+                                      # python otherwise
+
+    # -- host mirror storage (capacity mode) --
+    # "float32" keeps the classic exact f32 host mirror (4 bytes/dim).
+    # "int8" stores quantized rows + per-row scale/sqnorm (1 byte/dim):
+    # the host-RSS analog of storage_dtype=int8 — required to OPERATE at
+    # the kernel-proven 8M x 768 scale (a f32 mirror alone is 24.5 GB
+    # there). get()/rescore dequantize; pair with storage_dtype="int8".
+    mirror_dtype: str = "float32"
+    # "ram" = numpy arrays; "mmap" = disk-backed vector files under
+    # data_dir (native VectorFile, np.memmap fallback) so host RSS stays
+    # O(touched pages) and checkpoints hardlink instead of copying — the
+    # disk-backed role LevelDB plays in the reference
+    # (src/datanode/handler.py:50). "auto" = mmap when data_dir is set.
+    mirror_backend: str = "ram"
 
     # -- IVF --
     ivf_nlist: int = 1024
@@ -127,6 +143,22 @@ class DBConfig:
             setattr(self, f.name, _env(f.name.upper(), cur, cast))
         if self.block_size % 128 != 0:
             raise ValueError("block_size must be a multiple of 128 (TPU lane width)")
+        # enum-ish fields: a typo'd value ("Device", "fused") would
+        # otherwise silently degrade to a fallback path with no error
+        _valid = {
+            "rescore_mode": ("exact", "device", "none"),
+            "search_mode": ("approx", "exact", "pallas"),
+            "index_type": ("flat", "ivf"),
+            "storage_dtype": ("float32", "bfloat16", "int8"),
+            "docstore_backend": ("python", "native", "auto"),
+            "mirror_dtype": ("float32", "int8"),
+            "mirror_backend": ("ram", "mmap", "auto"),
+        }
+        for field_name, allowed in _valid.items():
+            v = getattr(self, field_name)
+            if v not in allowed:
+                raise ValueError(
+                    f"{field_name}={v!r} invalid; must be one of {allowed}")
 
     # -- serialization (stored inside checkpoints so restores validate shape) --
     def to_json(self) -> str:

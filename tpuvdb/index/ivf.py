@@ -41,14 +41,23 @@ def _round_up(x: int, m: int) -> int:
 _DELETE_BUCKET = 1024
 
 
-@functools.partial(jax.jit, static_argnames=("value",), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("value",))
 def _scatter_flag(valid, idx, value: bool):
     """Set idx slots to value; out-of-range pad indices drop. Fixed bucket
-    size -> one compile per array shape (exact.py:199-213 pattern)."""
+    size -> one compile per array shape (exact.py:199-213 pattern).
+
+    NOT donated: the validity mask is ~1 byte/row (in-place saves nothing)
+    and the delete path runs under the engine lock while off-lock searches
+    may still hold the old snapshot — donating here invalidated their
+    buffers and burned search retries under sustained delete churn."""
     return valid.at[idx].set(value, mode="drop")
 
 
 _APPEND_BUCKET = 4096
+# fixed row-block for the append-path assignment GEMM: append_rows chunks
+# its batch to this shape so warm_append's single precompile covers every
+# serving batch size
+_ASSIGN_CHUNK = 16384
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -635,13 +644,20 @@ class IVFIndex:
         m = len(phys)
         if m == 0:
             return True
-        # shape-stable padded assignment: one compile per pad step
-        pad_n = _round_up(m, 16384)
-        vp = np.zeros((pad_n, vecs.shape[1]), np.float32)
-        vp[:m] = vecs
-        assign = np.asarray(
-            assign_blockwise(jnp.asarray(vp), self.centroids,
-                             block_size=2048))[:m]
+        # shape-stable CHUNKED assignment: fixed 16384-row blocks so ONE
+        # compiled shape serves every batch size. (A round-up-to-16384 pad
+        # compiled per pad step — and the serving append typically carries
+        # delta_max + flush_batch rows, i.e. a 32768 pad never precompiled
+        # by warm_append, stalling puts/searches on a fresh XLA compile
+        # under the engine lock.)
+        assign = np.empty(m, np.int32)
+        for lo in range(0, m, _ASSIGN_CHUNK):
+            chunk = vecs[lo : lo + _ASSIGN_CHUNK]
+            vp = np.zeros((_ASSIGN_CHUNK, vecs.shape[1]), np.float32)
+            vp[: len(chunk)] = chunk
+            assign[lo : lo + _ASSIGN_CHUNK] = np.asarray(
+                assign_blockwise(jnp.asarray(vp), self.centroids,
+                                 block_size=2048))[: len(chunk)]
 
         # ---- plan ALL slot allocations first; bail before any mutation
         offs = np.asarray(self.cell_offsets).astype(np.int64)
@@ -711,7 +727,7 @@ class IVFIndex:
         from tpuvdb.kernels.kmeans import assign_blockwise
 
         d = self.grouped.shape[1]
-        assign_blockwise(jnp.zeros((16384, d), jnp.float32),
+        assign_blockwise(jnp.zeros((_ASSIGN_CHUNK, d), jnp.float32),
                          self.centroids, block_size=2048)
         z = np.zeros((1, d), np.float32)
         s1 = np.zeros(1, np.float32)

@@ -39,10 +39,10 @@ class DocEntry:
 
 
 class DocStore:
-    def __init__(self, backend: str = "python"):
+    def __init__(self, backend: str = "auto"):
         self._lock = threading.RLock()
         self._native = None
-        if backend == "native":
+        if backend in ("native", "auto"):
             try:
                 from tpuvdb import native
 
