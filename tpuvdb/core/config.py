@@ -47,6 +47,11 @@ class DBConfig:
     default_top_k: int = 5         # src/vector_db.thrift:25
 
     # -- durability --
+    # False = bulk-load mode: mutations skip the WAL entirely (durability
+    # comes from explicit checkpoints). Use for initial mass ingest — at
+    # 8M x 768 the per-put f32 WAL payload alone is ~24 GB of log churn —
+    # then flip back on for serving.
+    wal_enabled: bool = True
     wal_max_bytes: int = 10 * 1024 * 1024   # src/utils/wal_manager.py:22
     wal_retention_days: int = 7             # src/utils/wal_manager.py:23
     wal_fsync: bool = True                  # fixed vs. ref (no fsync, clobbering rename)

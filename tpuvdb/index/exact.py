@@ -57,6 +57,48 @@ def _scatter_valid(valid, rows, valid_vals):
     return valid.at[rows].set(valid_vals, mode="drop")
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _stream_block(vectors, sqnorms, valid, vblk, qblk, mblk, start):
+    """One streaming-build step: contiguous block write at a traced start
+    row — ONE compile serves every block of the build (f32/bf16 storage,
+    or int8 storage fed by already-quantized int8 mirror blocks)."""
+    vectors = jax.lax.dynamic_update_slice(
+        vectors, vblk.astype(vectors.dtype), (start, 0))
+    sqnorms = jax.lax.dynamic_update_slice(sqnorms, qblk, (start,))
+    valid = jax.lax.dynamic_update_slice(valid, mblk, (start,))
+    return vectors, sqnorms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _stream_block_scaled(vectors, scales, sqnorms, valid,
+                         vblk, sblk, qblk, mblk, start):
+    """Streaming step for int8 storage with per-row scales supplied by the
+    block (int8 mirrors carry their own scales/sqnorms)."""
+    vectors = jax.lax.dynamic_update_slice(
+        vectors, vblk.astype(vectors.dtype), (start, 0))
+    scales = jax.lax.dynamic_update_slice(scales, sblk, (start,))
+    sqnorms = jax.lax.dynamic_update_slice(sqnorms, qblk, (start,))
+    valid = jax.lax.dynamic_update_slice(valid, mblk, (start,))
+    return vectors, scales, sqnorms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _stream_block_quantize(vectors, scales, sqnorms, valid,
+                           vblk, mblk, start):
+    """Streaming step for int8 storage fed by f32 mirror blocks: per-row
+    quantization happens ON DEVICE (same math as _scatter_update_int8)."""
+    vecs_f32 = vblk.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(vecs_f32), axis=-1)
+    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    qv = jnp.clip(jnp.round(vecs_f32 / s[:, None]), -127, 127).astype(jnp.int8)
+    sq = jnp.sum(vecs_f32 * vecs_f32, axis=-1)
+    vectors = jax.lax.dynamic_update_slice(vectors, qv, (start, 0))
+    scales = jax.lax.dynamic_update_slice(scales, s, (start,))
+    sqnorms = jax.lax.dynamic_update_slice(sqnorms, sq, (start,))
+    valid = jax.lax.dynamic_update_slice(valid, mblk, (start,))
+    return vectors, scales, sqnorms, valid
+
+
 # fixed scatter bucket: every update batch is chunked+padded to exactly this
 # many rows so the scatter program compiles ONCE per layout (variable batch
 # sizes would each trigger a fresh XLA compile — seconds per shape)
@@ -119,6 +161,13 @@ class DeviceExactIndex:
 
     # ------------------------------------------------------------------ build
 
+    # streaming build kicks in above this many stacked rows (single device
+    # only): blocks of the row space upload via one compiled
+    # dynamic_update_slice program instead of materializing the full host
+    # corpus copy — at 8M x 768 the stack() transient alone is 24.5 GB f32
+    _STREAM_MIN_ROWS = 2_000_000
+    _STREAM_BLOCK_ROWS = 1 << 18
+
     @classmethod
     def build(
         cls,
@@ -130,6 +179,7 @@ class DeviceExactIndex:
         search_mode: str = "approx",
         recall_target: float = 0.95,
         rescore_fetch: int = 0,
+        stream: Optional[bool] = None,
     ) -> "DeviceExactIndex":
         # rows must divide across the SHARD axis (a 2-D mesh's other axis
         # replicates and doesn't constrain the row count)
@@ -138,18 +188,62 @@ class DeviceExactIndex:
         idx = cls(layout, dtype=dtype, block_size=block_size, mesh=mesh,
                   mesh_axis=mesh_axis, search_mode=search_mode,
                   recall_target=recall_target, rescore_fetch=rescore_fetch)
-        vecs, sq, valid = layout.stack(mirrors)
-        if idx.quantized:
+        if stream is None:
+            stream = (layout.total_rows >= cls._STREAM_MIN_ROWS
+                      and (mesh is None or mesh.size == 1))
+        if stream and (mesh is None or mesh.size == 1):
+            idx._build_streaming(mirrors)
+            return idx
+        mirrors_q = all(m.quantized for m in mirrors)
+        if idx.quantized and mirrors_q:
+            # int8 mirrors already hold quantized rows + scales + norms:
+            # upload them directly (1 byte/dim host transient, not 4)
+            qv, scales, sq, valid = layout.stack_raw_int8(mirrors)
+            idx.vectors = idx._device_put(qv, idx._sharding)
+            idx.row_scales = idx._device_put(scales, idx._sharding1d)
+        elif idx.quantized:
             from tpuvdb.kernels.quant import quantize_rows_np
 
+            vecs, sq, valid = layout.stack(mirrors)
             qv, scales = quantize_rows_np(vecs)
             idx.vectors = idx._device_put(qv, idx._sharding)
             idx.row_scales = idx._device_put(scales, idx._sharding1d)
         else:
+            vecs, sq, valid = layout.stack(mirrors)
             idx.vectors = idx._device_put(vecs, idx._sharding)
         idx.sqnorms = idx._device_put(sq, idx._sharding1d)
         idx.valid = idx._device_put(valid, idx._sharding1d)
         return idx
+
+    def _build_streaming(self, mirrors: List[ShardMirror]):
+        """Upload the stacked row space block-by-block into the (donated)
+        zero buffers from __init__: host peak extra memory = ONE block, and
+        the jitted block writer compiles once per layout. Single-device
+        only (a traced-offset update on a sharded axis would shuffle
+        through collectives)."""
+        blk = min(self._STREAM_BLOCK_ROWS, self.layout.total_rows)
+        mirrors_q = all(m.quantized for m in mirrors)
+        for start, vblk, sblk, qblk, mblk in self.layout.iter_blocks(
+                mirrors, blk):
+            start = jnp.int32(start)
+            if self.quantized and mirrors_q:
+                (self.vectors, self.row_scales, self.sqnorms,
+                 self.valid) = _stream_block_scaled(
+                    self.vectors, self.row_scales, self.sqnorms, self.valid,
+                    jnp.asarray(vblk), jnp.asarray(sblk),
+                    jnp.asarray(qblk), jnp.asarray(mblk), start)
+            elif self.quantized:
+                (self.vectors, self.row_scales, self.sqnorms,
+                 self.valid) = _stream_block_quantize(
+                    self.vectors, self.row_scales, self.sqnorms, self.valid,
+                    jnp.asarray(vblk), jnp.asarray(mblk), start)
+            else:
+                if sblk is not None:  # int8 mirrors -> f32/bf16 storage
+                    vblk = vblk.astype(np.float32) * sblk[:, None]
+                self.vectors, self.sqnorms, self.valid = _stream_block(
+                    self.vectors, self.sqnorms, self.valid,
+                    jnp.asarray(vblk), jnp.asarray(qblk),
+                    jnp.asarray(mblk), start)
 
     def needs_rebuild(self, mirrors: List[ShardMirror]) -> bool:
         """True when a mirror outgrew the common physical capacity."""

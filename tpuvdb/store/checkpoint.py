@@ -6,12 +6,21 @@ and on startup restores the latest checkpoint then replays the WAL tail past
 the recorded timestamp (src/datanode/handler.py:156-219).
 
 Here a checkpoint is `checkpoint_<ts>/` containing:
-    config.json     — DBConfig used at save time (validated on restore)
-    docstore.msgpack— key -> (shard, slot, metadata, ts)
-    shard_<i>.npz   — per-shard mirror image (vectors[:used], valid[:used])
-    wal_pos.txt     — max WAL timestamp covered by this checkpoint
-    MANIFEST.json   — shard count/dim + completeness marker (written last,
-                      so a torn checkpoint is never restored)
+    config.json      — DBConfig used at save time (validated on restore)
+    docstore.msgpack — key -> (shard, slot, metadata, ts)   [python backend]
+    docstore.kv      — the native KV's C++ binary snapshot  [native backend]
+    shard_<i>.npz    — per-shard mirror metadata (+ inline rows for RAM
+                       mirrors: raw-dtype vectors, scales, sqnorms)
+    shard_<i>.vec/.scale/.sq — HARDLINKS of an mmap mirror's vector files
+                       (zero-copy: slot rows are append-only + immutable,
+                       so linking the live file and recording next_slot is
+                       a crash-consistent snapshot; no GB-scale npz copy)
+    wal_pos.txt      — max WAL LSN covered by this checkpoint
+    MANIFEST.json    — shard count/dim/format + completeness marker
+                       (written last, so a torn checkpoint never restores)
+
+Format 2 (round 3) adds mirror dtype/backing metadata; format-1 checkpoints
+(f32 `vectors` + `valid` npz) still restore.
 
 Retention keeps the newest `max_checkpoints` (the reference keeps all).
 """
@@ -22,7 +31,7 @@ import glob
 import json
 import os
 import shutil
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
@@ -65,18 +74,12 @@ class CheckpointManager:
                 return path
         return None
 
-    def save_snapshot(
-        self,
-        config: DBConfig,
-        doc_rows: List[tuple],          # (key, shard, slot, metadata, ts)
-        shard_snaps: List[dict],        # {vectors, valid, next_slot, deleted}
-        wal_pos: int,
-        dim: int,
-        ivf_warm=None,  # (centroids, trained_live, mut_at_train, mut_now)
-    ) -> str:
-        """Write a checkpoint from pre-copied state: callers snapshot under
-        their lock (a fast memory copy) and call this with the lock
-        RELEASED, so serving never stalls on disk writes."""
+    # ---------------------------------------------------------------- writing
+
+    def begin(self) -> str:
+        """Create and return the staging directory for the next checkpoint.
+        Callers may write extra payloads into it (e.g. the native docstore
+        dump) before finish(); torn staging dirs are GC'd, never restored."""
         import time as _t
 
         ts = int(_t.time() * 1000)
@@ -85,21 +88,61 @@ class CheckpointManager:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
+        return tmp
+
+    def finish(
+        self,
+        tmp: str,
+        config: DBConfig,
+        doc_rows: Optional[List[tuple]],  # None = docstore.kv already in tmp
+        shard_snaps: List[dict],          # ShardMirror.checkpoint_snapshot()
+        wal_pos: int,
+        dim: int,
+        ivf_warm=None,  # (centroids, trained_live, mut_at_train, mut_now)
+    ) -> str:
+        """Write and commit the checkpoint from snapshot descriptors:
+        callers capture them under their lock (views + small copies) and
+        call this with the lock RELEASED, so serving never stalls on disk
+        writes. mmap-backed shards hardlink their vector files; RAM shards
+        inline their raw rows in the npz."""
         with open(os.path.join(tmp, "config.json"), "w") as f:
             f.write(config.to_json())
-        import msgpack
+        if doc_rows is not None:
+            import msgpack
 
-        blob = msgpack.packb({"docs": doc_rows}, use_bin_type=True)
-        dtmp = os.path.join(tmp, "docstore.msgpack")
-        with open(dtmp, "wb") as f:
-            f.write(blob)
-            f.flush()
-            os.fsync(f.fileno())
+            blob = msgpack.packb({"docs": doc_rows}, use_bin_type=True)
+            with open(os.path.join(tmp, "docstore.msgpack"), "wb") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
         for i, s in enumerate(shard_snaps):
-            np.savez(os.path.join(tmp, f"shard_{i}.npz"),
-                     vectors=s["vectors"], valid=s["valid"],
-                     next_slot=np.int64(s["next_slot"]),
-                     deleted=np.int64(s["deleted"]))
+            meta = {
+                "fmt": 2,
+                "dtype": s["dtype"],
+                "n": np.int64(s["n"]),
+                "deleted": np.int64(s["deleted"]),
+                "valid": s["valid"],
+            }
+            if s["mmap_paths"] is not None:
+                s["store_ref"].flush_files()  # msync before linking
+                linked = {}
+                for part, src in s["mmap_paths"].items():
+                    dst = os.path.join(tmp, f"shard_{i}.{part}")
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copyfile(src, dst)
+                    linked[part] = os.path.basename(dst)
+                np.savez(os.path.join(tmp, f"shard_{i}.npz"),
+                         linked=json.dumps(linked),
+                         file_rows=np.int64(s["store_ref"].valid.shape[0]),
+                         **meta)
+            else:
+                extra = {"vectors": s["vec"], "sqnorms": s["sq"]}
+                if s["scale"] is not None:
+                    extra["scales"] = s["scale"]
+                np.savez(os.path.join(tmp, f"shard_{i}.npz"),
+                         **extra, **meta)
         with open(os.path.join(tmp, "wal_pos.txt"), "w") as f:
             f.write(str(int(wal_pos)))
         if ivf_warm is not None:
@@ -116,12 +159,24 @@ class CheckpointManager:
                      mut_at_ckpt=np.int64(mut_now))
         with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
             json.dump({"num_shards": len(shard_snaps), "dim": dim,
-                       "docs": len(doc_rows), "timestamp": ts}, f)
+                       "format": 2,
+                       "docstore": ("kv" if doc_rows is None
+                                    else "msgpack"),
+                       "timestamp": int(os.path.basename(tmp)
+                                        .split("_")[1].split(".")[0])}, f)
         _fsync_tree(tmp)
+        path = tmp[: -len(".tmp")]
         os.replace(tmp, path)
         _fsync_path(self.ckpt_dir)
         self._gc()
         return path
+
+    # kept for API compatibility with round-2 callers/tests
+    def save_snapshot(self, config, doc_rows, shard_snaps, wal_pos, dim,
+                      ivf_warm=None) -> str:
+        tmp = self.begin()
+        return self.finish(tmp, config, doc_rows, shard_snaps, wal_pos,
+                           dim, ivf_warm=ivf_warm)
 
     def _gc(self):
         paths = [p for p in self._paths() if os.path.exists(os.path.join(p, "MANIFEST.json"))]
@@ -131,11 +186,17 @@ class CheckpointManager:
         for p in glob.glob(os.path.join(self.ckpt_dir, "*.tmp")):
             shutil.rmtree(p, ignore_errors=True)
 
+    # ---------------------------------------------------------------- loading
+
     def load_latest(
-        self, config: DBConfig
+        self,
+        config: DBConfig,
+        mirror_factory: Optional[Callable[[int], ShardMirror]] = None,
     ) -> Optional[Tuple[DocStore, List[ShardMirror], int]]:
         """Restore (docstore, mirrors, wal_pos) from the newest complete
-        checkpoint, or None if there is none."""
+        checkpoint, or None if there is none. mirror_factory builds the
+        engine's configured mirror type per shard (RAM/mmap, f32/int8);
+        the default builds plain RAM f32 mirrors from config."""
         path = self.latest()
         if path is None:
             return None
@@ -145,27 +206,71 @@ class CheckpointManager:
             raise errors.CheckpointError(
                 f"checkpoint dim {manifest['dim']} != configured {config.vector_dim}"
             )
-        docstore = DocStore.load(os.path.join(path, "docstore.msgpack"),
-                                 backend=config.docstore_backend)
+        kv_path = os.path.join(path, "docstore.kv")
+        if manifest.get("docstore") == "kv" or os.path.exists(kv_path):
+            docstore = DocStore.load_native_file(
+                kv_path, backend=config.docstore_backend)
+        else:
+            docstore = DocStore.load(os.path.join(path, "docstore.msgpack"),
+                                     backend=config.docstore_backend)
+        if mirror_factory is None:
+            def mirror_factory(i, _cfg=config):
+                return ShardMirror(dim=_cfg.vector_dim,
+                                   capacity=_cfg.shard_capacity,
+                                   init_cap=_cfg.mirror_init_cap, block=128,
+                                   dtype=_cfg.mirror_dtype)
         mirrors = []
         for i in range(manifest["num_shards"]):
-            z = np.load(os.path.join(path, f"shard_{i}.npz"))
-            n = int(z["next_slot"])
-            m = ShardMirror(
-                dim=config.vector_dim,
-                capacity=config.shard_capacity,
-                init_cap=max(n, 1024),
-                block=128,
-            )
-            if n:
-                m.vectors[:n] = z["vectors"]
-                m.valid[:n] = z["valid"]
-            m.next_slot = n
-            m.deleted = int(z["deleted"])
+            m = mirror_factory(i)
+            self._restore_shard(path, i, m)
             mirrors.append(m)
         with open(os.path.join(path, "wal_pos.txt")) as f:
             wal_pos = int(f.read().strip())
         return docstore, mirrors, wal_pos
+
+    def _restore_shard(self, path: str, i: int, m: ShardMirror) -> None:
+        z = np.load(os.path.join(path, f"shard_{i}.npz"), allow_pickle=False)
+        if "fmt" not in z:  # format-1 checkpoint: f32 rows inline
+            n = int(z["next_slot"])
+            m.load_f32(z["vectors"], z["valid"], n, int(z["deleted"]))
+            return
+        n = int(z["n"])
+        deleted = int(z["deleted"])
+        valid = z["valid"]
+        dtype = str(z["dtype"])
+        same_dtype = dtype == m.dtype
+        if "linked" in z:
+            linked = json.loads(str(z["linked"]))
+            srcs = {part: os.path.join(path, name)
+                    for part, name in linked.items()}
+            file_rows = int(z["file_rows"])
+            if (same_dtype and m.mmap_backed
+                    and m.valid.shape[0] == file_rows):
+                # fast path: hardlink the checkpoint's files straight in —
+                # restore is O(1) in corpus size
+                m.adopt_checkpoint_files(srcs, n, deleted, valid)
+                return
+            # geometry/dtype/backing mismatch: read the raw files
+            qdtype = np.int8 if dtype == "int8" else np.float32
+            vec = np.memmap(srcs["vec"], dtype=qdtype, mode="r",
+                            shape=(file_rows, m.dim))[:n]
+            sq = np.memmap(srcs["sq"], dtype=np.float32, mode="r",
+                           shape=(file_rows,))[:n]
+            scale = (np.memmap(srcs["scale"], dtype=np.float32, mode="r",
+                               shape=(file_rows,))[:n]
+                     if "scale" in srcs else None)
+        else:
+            vec = z["vectors"]
+            sq = z["sqnorms"]
+            scale = z["scales"] if "scales" in z else None
+        if same_dtype:
+            m.load_raw(vec, scale, sq, valid, n, deleted)
+        elif dtype == "int8":  # int8 checkpoint -> f32 mirror: dequantize
+            f32 = (np.asarray(vec, np.float32)
+                   * np.asarray(scale, np.float32)[:, None]) if n else vec
+            m.load_f32(f32, valid, n, deleted)
+        else:  # f32 checkpoint -> int8 mirror: vectorized quantize
+            m.load_f32(np.asarray(vec, np.float32), valid, n, deleted)
 
     def load_ivf_warm(self):
         """(centroids, trained_live, mut_at_train, mut_at_ckpt) of the

@@ -241,3 +241,69 @@ class DocStore:
             store.put(DocEntry(key=key, shard=shard, slot=slot,
                                metadata=dict(metadata), timestamp=ts))
         return store
+
+    # ------------------------------------------------ native binary snapshots
+
+    def dump_native(self, path: str) -> None:
+        """C++ binary snapshot (checkpoint fast path): the native store
+        serializes its table directly to disk — no python materialization
+        of per-entry tuples. Only valid on the native backend."""
+        if self._native is None:
+            raise RuntimeError("dump_native requires the native backend")
+        with self._lock:
+            if not self._native.dump(path):
+                raise OSError(f"native docstore dump failed: {path}")
+
+    @classmethod
+    def load_native_file(cls, path: str, backend: str = "auto") -> "DocStore":
+        """Restore from a dump_native snapshot. With the native library
+        present the C++ loader parses it; otherwise a python reader of the
+        same binary format rebuilds a python-backed store (checkpoints stay
+        portable across environments without the .so)."""
+        store = cls(backend=backend)
+        if store._native is not None:
+            if not store._native.load(path):
+                raise OSError(f"native docstore load failed: {path}")
+            with store._lock:
+                for key, shard, slot, ts, blob in store._native.items():
+                    slots = store._slots.setdefault(shard, [])
+                    if slot >= len(slots):
+                        slots.extend([None] * (slot + 1 - len(slots)))
+                    slots[slot] = key
+                    if blob:
+                        md = msgpack.unpackb(blob, raw=False)
+                        if md:
+                            e = DocEntry(key=key, shard=shard, slot=slot,
+                                         metadata=md, timestamp=ts)
+                            store._meta_add(e)
+            return store
+        for key, shard, slot, ts, blob in _iter_kv_dump(path):
+            md = msgpack.unpackb(blob, raw=False) if blob else {}
+            store.put(DocEntry(key=key, shard=shard, slot=slot,
+                               metadata=md, timestamp=ts))
+        return store
+
+
+def _iter_kv_dump(path: str):
+    """Python reader for the native KvStore's binary snapshot format
+    (native/src/tpuvdb_native.cpp kv_dump): [u64 count] then per entry
+    [u32 klen][key][i32 shard][i64 slot][i64 ts][u32 vlen][val]."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            return
+        (count,) = struct.unpack("<Q", hdr)
+        for _ in range(count):
+            kl = f.read(4)
+            if len(kl) < 4:
+                return
+            (klen,) = struct.unpack("<I", kl)
+            key = f.read(klen).decode()
+            rest = f.read(24)
+            if len(rest) < 24:
+                return
+            shard, slot, ts, vlen = struct.unpack("<iqqI", rest)
+            val = f.read(vlen)
+            yield key, shard, slot, ts, val
