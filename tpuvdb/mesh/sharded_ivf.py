@@ -44,7 +44,14 @@ def _round_up_arr_np(x: np.ndarray, m: int) -> np.ndarray:
 @functools.lru_cache(maxsize=16)
 def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    recall_target: float, local_rows: int, spill_rows: int,
-                   use_pallas: bool = False, quantized: bool = False):
+                   use_pallas: bool = False, quantized: bool = False,
+                   repl_axis: Optional[str] = None):
+    """One shard_map program per (mesh, shape) signature. With `repl_axis`
+    (a 2-D (repl, shards) mesh) the query batch SPLITS over the replica
+    axis — each replica group serves its slice against its full copy of
+    the sharded cell structures (data specs mention only `axis`, so XLA
+    replicates them across `repl_axis`) — and the out_specs concatenate
+    the slices back. Mirrors mesh/replicated.py for the flat index."""
     ndev = mesh.shape[axis]
 
     def local_gather(q, cents, offsets, lens, grouped, gscale, gsq, gval,
@@ -148,12 +155,13 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         dist = jnp.where(top_ids >= 0, -top_neg, jnp.inf)
         return dist, top_ids
 
+    q_spec = P(repl_axis) if repl_axis is not None else P()
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        in_specs=(q_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -164,9 +172,13 @@ class ShardedIVFIndex:
                  grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
                  cell_pad, nprobe, recall_target,
                  cell_scales=None, spill_scales=None, rows_per_dev=0,
-                 cell_caps=None):
+                 cell_caps=None, repl_axis=None):
         self.mesh = mesh
         self.axis = axis
+        # 2-D (repl, shards) mesh: cell structures replicate across this
+        # axis (P(axis) specs leave it unmentioned) and search splits the
+        # query batch over it — same layout as index/exact.py:321-339
+        self.repl_axis = repl_axis
         self.rows_per_dev = rows_per_dev  # global-row ownership stride
         # (ndev, nlist) host i64: each cell's ALLOCATED span (clipped to
         # the scan window) fixed at build time — the offset-difference
@@ -207,6 +219,7 @@ class ShardedIVFIndex:
         seed: int = 0,
         recall_target: float = 0.95,
         centroids: Optional[np.ndarray] = None,  # (ndev, nl, d) warm-start
+        repl_axis: Optional[str] = None,  # 2-D mesh: the replica axis
     ) -> "ShardedIVFIndex":
         ndev = mesh.shape[axis]
         n, d = vectors.shape
@@ -370,6 +383,7 @@ class ShardedIVFIndex:
             rows_per_dev=per,
             cell_caps=np.minimum(_round_up_arr_np(lens_all.astype(np.int64),
                                                   128), cell_pad),
+            repl_axis=repl_axis,
         )
 
     def stats(self):
@@ -568,24 +582,62 @@ class ShardedIVFIndex:
                 self.spill_scales = reshard(scale_a, (sdev, spill_rows))
         return True
 
+    def masked_valid(self, cand_phys: np.ndarray):
+        """Device validity masks restricted to `cand_phys` physical rows —
+        the mesh half of the IVF filter pushdown; see
+        IVFIndex.masked_valid. Masks re-shard over the mesh axis so the
+        search program's P(axis) specs still hold."""
+        from tpuvdb.index.ivf import _and_masks, lookup_inverse
+
+        g_hits, s_hits = lookup_inverse(
+            *self._inverse_maps(), np.asarray(cand_phys, np.int64))
+        ndev, local = self.gval.shape
+        sdev, slocal = self.sval.shape
+        gmask = np.zeros(ndev * local, bool)
+        gmask[g_hits] = True
+        smask = np.zeros(sdev * slocal, bool)
+        smask[s_hits] = True
+        Pax = NamedSharding(self.mesh, P(self.axis))
+        return (
+            _and_masks(self.gval, jax.device_put(
+                jnp.asarray(gmask.reshape(ndev, local)), Pax)),
+            _and_masks(self.sval, jax.device_put(
+                jnp.asarray(smask.reshape(sdev, slocal)), Pax)),
+        )
+
     def search(self, queries: np.ndarray, k: int,
-               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+               nprobe: Optional[int] = None,
+               valid_override=None) -> Tuple[np.ndarray, np.ndarray]:
         nprobe = min(nprobe or self.nprobe, self.centroids.shape[1])
         local_rows = self.grouped.shape[1]
         spill_rows = self.spill.shape[1]
         use_pallas = jax.default_backend() == "tpu"
         fn = _build_program(self.mesh, self.axis, k, nprobe, self.cell_pad,
                             self.recall_target, local_rows, spill_rows,
-                            use_pallas, quantized=self.quantized)
+                            use_pallas, quantized=self.quantized,
+                            repl_axis=self.repl_axis)
         if self.quantized:
             gscale, sscale = self.cell_scales, self.spill_scales
         else:  # placeholder rides the same specs; the f32 branch ignores it
             gscale = self.gsq
             sscale = self.ssq
-        dist, gids = fn(jnp.asarray(queries, jnp.float32), self.centroids,
+        gval, sval = (valid_override if valid_override is not None
+                      else (self.gval, self.sval))
+        q = jnp.asarray(queries, jnp.float32)
+        qn = q.shape[0]
+        pad = 0
+        if self.repl_axis is not None:
+            # query batch splits over the replica axis: pad to a multiple
+            pad = (-qn) % self.mesh.shape[self.repl_axis]
+            if pad:
+                q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]),
+                                                  q.dtype)])
+        dist, gids = fn(q, self.centroids,
                         self.cell_offsets, self.cell_lens,
-                        self.grouped, gscale, self.gsq, self.gval,
-                        self.spill, sscale, self.ssq, self.sval)
+                        self.grouped, gscale, self.gsq, gval,
+                        self.spill, sscale, self.ssq, sval)
+        if pad:
+            dist, gids = dist[:qn], gids[:qn]
         gids = np.asarray(gids)
         dist = np.asarray(dist)
         stride = local_rows + spill_rows

@@ -82,6 +82,27 @@ def _load():
         lib.kv_dump.argtypes = [c.c_void_p, c.c_char_p]
         lib.kv_load.restype = c.c_int
         lib.kv_load.argtypes = [c.c_void_p, c.c_char_p]
+        lib.kv_put_many.restype = c.c_int
+        lib.kv_put_many.argtypes = [
+            c.c_void_p, c.c_char_p, c.POINTER(c.c_uint32),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+            c.POINTER(c.c_int64), c.c_char_p, c.POINTER(c.c_uint32),
+            c.c_uint64, c.POINTER(c.c_int32), c.POINTER(c.c_int64)]
+        lib.kv_nonempty_vals.restype = c.c_uint64
+        lib.kv_nonempty_vals.argtypes = [c.c_void_p]
+        lib.kv_key_at.restype = c.c_int
+        lib.kv_key_at.argtypes = [c.c_void_p, c.c_int32, c.c_int64,
+                                  c.c_char_p, c.c_uint32,
+                                  c.POINTER(c.c_uint32)]
+        lib.kv_slots_live.restype = c.c_int
+        lib.kv_slots_live.argtypes = [c.c_void_p, c.POINTER(c.c_int32),
+                                      c.POINTER(c.c_int64), c.c_uint64,
+                                      c.c_char_p]
+        lib.kv_keys_at.restype = c.c_int
+        lib.kv_keys_at.argtypes = [c.c_void_p, c.POINTER(c.c_int32),
+                                   c.POINTER(c.c_int64), c.c_uint64,
+                                   c.c_char_p, c.c_uint64,
+                                   c.POINTER(c.c_uint32)]
 
         lib.vf_open.restype = c.c_void_p
         lib.vf_open.argtypes = [c.c_char_p, c.c_uint64, c.c_uint64]
@@ -174,6 +195,113 @@ class NativeKv:
             return None
         return (shard.value, slot.value, ts.value, self._buf.raw[: vlen.value])
 
+    def put_many(self, keys, shards, slots, tss, values) -> list:
+        """Bulk insert: ONE FFI crossing for the whole batch (the per-key
+        ctypes round trip dominated bulk ingest). Returns a list of
+        (prev_shard, prev_slot) per key, (-1, -1) = new key."""
+        import numpy as np
+
+        n = len(keys)
+        kbs = [k.encode() for k in keys]
+        keys_blob = b"".join(kbs)
+        key_lens = np.fromiter((len(b) for b in kbs), np.uint32, n)
+        vals_blob = b"".join(values)
+        val_lens = np.fromiter((len(v) for v in values), np.uint32, n)
+        shards_a = np.asarray(shards, np.int32)
+        slots_a = np.asarray(slots, np.int64)
+        tss_a = np.asarray(tss, np.int64)
+        prev_sh = np.empty(n, np.int32)
+        prev_sl = np.empty(n, np.int64)
+        c = ctypes
+        u32p = c.POINTER(c.c_uint32)
+        self._lib.kv_put_many(
+            self._h, keys_blob, key_lens.ctypes.data_as(u32p),
+            shards_a.ctypes.data_as(c.POINTER(c.c_int32)),
+            slots_a.ctypes.data_as(c.POINTER(c.c_int64)),
+            tss_a.ctypes.data_as(c.POINTER(c.c_int64)),
+            vals_blob, val_lens.ctypes.data_as(u32p), n,
+            prev_sh.ctypes.data_as(c.POINTER(c.c_int32)),
+            prev_sl.ctypes.data_as(c.POINTER(c.c_int64)))
+        return list(zip(prev_sh.tolist(), prev_sl.tolist()))
+
+    def key_at(self, shard: int, slot: int) -> Optional[str]:
+        klen = ctypes.c_uint32()
+        buf = ctypes.create_string_buffer(4096)
+        ok = self._lib.kv_key_at(self._h, shard, slot, buf, len(buf),
+                                 ctypes.byref(klen))
+        if ok == 2:
+            buf = ctypes.create_string_buffer(klen.value)
+            ok = self._lib.kv_key_at(self._h, shard, slot, buf, len(buf),
+                                     ctypes.byref(klen))
+        if ok != 1:
+            return None
+        return buf.raw[: klen.value].decode()
+
+    def slots_live(self, shards, slots):
+        """Bool liveness per (shard, slot) — one FFI crossing, NO string
+        materialization. The search path compacts dead/padded candidates
+        on this before resolving any keys."""
+        import numpy as np
+
+        shards_a = np.ascontiguousarray(shards, np.int32)
+        slots_a = np.ascontiguousarray(slots, np.int64)
+        n = len(shards_a)
+        out = np.empty(n, np.uint8)
+        c = ctypes
+        self._lib.kv_slots_live(
+            self._h, shards_a.ctypes.data_as(c.POINTER(c.c_int32)),
+            slots_a.ctypes.data_as(c.POINTER(c.c_int64)), n,
+            out.ctypes.data_as(c.c_char_p))
+        return out.astype(bool)
+
+    def keys_at(self, shards, slots) -> list:
+        """Bulk (shard, slot) -> key, one FFI crossing; None = unmapped.
+        ASCII key blobs decode once and slice (≈5x cheaper than a per-key
+        bytes.decode at serving batch sizes); non-ASCII keys fall back to
+        per-key decoding. NOT thread-safe with itself (scratch buffer) —
+        all callers hold the DocStore lock."""
+        import numpy as np
+
+        shards_a = np.ascontiguousarray(shards, np.int32)
+        slots_a = np.ascontiguousarray(slots, np.int64)
+        n = len(shards_a)
+        lens = np.empty(n, np.uint32)
+        c = ctypes
+        out = getattr(self, "_keys_buf", None)
+        if out is None or len(out) < max(64 * n, 4096):
+            out = ctypes.create_string_buffer(max(64 * n, 8192))
+            self._keys_buf = out
+        while True:
+            ok = self._lib.kv_keys_at(
+                self._h, shards_a.ctypes.data_as(c.POINTER(c.c_int32)),
+                slots_a.ctypes.data_as(c.POINTER(c.c_int64)), n,
+                out, len(out), lens.ctypes.data_as(c.POINTER(c.c_uint32)))
+            if ok:
+                break
+            out = ctypes.create_string_buffer(len(out) * 4)
+            self._keys_buf = out
+        lens_l = lens.tolist()
+        total = int(lens.sum())
+        blob = out.raw[:total]
+        res: list = []
+        off = 0
+        if blob.isascii():
+            s = blob.decode()  # one C-speed pass; byte offset == char offset
+            for ln in lens_l:
+                if ln == 0:
+                    res.append(None)
+                else:
+                    res.append(s[off : off + ln])
+                    off += ln
+        else:
+            for ln in lens_l:
+                if ln == 0:
+                    res.append(None)
+                else:
+                    res.append(blob[off : off + ln].decode())
+                    off += ln
+        return res
+
     def delete(self, key: str) -> bool:
         k = key.encode()
         return bool(self._lib.kv_del(self._h, k, len(k)))
@@ -208,6 +336,9 @@ class NativeKv:
                 continue
             yield (kbuf.raw[: klen.value].decode(), shard.value, slot.value,
                    ts.value, self._buf.raw[: vlen.value])
+
+    def nonempty_vals(self) -> int:
+        return self._lib.kv_nonempty_vals(self._h)
 
     def dump(self, path: str) -> bool:
         return bool(self._lib.kv_dump(self._h, path.encode()))

@@ -166,14 +166,55 @@ struct KvEntry {
   uint8_t state = 0;  // 0 empty, 1 used, 2 tombstone
 };
 
+// (shard, slot) -> key reverse entry: offsets into the KvStore arena.
+// Kept in C++ so the search path's row->key resolution and the 100M-key
+// restore never materialize a python-side slot table (the python mirror of
+// this map was ~1 GB of interpreter strings at 8M keys).
+struct RevEntry {
+  uint64_t key_off = 0;  // 0 = empty
+  uint32_t key_len = 0;
+};
+
 struct KvStore {
   std::vector<KvEntry> table;
   std::vector<uint8_t> arena;  // [0] unused so offset 0 == null
+  std::vector<std::vector<RevEntry>> rev;  // [shard][slot] -> key
   uint64_t used = 0;
   uint64_t tombstones = 0;
   std::mutex mu;
 
   KvStore() : table(1024), arena(1) {}
+
+  RevEntry* rev_cell(int32_t shard, int64_t slot, bool create) {
+    if (shard < 0 || shard > (1 << 20) || slot < 0 || slot > (1LL << 40)) {
+      return nullptr;
+    }
+    if (static_cast<size_t>(shard) >= rev.size()) {
+      if (!create) return nullptr;
+      rev.resize(shard + 1);
+    }
+    auto& v = rev[shard];
+    if (static_cast<size_t>(slot) >= v.size()) {
+      if (!create) return nullptr;
+      size_t grow = v.empty() ? 1024 : v.size();
+      while (grow <= static_cast<size_t>(slot)) grow *= 2;
+      v.resize(grow);
+    }
+    return &v[slot];
+  }
+
+  // clear the reverse cell iff it currently points at this key (a later
+  // put may have claimed the slot; mirrors the python DocStore semantics)
+  void rev_clear_if(int32_t shard, int64_t slot, uint64_t key_off,
+                    uint32_t key_len) {
+    RevEntry* c = rev_cell(shard, slot, false);
+    if (c && c->key_off && c->key_len == key_len &&
+        memcmp(arena.data() + c->key_off, arena.data() + key_off,
+               key_len) == 0) {
+      c->key_off = 0;
+      c->key_len = 0;
+    }
+  }
 
   static uint64_t hash_key(const uint8_t* k, uint32_t len) {
     uint64_t h = 1469598103934665603ULL;  // FNV-1a
@@ -224,11 +265,15 @@ struct KvStore {
 void* kv_create() { return new KvStore(); }
 void kv_destroy(void* h) { delete static_cast<KvStore*>(h); }
 
-// Returns 1 if the key existed (overwrite), 0 if new.
-int kv_put(void* h, const uint8_t* key, uint32_t key_len, int32_t shard,
-           int64_t slot, int64_t ts, const uint8_t* val, uint32_t val_len) {
-  auto* kv = static_cast<KvStore*>(h);
-  std::lock_guard<std::mutex> lk(kv->mu);
+// Core insert/overwrite; caller holds kv->mu. Fills prev_shard/prev_slot
+// with the overwritten placement (-1/-1 when the key is new) so callers can
+// soft-delete the old slot. Returns 1 on overwrite, 0 on insert.
+static int kv_put_locked(KvStore* kv, const uint8_t* key, uint32_t key_len,
+                         int32_t shard, int64_t slot, int64_t ts,
+                         const uint8_t* val, uint32_t val_len,
+                         int32_t* prev_shard, int64_t* prev_slot) {
+  *prev_shard = -1;
+  *prev_slot = -1;
   uint64_t hash = KvStore::hash_key(key, key_len);
   if ((kv->used + kv->tombstones + 1) * 10 >= kv->table.size() * 7) {
     kv->rehash(kv->table.size() * 2);
@@ -241,11 +286,18 @@ int kv_put(void* h, const uint8_t* key, uint32_t key_len, int32_t shard,
     if (e.state == 0) break;
     if (e.state == 2 && first_tomb < 0) first_tomb = static_cast<ssize_t>(i);
     if (e.state == 1 && e.hash == hash && kv->key_equals(e, key, key_len)) {
+      *prev_shard = e.shard;
+      *prev_slot = e.slot;
+      if (e.shard != shard || e.slot != slot) {
+        kv->rev_clear_if(e.shard, e.slot, e.key_off, e.key_len);
+      }
       e.shard = shard;
       e.slot = slot;
       e.ts = ts;
       e.val_off = kv->put_blob(val, val_len);
       e.val_len = val_len;
+      RevEntry* c = kv->rev_cell(shard, slot, true);
+      if (c) { c->key_off = e.key_off; c->key_len = e.key_len; }
       return 1;
     }
     i = (i + 1) & mask;
@@ -263,7 +315,92 @@ int kv_put(void* h, const uint8_t* key, uint32_t key_len, int32_t shard,
   e.ts = ts;
   e.state = 1;
   kv->used++;
+  RevEntry* c = kv->rev_cell(shard, slot, true);
+  if (c) { c->key_off = e.key_off; c->key_len = e.key_len; }
   return 0;
+}
+
+// Returns 1 if the key existed (overwrite), 0 if new.
+int kv_put(void* h, const uint8_t* key, uint32_t key_len, int32_t shard,
+           int64_t slot, int64_t ts, const uint8_t* val, uint32_t val_len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  int32_t ps;
+  int64_t pl;
+  return kv_put_locked(kv, key, key_len, shard, slot, ts, val, val_len,
+                       &ps, &pl);
+}
+
+// Bulk insert: one lock + one FFI crossing for n records (the per-key
+// ctypes round trip dominated bulk ingest at ~10 us/row). keys_blob /
+// vals_blob are packed concatenations sliced by key_lens / val_lens.
+// prev_shards[i] = -1 when key i was new, else its previous placement.
+int kv_put_many(void* h, const uint8_t* keys_blob, const uint32_t* key_lens,
+                const int32_t* shards, const int64_t* slots,
+                const int64_t* tss, const uint8_t* vals_blob,
+                const uint32_t* val_lens, uint64_t n, int32_t* prev_shards,
+                int64_t* prev_slots) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  const uint8_t* kp = keys_blob;
+  const uint8_t* vp = vals_blob;
+  for (uint64_t i = 0; i < n; i++) {
+    kv_put_locked(kv, kp, key_lens[i], shards[i], slots[i], tss[i], vp,
+                  val_lens[i], &prev_shards[i], &prev_slots[i]);
+    kp += key_lens[i];
+    vp += val_lens[i];
+  }
+  return 1;
+}
+
+// (shard, slot) -> key. Returns 1 + fills out/len, 0 if the slot maps to
+// no live key, 2 if out is too small (*len holds the required size).
+int kv_key_at(void* h, int32_t shard, int64_t slot, uint8_t* out,
+              uint32_t cap, uint32_t* len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  RevEntry* c = kv->rev_cell(shard, slot, false);
+  if (!c || !c->key_off) return 0;
+  *len = c->key_len;
+  if (c->key_len > cap) return 2;
+  memcpy(out, kv->arena.data() + c->key_off, c->key_len);
+  return 1;
+}
+
+// Liveness bitmap: out[i] = 1 iff (shards[i], slots[i]) maps to a live key.
+// The search path compacts candidates on this BEFORE materializing any
+// python strings — resolving keys for dead/padded slots was pure waste.
+int kv_slots_live(void* h, const int32_t* shards, const int64_t* slots,
+                  uint64_t n, uint8_t* out) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  for (uint64_t i = 0; i < n; i++) {
+    RevEntry* c = kv->rev_cell(shards[i], slots[i], false);
+    out[i] = (c && c->key_off) ? 1 : 0;
+  }
+  return 1;
+}
+
+// Bulk reverse lookup for the search path's row->key resolution: keys pack
+// consecutively into out, lens[i] = 0 marks unmapped slots. Returns 1, or
+// 0 when out_cap is insufficient (caller doubles the buffer and retries).
+int kv_keys_at(void* h, const int32_t* shards, const int64_t* slots,
+               uint64_t n, uint8_t* out, uint64_t out_cap, uint32_t* lens) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t off = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    RevEntry* c = kv->rev_cell(shards[i], slots[i], false);
+    if (!c || !c->key_off) {
+      lens[i] = 0;
+      continue;
+    }
+    if (off + c->key_len > out_cap) return 0;
+    memcpy(out + off, kv->arena.data() + c->key_off, c->key_len);
+    lens[i] = c->key_len;
+    off += c->key_len;
+  }
+  return 1;
 }
 
 // Returns 1 + fills outputs if found; 0 if absent; 2 if found but the
@@ -294,6 +431,7 @@ int kv_del(void* h, const uint8_t* key, uint32_t key_len) {
   uint64_t hash = KvStore::hash_key(key, key_len);
   KvEntry* e = kv->find(key, key_len, hash);
   if (!e) return 0;
+  kv->rev_clear_if(e->shard, e->slot, e->key_off, e->key_len);
   e->state = 2;
   kv->used--;
   kv->tombstones++;
@@ -304,6 +442,19 @@ uint64_t kv_size(void* h) {
   auto* kv = static_cast<KvStore*>(h);
   std::lock_guard<std::mutex> lk(kv->mu);
   return kv->used;
+}
+
+// Live entries carrying a non-empty value blob (metadata). Lets a restore
+// skip the O(n) python iteration that rebuilds the metadata inverted index
+// when no entry has metadata at all.
+uint64_t kv_nonempty_vals(void* h) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t n = 0;
+  for (auto& e : kv->table) {
+    if (e.state == 1 && e.val_len > 0) n++;
+  }
+  return n;
 }
 
 // Cursor iteration: scan the table from `*cursor`, copy out the next used
@@ -368,6 +519,26 @@ int kv_load(void* h, const char* path) {
   if (!f) return 0;
   uint64_t count = 0;
   if (fread(&count, 8, 1, f) != 1) { fclose(f); return 0; }
+  // Pre-size the table for `count` inserts BEFORE replaying the records.
+  // The dump order is the donor table's slot order (sorted by
+  // hash mod donor_size); reloading that sorted stream through the
+  // doubling growth path folds it onto smaller intermediate tables,
+  // saturating contiguous probe runs — linear probing goes QUADRATIC
+  // (measured: 4.9M records took 232 s; pre-sized it is linear).
+  // Clamped by file size so a corrupt count cannot balloon the alloc
+  // (28 bytes = smallest possible record frame).
+  {
+    fseeko(f, 0, SEEK_END);
+    off_t fsz = ftello(f);
+    fseeko(f, 8, SEEK_SET);
+    uint64_t max_recs = fsz > 8 ? static_cast<uint64_t>(fsz - 8) / 28 : 0;
+    uint64_t n_exp = count < max_recs ? count : max_recs;
+    std::lock_guard<std::mutex> lk(kv->mu);
+    uint64_t need = 1024;
+    while (need * 7 < (n_exp + kv->used + kv->tombstones + 1) * 10)
+      need *= 2;
+    if (need > kv->table.size()) kv->rehash(need);
+  }
   std::vector<uint8_t> kbuf, vbuf;
   for (uint64_t n = 0; n < count; n++) {
     uint32_t klen = 0, vlen = 0;

@@ -121,18 +121,52 @@ class DocStore:
         with self._lock:
             prev = self._map_get(entry.key)
             self._map_put(entry)
-            slots = self._slots.setdefault(entry.shard, [])
-            if entry.slot >= len(slots):
-                slots.extend([None] * (entry.slot + 1 - len(slots)))
-            slots[entry.slot] = entry.key
+            if self._native is None:
+                # the native store maintains its own (shard, slot) -> key
+                # reverse table in C++ (no interpreter-resident slot lists)
+                slots = self._slots.setdefault(entry.shard, [])
+                if entry.slot >= len(slots):
+                    slots.extend([None] * (entry.slot + 1 - len(slots)))
+                slots[entry.slot] = entry.key
             if prev is not None:
                 self._meta_remove(prev)
-                if (prev.shard, prev.slot) != (entry.shard, entry.slot):
+                if (self._native is None
+                        and (prev.shard, prev.slot) != (entry.shard, entry.slot)):
                     pslots = self._slots.get(prev.shard)
                     if pslots and prev.slot < len(pslots) and pslots[prev.slot] == entry.key:
                         pslots[prev.slot] = None
             self._meta_add(entry)
             return prev
+
+    def put_many(self, entries: List[DocEntry]) -> List[Optional[Tuple[int, int]]]:
+        """Bulk insert/overwrite; returns per entry the PREVIOUS (shard,
+        slot) placement of its key, or None for new keys (the engine
+        soft-deletes those slots). On the native backend with no
+        pre-existing metadata this is ONE FFI crossing for the whole
+        batch — the per-key ctypes round trip dominated bulk ingest."""
+        with self._lock:
+            dup_free = len({e.key for e in entries}) == len(entries)
+            if self._native is not None and not self._meta and dup_free:
+                blobs = [(msgpack.packb(e.metadata, use_bin_type=True)
+                          if e.metadata else b"") for e in entries]
+                prevs = self._native.put_many(
+                    [e.key for e in entries],
+                    [e.shard for e in entries],
+                    [e.slot for e in entries],
+                    [e.timestamp for e in entries], blobs)
+                # _meta was empty, so no overwritten predecessor carried
+                # metadata (duplicate keys within the batch are excluded
+                # above) — only additions to index
+                for e in entries:
+                    if e.metadata:
+                        self._meta_add(e)
+                return [None if ps < 0 else (ps, pl) for ps, pl in prevs]
+            out: List[Optional[Tuple[int, int]]] = []
+            for e in entries:
+                prev = self.put(e)
+                out.append(None if prev is None
+                           else (prev.shard, prev.slot))
+            return out
 
     def get(self, key: str) -> Optional[DocEntry]:
         with self._lock:
@@ -143,9 +177,10 @@ class DocStore:
             e = self._map_get(key)
             if e is not None:
                 self._map_del(key)
-                slots = self._slots.get(e.shard)
-                if slots and e.slot < len(slots) and slots[e.slot] == key:
-                    slots[e.slot] = None
+                if self._native is None:
+                    slots = self._slots.get(e.shard)
+                    if slots and e.slot < len(slots) and slots[e.slot] == key:
+                        slots[e.slot] = None
                 self._meta_remove(e)
             return e
 
@@ -166,9 +201,28 @@ class DocStore:
                 out &= s
             return out
 
+    def slots_live(self, shards, slots):
+        """Bool array: does each (shard, slot) map to a live key? No
+        strings materialize — the search path compacts its candidate
+        matrix on this before resolving only the surviving keys."""
+        import numpy as np
+
+        with self._lock:
+            if self._native is not None:
+                return self._native.slots_live(shards, slots)
+            out = np.zeros(len(shards), bool)
+            by_shard = self._slots
+            for i, (sh, sl) in enumerate(zip(shards, slots)):
+                lst = by_shard.get(int(sh))
+                out[i] = (lst is not None and sl < len(lst)
+                          and lst[sl] is not None)
+            return out
+
     def key_at(self, shard: int, slot: int) -> Optional[str]:
         """O(1) reverse lookup (fixes the reference's O(n) scan)."""
         with self._lock:
+            if self._native is not None:
+                return self._native.key_at(shard, slot)
             slots = self._slots.get(shard)
             if slots is None or slot >= len(slots):
                 return None
@@ -176,10 +230,13 @@ class DocStore:
 
     def keys_at_bulk(self, shards, slots) -> List[Optional[str]]:
         """Vectorized key_at over parallel (shard, slot) sequences: ONE
-        lock acquisition for the whole batch. The search path resolves
-        Q * fetch_k candidate rows per batch; a per-row key_at was
+        lock acquisition (and, on the native backend, one FFI crossing)
+        for the whole batch. The search path resolves Q * fetch_k
+        candidate rows per batch; a per-row key_at was
         lock-acquisition-bound at serving batch sizes."""
         with self._lock:
+            if self._native is not None:
+                return self._native.keys_at(shards, slots)
             by_shard = self._slots
             out: List[Optional[str]] = []
             cache_sh = -1
@@ -264,18 +321,18 @@ class DocStore:
         if store._native is not None:
             if not store._native.load(path):
                 raise OSError(f"native docstore load failed: {path}")
-            with store._lock:
-                for key, shard, slot, ts, blob in store._native.items():
-                    slots = store._slots.setdefault(shard, [])
-                    if slot >= len(slots):
-                        slots.extend([None] * (slot + 1 - len(slots)))
-                    slots[slot] = key
-                    if blob:
-                        md = msgpack.unpackb(blob, raw=False)
-                        if md:
-                            e = DocEntry(key=key, shard=shard, slot=slot,
-                                         metadata=md, timestamp=ts)
-                            store._meta_add(e)
+            # the C++ loader rebuilt the (shard, slot) -> key reverse table
+            # itself; only the metadata inverted index needs a python pass,
+            # and only when some entry actually carries metadata
+            if store._native.nonempty_vals():
+                with store._lock:
+                    for key, shard, slot, ts, blob in store._native.items():
+                        if blob:
+                            md = msgpack.unpackb(blob, raw=False)
+                            if md:
+                                store._meta_add(DocEntry(
+                                    key=key, shard=shard, slot=slot,
+                                    metadata=md, timestamp=ts))
             return store
         for key, shard, slot, ts, blob in _iter_kv_dump(path):
             md = msgpack.unpackb(blob, raw=False) if blob else {}
