@@ -91,8 +91,12 @@ class BatchingSearcher:
                                         name="tpuvdb-batcher")
         self._worker.start()
 
-    def search(self, query: np.ndarray, k: int, timeout: float = 30.0):
-        """Blocking: returns (dists (k,), keys list). Raises on timeout."""
+    def search(self, query: np.ndarray, k: int, timeout: float = 120.0):
+        """Blocking: returns (dists (k,), keys list). Raises on timeout.
+        The default rides out a cold XLA compile of the scan program
+        (30 s lost to every first-search-after-restart on big corpora;
+        the persistent compile cache makes repeats fast, but the first
+        process to see a shape still pays it)."""
         fut: Future = Future()
         self._q.put((np.asarray(query, np.float32).reshape(-1), k, fut))
         return fut.result(timeout=timeout)

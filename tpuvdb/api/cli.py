@@ -17,10 +17,18 @@ Two modes:
 from __future__ import annotations
 
 import json
+import os
 import sys
 from typing import Dict, List, Optional, Tuple
 
 import click
+
+# persistent XLA compile cache: a restarted server (or a second process
+# with the same shapes) skips the multi-minute remote compiles — without
+# it, the FIRST client search after every cold start stalls on a fresh
+# compile of the scan program (same default as bench.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuvdb_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 from tpuvdb.core.config import DBConfig
 

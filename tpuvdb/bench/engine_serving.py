@@ -90,7 +90,10 @@ def run_engine_serving(
         piped_s = (time.perf_counter() - t0) / total
 
     snap = eng.timers.snapshot()
-    assemble_ms = (snap.get("search.assemble", {}) or {}).get("mean_ms", 0.0)
+    # p50, not mean: on the shared relay box the mean is skewed by load
+    # spikes (device p99 can hit seconds while p50 stays ~1 ms)
+    stage = snap.get("search.assemble", {}) or {}
+    assemble_ms = stage.get("p50_ms", stage.get("mean_ms", 0.0))
     projected = None
     if kernel_ms_per_batch:
         projected = batch / ((kernel_ms_per_batch + assemble_ms) / 1000.0)
@@ -156,4 +159,5 @@ def run_ivf_small_batch(
     return {"ivf_build_s": round(build_s, 1),
             "ivf_p50_ms_per_query": round(p50, 3),
             "ivf_p95_ms_per_query": round(p95, 3),
-            "batch": batch}
+            "ivf_batch": batch}  # own key: "batch" would clobber the
+                                 # serving-path batch in the merged dict

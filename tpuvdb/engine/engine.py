@@ -1079,6 +1079,20 @@ class VectorDBEngine:
                 live[nn] = self.docstore.slots_live(
                     flat[nn] // layout.phys_cap, flat[nn] % layout.phys_cap)
             live = live.reshape(qn, width)
+            if live.all():
+                # fast path (the common serving case: no deletes in the
+                # candidate set, no device pad rows): every slot resolves,
+                # so the distance-sorted rows truncate by plain slicing
+                # (width >= fetch_k always: the device fetch is padded UP
+                # from fetch_k) and the whole matrix resolves in one bulk
+                # call — no compaction argsort, no scatter loop
+                r_cut = rows[:, :fetch_k].reshape(-1)
+                resolved = self.docstore.keys_at_bulk(
+                    r_cut // layout.phys_cap, r_cut % layout.phys_cap)
+                out_d = np.asarray(dists, np.float32)[:, :fetch_k]
+                keys = [resolved[i * fetch_k : (i + 1) * fetch_k]
+                        for i in range(qn)]
+                return "ok", (out_d, keys)
             # (2) compact live hits to the front per row (pure numpy),
             # truncate to the fetch_k output width
             order = np.argsort(~live, axis=1, kind="stable")

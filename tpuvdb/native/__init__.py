@@ -123,6 +123,48 @@ def available() -> bool:
     return _load() is not None
 
 
+_fastlist = None
+_fastlist_tried = False
+_FASTLIST_SRC = os.path.join(_HERE, "src", "fastlist.c")
+
+
+def _load_fastlist():
+    """CPython extension with C-speed list builders (src/fastlist.c):
+    built lazily like the main .so, loaded as a real extension module.
+    Returns None (pure-python fallback) on any failure."""
+    global _fastlist, _fastlist_tried
+    with _lib_lock:
+        if _fastlist_tried:
+            return _fastlist
+        _fastlist_tried = True
+        import sysconfig
+
+        so = os.path.join(_BUILD_DIR, "tpuvdb_fastlist.so")
+        try:
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(_FASTLIST_SRC)):
+                cmd = ["gcc", "-O2", "-shared", "-fPIC",
+                       "-I", sysconfig.get_path("include"),
+                       _FASTLIST_SRC, "-o", so + ".tmp"]
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                os.replace(so + ".tmp", so)
+            import importlib.machinery
+            import importlib.util
+
+            loader = importlib.machinery.ExtensionFileLoader(
+                "tpuvdb_fastlist", so)
+            spec = importlib.util.spec_from_file_location(
+                "tpuvdb_fastlist", so, loader=loader)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _fastlist = mod
+        except (subprocess.SubprocessError, OSError, ImportError):
+            _fastlist = None
+        return _fastlist
+
+
 class NativeWalWriter:
     """Group-commit append file: many threads append, one C++ thread
     writes+fsyncs, producers block only until THEIR ticket is durable."""
@@ -280,6 +322,13 @@ class NativeKv:
                 break
             out = ctypes.create_string_buffer(len(out) * 4)
             self._keys_buf = out
+        fl = _load_fastlist()
+        if fl is not None:
+            # C-speed list build (~60 ns/key vs ~0.5 us for the python
+            # slicing below): `out` and `lens` stay alive as locals for
+            # the duration of the call, which is the module's contract
+            return fl.keys_from_buffer(ctypes.addressof(out),
+                                       lens.ctypes.data, n)
         lens_l = lens.tolist()
         total = int(lens.sum())
         blob = out.raw[:total]
