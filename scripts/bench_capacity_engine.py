@@ -45,6 +45,22 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024 / 1024
 
 
+def anon_gb() -> float:
+    """CURRENT anonymous resident memory (GB) from smaps_rollup — the
+    honest host-footprint number: ru_maxrss is a lifetime peak that also
+    counts reclaimable mmap page cache (the disk-backed mirrors) and the
+    relay client's transfer buffers; anonymous RSS is what the engine
+    actually pins."""
+    try:
+        with open("/proc/self/smaps_rollup") as f:
+            for line in f:
+                if line.startswith("Anonymous:"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:
+        pass
+    return -1.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=8_000_000)
@@ -98,7 +114,7 @@ def main():
             log(f"  ingested {lo + n:,}/{N:,} rows, rss {rss_gb():.2f} GB")
     ingest_s = time.perf_counter() - t0
     log(f"ingest: {N / ingest_s:,.0f} rows/s ({ingest_s:.0f}s), "
-        f"rss {rss_gb():.2f} GB")
+        f"rss {rss_gb():.2f} GB, anon {anon_gb():.2f} GB")
 
     # ---- device build (streaming)
     t0 = time.perf_counter()
@@ -106,7 +122,7 @@ def main():
     build_s = time.perf_counter() - t0
     info = eng.info()
     log(f"device build: {build_s:.1f}s, device {info['device_bytes']/2**30:.2f} "
-        f"GiB, rss {rss_gb():.2f} GB")
+        f"GiB, rss {rss_gb():.2f} GB, anon {anon_gb():.2f} GB")
 
     # ---- recall vs exact scan over the STORED (dequantized) rows,
     # computed host-side from the mmap mirrors in blocks
@@ -167,7 +183,8 @@ def main():
     t0 = time.perf_counter()
     ck = eng.save_checkpoint()
     ckpt_s = time.perf_counter() - t0
-    log(f"checkpoint: {ckpt_s:.1f}s -> {ck}, rss {rss_gb():.2f} GB")
+    log(f"checkpoint: {ckpt_s:.1f}s -> {ck}, rss {rss_gb():.2f} GB, "
+        f"anon {anon_gb():.2f} GB")
     restart_s = None
     if not args.skip_restart:
         eng.stop_background_flush() if hasattr(eng, "stop_background_flush") else None
@@ -184,7 +201,8 @@ def main():
         assert all(k2[0][j] is not None for j in range(K))
         restart_s = time.perf_counter() - t0
         log(f"restart-with-recovery: {restart_s:.1f}s "
-            f"(count={eng.count():,}), rss {rss_gb():.2f} GB")
+            f"(count={eng.count():,}), rss {rss_gb():.2f} GB, "
+            f"anon {anon_gb():.2f} GB")
 
     out = {
         "metric": "engine_capacity_8m768_int8",
@@ -198,6 +216,7 @@ def main():
         "checkpoint_s": round(ckpt_s, 1),
         "restart_s": round(restart_s, 1) if restart_s else None,
         "peak_rss_gb": round(rss_gb(), 2),
+        "anon_rss_gb": round(anon_gb(), 2),
     }
     print(json.dumps(out))
     if args.data_dir is None:

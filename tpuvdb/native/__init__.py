@@ -235,7 +235,8 @@ class NativeKv:
                                   ctypes.byref(vlen))
         if ok != 1:
             return None
-        return (shard.value, slot.value, ts.value, self._buf.raw[: vlen.value])
+        return (shard.value, slot.value, ts.value,
+                ctypes.string_at(self._buf, vlen.value))
 
     def put_many(self, keys, shards, slots, tss, values) -> list:
         """Bulk insert: ONE FFI crossing for the whole batch (the per-key
@@ -277,7 +278,7 @@ class NativeKv:
                                      ctypes.byref(klen))
         if ok != 1:
             return None
-        return buf.raw[: klen.value].decode()
+        return ctypes.string_at(buf, klen.value).decode()
 
     def slots_live(self, shards, slots):
         """Bool liveness per (shard, slot) — one FFI crossing, NO string
@@ -331,7 +332,7 @@ class NativeKv:
                                        lens.ctypes.data, n)
         lens_l = lens.tolist()
         total = int(lens.sum())
-        blob = out.raw[:total]
+        blob = ctypes.string_at(out, total)
         res: list = []
         off = 0
         if blob.isascii():
@@ -383,8 +384,9 @@ class NativeKv:
                     self._buf = ctypes.create_string_buffer(
                         max(vlen.value, 2 * len(self._buf)))
                 continue
-            yield (kbuf.raw[: klen.value].decode(), shard.value, slot.value,
-                   ts.value, self._buf.raw[: vlen.value])
+            yield (ctypes.string_at(kbuf, klen.value).decode(),
+                   shard.value, slot.value, ts.value,
+                   ctypes.string_at(self._buf, vlen.value))
 
     def nonempty_vals(self) -> int:
         return self._lib.kv_nonempty_vals(self._h)
