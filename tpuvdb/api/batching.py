@@ -21,6 +21,12 @@ from typing import List, Tuple
 import numpy as np
 
 
+def _fail_response(msg: str):
+    from tpuvdb.core.types import Response
+
+    return Response.fail(msg)
+
+
 class BatchingWriter:
     """Group commit for single-record writes (VERDICT r2 weak #6): a
     solo engine.put() pays one WAL fsync per record (~1k/s ceiling), so
@@ -65,13 +71,28 @@ class BatchingWriter:
             items = self._drain()
             if not items:
                 continue
+            # Validate each record BEFORE coalescing: one malformed
+            # vector must fail only ITS caller, not every client that
+            # happened to share the flush window (put_batch rejects the
+            # whole batch on the first bad record).
+            dim = self.engine.config.vector_dim
+            good = []
+            for r, fut in items:
+                try:
+                    r.vector_np(dim)
+                    good.append((r, fut))
+                except ValueError as e:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_result(_fail_response(str(e)))
+            if not good:
+                continue
             try:
-                resp = self.engine.put_batch([r for r, _ in items])
-                for _, fut in items:
+                resp = self.engine.put_batch([r for r, _ in good])
+                for _, fut in good:
                     if fut.set_running_or_notify_cancel():
                         fut.set_result(resp)
             except Exception as e:
-                for _, fut in items:
+                for _, fut in good:
                     if fut.set_running_or_notify_cancel():
                         fut.set_exception(e)
 

@@ -119,6 +119,10 @@ class VectorDBEngine:
         # since k-means TRAINING — live-count ratios alone cannot see
         # churn-neutral drift (delete N + insert N per generation)
         self._mut_count = 0
+        # high-water LSN of an existing WAL dir when the WAL is disabled
+        # (checkpoints record it so a re-enabled WAL never replays a
+        # stale tail over newer state)
+        self._wal_floor = 0
         self.stats: Dict[str, int] = {
             "puts": 0, "gets": 0, "deletes": 0, "searches": 0,
             "flushes": 0, "compactions": 0, "checkpoints": 0,
@@ -136,6 +140,16 @@ class VectorDBEngine:
                 retention_days=cfg.wal_retention_days,
                 fsync=cfg.wal_fsync,
             ) if cfg.wal_enabled else None
+            if self.wal is None and os.path.isdir(
+                    os.path.join(data_dir, "wal")):
+                # Checkpoints taken while the WAL is DISABLED must still
+                # record the on-disk high-water LSN: writing 0 would make
+                # a later wal_enabled=True restart replay the stale
+                # pre-checkpoint tail over this run's newer state (the
+                # bulk-load flow documented in core/config.py).
+                self._wal_floor = WriteAheadLog(
+                    os.path.join(data_dir, "wal"),
+                    native_backend=False).last_seq
             self._recover()
             logger.info(
                 "engine opened: %d docs, data_dir=%s, index=%s, dtype=%s",
@@ -215,6 +229,12 @@ class VectorDBEngine:
                 # carry forward NOW: a cadence checkpoint taken before the
                 # first rebuild must not silently drop the warm state
                 self._ivf_train_state = (cents0, live0, mut0)
+        if self.wal is None and self._wal_floor > wal_pos:
+            logger.warning(
+                "WAL disabled but %d unapplied record(s) exist beyond the "
+                "checkpoint (seq %d..%d); this run's state supersedes them "
+                "and the next checkpoint makes that durable",
+                self._wal_floor - wal_pos, wal_pos + 1, self._wal_floor)
         for rec in (self.wal.replay(after_seq=wal_pos)
                     if self.wal is not None else ()):
             op = rec.get("op")
@@ -293,8 +313,22 @@ class VectorDBEngine:
             shard_ids = np.fromiter(
                 (get_shard_id(k, self.config.shard_count) for k in keys),
                 np.int32, n)
+            # ALL-OR-NOTHING capacity check before touching any state:
+            # rows apply grouped by shard (not in input order), so a
+            # partial failure could not be described as a resumable
+            # prefix — a client retrying "after N records" would skip
+            # never-applied rows. Rejecting up front keeps the batch
+            # atomic for every caller (incl. coalesced rpc_put batches).
+            counts = np.bincount(shard_ids,
+                                 minlength=self.config.shard_count)
+            for s in range(self.config.shard_count):
+                c = int(counts[s])
+                m = self.mirrors[s]
+                if c and m.used() + c > m.capacity:
+                    return Response.fail(
+                        f"capacity exceeded: shard {s} needs {c} slots, "
+                        f"{m.capacity - m.used()} free (no records applied)")
             applied = 0
-            fail: Optional[str] = None
             wal_records = []
             journal = self._compact_journal
             for s in range(self.config.shard_count):
@@ -302,11 +336,7 @@ class VectorDBEngine:
                 if not len(idx):
                     continue
                 mirror = self.mirrors[s]
-                try:
-                    first = mirror.alloc(len(idx))
-                except errors.CapacityExceeded as e:
-                    fail = str(e)
-                    break
+                first = mirror.alloc(len(idx))
                 mirror.write_batch(first, vecs[idx])
                 idx_list = idx.tolist()
                 entries = []
@@ -345,11 +375,6 @@ class VectorDBEngine:
             self._mut_count += applied
             self._puts_since_ckpt += applied
             self._puts_since_compact += applied
-            if fail is not None:
-                # records in earlier shard groups are applied AND WAL'd —
-                # same partial-commit contract as the old put_batch
-                return Response.fail(
-                    f"capacity exceeded after {applied} records: {fail}")
             do_compact, do_ckpt = (self._maintenance_due() if not replay_mode
                                    else (False, False))
         self._run_maintenance(do_compact, do_ckpt)
@@ -1353,12 +1378,17 @@ class VectorDBEngine:
         with self._ckpt_lock:  # one checkpoint at a time
             tmp = self.ckpts.begin()
             with self._lock:
-                wal_pos = self.wal.last_seq if self.wal is not None else 0
+                wal_pos = (self.wal.last_seq if self.wal is not None
+                           else self._wal_floor)
+                doc_blob = None
                 if self.docstore.backend == "native":
-                    # C++ binary snapshot straight to disk — no python
-                    # materialization of millions of entry tuples
-                    self.docstore.dump_native(
-                        os.path.join(tmp, "docstore.kv"))
+                    # C++ snapshot serialized to MEMORY under the lock
+                    # (memcpy-speed); the multi-GB disk write happens
+                    # off-lock below so serving never stalls on it
+                    doc_blob = self.docstore.snapshot_native_mem()
+                    if doc_blob is None:  # stale .so without kv_dump_mem
+                        self.docstore.dump_native(
+                            os.path.join(tmp, "docstore.kv"))
                     doc_rows = None
                 else:
                     doc_rows = [(e.key, e.shard, e.slot, e.metadata,
@@ -1372,6 +1402,15 @@ class VectorDBEngine:
                 ivf_warm = ((*ts_, self._mut_count)
                             if ts_ is not None else None)
                 self._puts_since_ckpt = 0
+            if doc_blob is not None:
+                kv_path = os.path.join(tmp, "docstore.kv")
+                try:
+                    with open(kv_path, "wb") as f:
+                        f.write(doc_blob.view())
+                        f.flush()
+                        os.fsync(f.fileno())
+                finally:
+                    doc_blob.release()
             path = self.ckpts.finish(
                 tmp, self.config, doc_rows, shard_snaps, wal_pos,
                 dim=self.config.vector_dim, ivf_warm=ivf_warm)

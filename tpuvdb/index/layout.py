@@ -498,9 +498,17 @@ class StackedLayout:
                     continue
                 raw, scale, msq = m.raw_range(lo - r0, hi - r0)
                 b0, b1 = lo - g0, hi - g0
-                vblk[b0:b1] = raw
                 if quantized:
+                    vblk[b0:b1] = raw
                     sblk[b0:b1] = np.asarray(scale).reshape(-1)
+                elif m.quantized:
+                    # mixed-dtype mirrors stream as f32: int8 shards must
+                    # DEQUANTIZE into the f32 block (raw codes scored as
+                    # f32 would be garbage distances for those shards)
+                    vblk[b0:b1] = (raw.astype(np.float32)
+                                   * np.asarray(scale).reshape(-1)[:, None])
+                else:
+                    vblk[b0:b1] = raw
                 qblk[b0:b1] = np.asarray(msq).reshape(-1)
                 mblk[b0:b1] = m.valid[lo - r0 : hi - r0]
             yield g0, vblk, sblk, qblk, mblk

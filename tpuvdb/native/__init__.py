@@ -80,6 +80,13 @@ def _load():
                                 c.POINTER(c.c_uint32)]
         lib.kv_dump.restype = c.c_int
         lib.kv_dump.argtypes = [c.c_void_p, c.c_char_p]
+        if hasattr(lib, "kv_dump_mem"):  # stale .so tolerance
+            lib.kv_dump_mem.restype = c.c_int
+            lib.kv_dump_mem.argtypes = [
+                c.c_void_p, c.POINTER(c.POINTER(c.c_uint8)),
+                c.POINTER(c.c_uint64)]
+            lib.kv_buf_free.restype = None
+            lib.kv_buf_free.argtypes = [c.POINTER(c.c_uint8)]
         lib.kv_load.restype = c.c_int
         lib.kv_load.argtypes = [c.c_void_p, c.c_char_p]
         lib.kv_put_many.restype = c.c_int
@@ -394,6 +401,21 @@ class NativeKv:
     def dump(self, path: str) -> bool:
         return bool(self._lib.kv_dump(self._h, path.encode()))
 
+    def dump_mem(self):
+        """Consistent snapshot serialized into C memory (same binary
+        format as dump()). Memory-speed under the store mutex — callers
+        snapshot under their serving lock and write the returned buffer
+        to disk with the lock RELEASED. Returns a zero-copy memoryview;
+        call .release_buf() on the returned holder when written."""
+        if not hasattr(self._lib, "kv_dump_mem"):
+            return None
+        buf = ctypes.POINTER(ctypes.c_uint8)()
+        n = ctypes.c_uint64()
+        if self._lib.kv_dump_mem(self._h, ctypes.byref(buf),
+                                 ctypes.byref(n)) != 1:
+            return None
+        return _KvSnapshotBuf(self._lib, buf, n.value)
+
     def load(self, path: str) -> bool:
         return bool(self._lib.kv_load(self._h, path.encode()))
 
@@ -401,6 +423,32 @@ class NativeKv:
         if self._h:
             self._lib.kv_destroy(self._h)
             self._h = None
+
+
+class _KvSnapshotBuf:
+    """Owns a malloc'd kv_dump_mem buffer; exposes it as a zero-copy
+    memoryview for file.write(), frees on release()/GC."""
+
+    def __init__(self, lib, buf, n: int):
+        self._lib = lib
+        self._buf = buf
+        self.nbytes = n
+
+    def view(self) -> memoryview:
+        return memoryview(
+            (ctypes.c_uint8 * self.nbytes).from_address(
+                ctypes.addressof(self._buf.contents))).cast("B")
+
+    def release(self):
+        if self._buf:
+            self._lib.kv_buf_free(self._buf)
+            self._buf = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass
 
 
 class NativeVectorFile:

@@ -21,6 +21,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -512,6 +513,42 @@ int kv_dump(void* h, const char* path) {
   fclose(f);
   return rename(tmp.c_str(), path) == 0 ? 1 : 0;
 }
+
+// Serialize the snapshot into a malloc'd buffer (same format as kv_dump).
+// Memory-speed under the store mutex, so an engine can capture a
+// consistent snapshot under its serving lock and do the disk write with
+// the lock RELEASED (kv_dump holds the mutex for the whole disk write —
+// seconds of serving stall at multi-GB scale). Caller frees via
+// kv_buf_free.
+int kv_dump_mem(void* h, uint8_t** out, uint64_t* out_len) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t sz = 8;
+  for (auto& e : kv->table) {
+    if (e.state != 1) continue;
+    sz += 4 + e.key_len + 4 + 8 + 8 + 4 + e.val_len;
+  }
+  uint8_t* buf = static_cast<uint8_t*>(malloc(sz));
+  if (!buf) return 0;
+  uint8_t* p = buf;
+  uint64_t count = kv->used;
+  memcpy(p, &count, 8); p += 8;
+  for (auto& e : kv->table) {
+    if (e.state != 1) continue;
+    memcpy(p, &e.key_len, 4); p += 4;
+    if (e.key_len) { memcpy(p, kv->arena.data() + e.key_off, e.key_len); p += e.key_len; }
+    memcpy(p, &e.shard, 4); p += 4;
+    memcpy(p, &e.slot, 8); p += 8;
+    memcpy(p, &e.ts, 8); p += 8;
+    memcpy(p, &e.val_len, 4); p += 4;
+    if (e.val_len) { memcpy(p, kv->arena.data() + e.val_off, e.val_len); p += e.val_len; }
+  }
+  *out = buf;
+  *out_len = sz;
+  return 1;
+}
+
+void kv_buf_free(uint8_t* p) { free(p); }
 
 int kv_load(void* h, const char* path) {
   auto* kv = static_cast<KvStore*>(h);

@@ -123,6 +123,7 @@ class CheckpointManager:
                 "deleted": np.int64(s["deleted"]),
                 "valid": s["valid"],
             }
+            linked = None
             if s["mmap_paths"] is not None:
                 s["store_ref"].flush_files()  # msync before linking
                 linked = {}
@@ -130,9 +131,27 @@ class CheckpointManager:
                     dst = os.path.join(tmp, f"shard_{i}.{part}")
                     try:
                         os.link(src, dst)
+                    except FileNotFoundError:
+                        # A concurrent compaction unlinked the live path
+                        # after the snapshot was taken. The snapshot's
+                        # row views stay valid (store_ref pins the mmap),
+                        # so fall back to inlining the rows below.
+                        linked = None
+                        break
                     except OSError:
-                        shutil.copyfile(src, dst)
+                        try:
+                            shutil.copyfile(src, dst)  # cross-device link
+                        except FileNotFoundError:
+                            linked = None
+                            break
                     linked[part] = os.path.basename(dst)
+                if linked is None:
+                    for part in s["mmap_paths"]:
+                        try:
+                            os.unlink(os.path.join(tmp, f"shard_{i}.{part}"))
+                        except OSError:
+                            pass
+            if linked is not None:
                 np.savez(os.path.join(tmp, f"shard_{i}.npz"),
                          linked=json.dumps(linked),
                          file_rows=np.int64(s["store_ref"].valid.shape[0]),

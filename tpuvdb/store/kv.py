@@ -311,6 +311,18 @@ class DocStore:
             if not self._native.dump(path):
                 raise OSError(f"native docstore dump failed: {path}")
 
+    def snapshot_native_mem(self):
+        """Consistent in-memory snapshot of the native table (checkpoint
+        fast path): memory-speed under the locks, so the engine can hold
+        its serving lock only for the memcpy and write the blob to disk
+        off-lock. Returns a buffer holder (write .view(), then
+        .release()) or None when the .so predates kv_dump_mem."""
+        if self._native is None:
+            raise RuntimeError(
+                "snapshot_native_mem requires the native backend")
+        with self._lock:
+            return self._native.dump_mem()
+
     @classmethod
     def load_native_file(cls, path: str, backend: str = "auto") -> "DocStore":
         """Restore from a dump_native snapshot. With the native library
