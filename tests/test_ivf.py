@@ -263,3 +263,49 @@ def test_append_rows_capacity_exhaustion_no_mutation(rng):
     d_, r_ = idx.search(data[:4], k=1)
     assert (r_[:, 0] == np.arange(4)).all()
     assert (d_[:, 0] < 1e-3).all()
+
+
+def test_build_streaming_mirror_source_int8_bitexact(rng, tmp_path):
+    """The streaming build over int8 mmap mirrors must (a) pack the
+    mirrors' codes BIT-EXACT (no dequant/requant round trip) and (b)
+    search-match a classic build over the dequantized f32 stack."""
+    import jax.numpy as jnp
+
+    from tpuvdb.index.ivf import MirrorRowSource
+    from tpuvdb.index.layout import ShardMirror, StackedLayout
+
+    d = 32
+    data = clustered_data(rng, n_clusters=8, per=512, d=d)
+    mirrors = []
+    for s in range(2):
+        m = ShardMirror(d, 1 << 16, init_cap=4096, dtype="int8",
+                        path=str(tmp_path / f"shard_{s}"))
+        part = data[s::2]
+        m.write_batch(m.alloc(len(part)), part)
+        mirrors.append(m)
+    layout = StackedLayout.for_mirrors(mirrors, block=128)
+    source = MirrorRowSource(mirrors, layout)
+    assert source.all_int8
+    valid = source.valid_array()
+    assert int(valid.sum()) == len(data)
+
+    idx = IVFIndex.build_streaming(source, valid, nlist=8, nprobe=8,
+                                   kmeans_iters=8, dtype=jnp.int8, seed=7)
+    # (a) every packed code row equals the mirror's stored codes
+    grow = np.asarray(idx.row_ids)
+    sel = np.flatnonzero(grow >= 0)[:256]
+    codes = np.asarray(idx.grouped)[sel]
+    scales = np.asarray(idx.cell_scales)[sel]
+    mcodes, mscales, _ = source.gather_raw(grow[sel])
+    np.testing.assert_array_equal(codes, mcodes)
+    np.testing.assert_allclose(scales, mscales, rtol=0)
+
+    # (b) same answers as the classic build over the dequantized stack
+    vecs, _, valid2 = layout.stack(mirrors)
+    ref = IVFIndex.build(vecs, valid2, nlist=8, nprobe=8,
+                         kmeans_iters=8, dtype=jnp.int8, seed=7)
+    q = data[:32]
+    d1, r1 = idx.search(q, k=5)
+    d2, r2 = ref.search(q, k=5)
+    assert (r1[:, 0] == r2[:, 0]).mean() >= 0.95
+    np.testing.assert_allclose(d1[:, 0], d2[:, 0], rtol=1e-3, atol=1e-3)

@@ -628,7 +628,10 @@ class VectorDBEngine:
             ndev = self.mesh.shape[cfg.mesh_axis] if use_mesh else 1
             layout = StackedLayout.for_mirrors(self.mirrors, block=128,
                                                min_rows_multiple=ndev)
-            vecs, _, valid = layout.stack(self.mirrors)
+            from tpuvdb.index.ivf import MirrorRowSource
+
+            source = MirrorRowSource(self.mirrors, layout)
+            valid = source.valid_array()
             live = int(valid.sum())
             if live == 0:
                 self._ivf = None
@@ -636,6 +639,11 @@ class VectorDBEngine:
             elif use_mesh:
                 from tpuvdb.mesh.sharded_ivf import ShardedIVFIndex
 
+                # mesh builds still stack the f32 corpus: each device
+                # holds 1/ndev of it, so per-host capacity scales with
+                # the slice, not one chip's HBM (single-host virtual
+                # meshes are a test/dev configuration)
+                vecs, _, _ = layout.stack(self.mirrors)
                 nlist = max(1, min(cfg.ivf_nlist // ndev or 1,
                                    max(1, live // (8 * ndev))))
                 # warm-start parity with the single-device path (3-D
@@ -668,8 +676,11 @@ class VectorDBEngine:
                 # the drift/churn bounds — see _consume_ivf_warm
                 warm_cents, trained_live, mut_train = \
                     self._consume_ivf_warm(live, ndim=2)
-                self._ivf = IVFIndex.build(
-                    vecs, valid,
+                # streaming build: reads rows through the mirrors (int8
+                # codes bit-exact) — no full f32 stack on host or device,
+                # which is what allows IVF at the 8M x 768 capacity scale
+                self._ivf = IVFIndex.build_streaming(
+                    source, valid,
                     nlist=nlist,
                     # nprobe must follow the ACTUAL cell count: warm
                     # centroids override nlist inside build, and probing

@@ -307,6 +307,16 @@ class ShardMirror:
                     * np.asarray(self._scale[slots])[:, None])
         return np.asarray(self._vec[slots], np.float32)
 
+    def rows_raw(self, slots: np.ndarray):
+        """Bulk rows in the STORED dtype: (codes, scales|None, sq) — one
+        fancy-index gather each. int8 mirrors return their original
+        per-row quantization untouched, so a consumer packing int8 cells
+        (streaming IVF build) copies codes bit-exactly instead of
+        dequantizing 25 GB of f32 to requantize it back."""
+        return (self._vec[slots],
+                np.asarray(self._scale[slots]) if self.quantized else None,
+                np.asarray(self._sq[slots]))
+
     def raw_range(self, lo: int, hi: int):
         """(rows_raw, scales|None, sq) zero-copy views of [lo, hi) in the
         stored dtype — streaming device uploads and checkpoints read these."""
