@@ -90,3 +90,48 @@ def test_device_index_end_to_end_with_mesh(rng):
     dist, rows = idx.search(target[None, :], k=2)
     found = {idx.layout.shard_slot_of(int(r)) for r in rows[0]}
     assert (2, 42) not in found
+
+
+def test_sharded_int8_rescored_matches_dequant_oracle(rng):
+    """Mesh int8 + per-shard fused rescore: merged distances are exact over
+    the stored (dequantized) rows and recall beats the raw int8 path."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuvdb.kernels.quant import quantize_rows_np
+
+    mesh = create_mesh()
+    ndev = mesh.size
+    block = 128
+    rows = ndev * block
+    d = 64
+    corpus = rng.standard_normal((rows, d)).astype(np.float32)
+    ci8, scales = quantize_rows_np(corpus)
+    stored = ci8.astype(np.float32) * scales[:, None]
+    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
+    valid = np.ones(rows, dtype=bool)
+    valid[9] = False
+    q = rng.standard_normal((8, d)).astype(np.float32)
+
+    vecs = jax.device_put(jnp.asarray(ci8), NamedSharding(mesh, P("shards", None)))
+    sqd = jax.device_put(jnp.asarray(sq), NamedSharding(mesh, P("shards")))
+    vd = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("shards")))
+    sc = jax.device_put(jnp.asarray(scales), NamedSharding(mesh, P("shards")))
+
+    k = 10
+    dist, rows_out = sharded_search(
+        q, vecs, sqd, vd, k=k, block_size=block, mesh=mesh,
+        row_scales=sc, rescore_fetch=32)
+    dist, rows_out = np.asarray(dist), np.asarray(rows_out)
+    odist, oidx = numpy_oracle(q, stored, valid, k)
+    assert 9 not in rows_out
+    overlap = np.mean(
+        [len(set(rows_out[i]) & set(oidx[i])) / k for i in range(len(q))])
+    assert overlap >= 0.9, overlap
+    # distances are exact f32 to the dequantized rows the shard stores
+    for i in range(len(q)):
+        for j in range(k):
+            r = rows_out[i, j]
+            if r >= 0:
+                true = float(np.sum((q[i] - stored[r]) ** 2))
+                assert abs(true - dist[i, j]) < 1e-2

@@ -6,7 +6,9 @@ import pytest
 import jax.numpy as jnp
 
 from tpuvdb.kernels.distance import numpy_oracle
-from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk
+from tpuvdb.kernels.pallas_scan import (pallas_l2sq_topk,
+                                        pallas_l2sq_topk_int8_rescored)
+from tpuvdb.kernels.quant import quantize_rows_np
 
 
 @pytest.mark.parametrize("n,d,k", [(1024, 128, 10)])
@@ -32,6 +34,58 @@ def test_pallas_matches_oracle(rng, n, d, k):
             if idx[i, j] >= 0:
                 true = float(np.sum((q[i] - corpus[idx[i, j]]) ** 2))
                 assert abs(true - dist[i, j]) < 1e-2
+
+
+def test_pallas_int8_rescored_matches_oracle(rng):
+    n, d, k = 1024, 128, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    ci8, scales = quantize_rows_np(corpus)
+    stored = ci8.astype(np.float32) * scales[:, None]  # what rescore sees
+    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[7] = False
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    dist, idx = pallas_l2sq_topk_int8_rescored(
+        jnp.asarray(q), jnp.asarray(ci8), jnp.asarray(scales),
+        jnp.asarray(sq), jnp.asarray(valid),
+        k=k, fetch=64, block_rows=256, n_buckets=128, query_tile=16,
+        interpret=True,
+    )
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    # oracle over the DEQUANTIZED rows: the rescore removes query-quant and
+    # selection error, leaving only per-row corpus quantization
+    odist, oidx = numpy_oracle(q, stored, valid, k)
+    assert 7 not in idx
+    overlap = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(16)])
+    assert overlap >= 0.9, overlap
+    # returned distances are exact f32 to the stored (dequantized) rows
+    for i in range(16):
+        for j in range(k):
+            if idx[i, j] >= 0:
+                true = float(np.sum((q[i] - stored[idx[i, j]]) ** 2))
+                assert abs(true - dist[i, j]) < 1e-2
+
+
+def test_fit_block_rows_vmem_budget():
+    """Dim-aware block sizing: a fixed 16384-row block OOMed scoped VMEM
+    at dim 512 (found by the round-3 serve smoke on real TPU — the int8
+    tile alone is 8 MB, double-buffered by the pallas pipeline)."""
+    from tpuvdb.kernels.pallas_scan import fit_block_rows
+
+    # headline bench shapes keep their measured-good block size
+    assert fit_block_rows(1 << 20, 128, 1) == 16384   # int8 1M x 128
+    assert fit_block_rows(1 << 20, 128, 2) == 16384   # bf16 (4 MB tile)
+    # 512-d (the reference's CLIP dim): tile must shrink
+    assert fit_block_rows(65536, 512, 1) == 8192      # int8 -> 4 MB
+    assert fit_block_rows(65536, 512, 2) == 4096      # bf16 -> 4 MB
+    # 768-d capacity shapes
+    assert fit_block_rows(1 << 23, 768, 1) == 4096
+    # non-divisible corpus halves down until it divides
+    assert fit_block_rows(16384 + 8192, 512, 1) == 8192
+    # nothing >= 512 divides: fall back to the XLA path
+    assert fit_block_rows(1000, 512, 1) is None
+    # absurd dim: tile can't fit at the minimum block either
+    assert fit_block_rows(1 << 20, 1 << 14, 4) is None
 
 
 def test_pallas_query_padding(rng):

@@ -82,7 +82,8 @@ class DBConfig:
     #            XLA program, no host round-trip; recall ceiling = corpus
     #            quantization, ~0.97 on adversarial shells; measured 518k
     #            QPS vs ~5k for the host path at batch 256 on v5e).
-    #            Single-device flat indexes only; mesh/IVF keep "exact".
+    #            Flat indexes, single-device or mesh (each shard rescores
+    #            before the collective merge); IVF keeps "exact".
     # "none"   — serve raw int8 scan scores.
     rescore_mode: str = "exact"
     flush_batch: int = 1024        # staged inserts per device flush

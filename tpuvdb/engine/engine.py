@@ -724,11 +724,11 @@ class VectorDBEngine:
 
     def _rebuild_device_index(self):
         # "device" rescore lives INSIDE the index's scan program (fused
-        # dequant re-rank, single-device only — mesh programs keep their
-        # own collective merge); "exact" is applied by search_batch on the
-        # host instead
+        # dequant re-rank); on a mesh each shard rescores its local
+        # candidates BEFORE the collective merge (mesh/sharded.py), so the
+        # merge still moves only (Q, k) per shard; "exact" is applied by
+        # search_batch on the host instead
         device_rescore = (self.config.rescore_mode == "device"
-                          and (self.mesh is None or self.mesh.size == 1)
                           and self.config.rescore_overfetch > 0)
         self._index = DeviceExactIndex.build(
             self.mirrors,
@@ -1027,9 +1027,10 @@ class VectorDBEngine:
             fetch_k = max(2 * k, k + 16) if overfetch else k
             # host rescore runs for int8 unless disabled ("none") or
             # the fused device re-rank is wired into THIS index (flat
-            # single-device only) — "device" on IVF/mesh configs falls
-            # back to the exact host path rather than silently serving
-            # raw int8 scores (config.py documents this fallback)
+            # indexes, single-device or mesh — each shard rescores before
+            # the collective merge) — "device" on IVF configs falls back
+            # to the exact host path rather than silently serving raw
+            # int8 scores (config.py documents this fallback)
             fused_device = (not ivf_mode and self._index is not None
                             and self._index.rescore_fetch > 0)
             rescore = (self.config.storage_dtype == "int8"
@@ -1078,8 +1079,15 @@ class VectorDBEngine:
                     dists, rows = self._flat_search_rows(
                         queries, fetch_k, index, delta, n_del
                     )
-        except RuntimeError:
-            return "retry", None  # snapshot buffer donated mid-flight
+        except RuntimeError as e:
+            # only a donated/deleted snapshot buffer is retryable (a
+            # concurrent scatter donated the arrays this search holds);
+            # anything else — compile OOM, kernel failure — must surface,
+            # not masquerade as a compaction storm
+            msg = str(e).lower()
+            if "delete" in msg or "donat" in msg:
+                return "retry", None  # snapshot buffer donated mid-flight
+            raise
         with self.timers.stage("search.assemble"):
             return self._assemble_results(queries, dists, rows, gen,
                                           rescore, fetch_k, layout)

@@ -334,7 +334,7 @@ class DeviceExactIndex:
                 k=k, block_size=self.block_size, mesh=self.mesh,
                 repl_axis=repl_axis, shard_axis=self.mesh_axis,
                 mode=self.search_mode, recall_target=self.recall_target,
-                row_scales=self.row_scales,
+                row_scales=self.row_scales, rescore_fetch=self.rescore_fetch,
             )
             dist, rows = dist[:qn], rows[:qn]
         elif self.mesh is not None and self.mesh.size > 1:
@@ -345,16 +345,37 @@ class DeviceExactIndex:
                 k=k, block_size=self.block_size,
                 mesh=self.mesh, axis=self.mesh_axis,
                 mode=self.search_mode, recall_target=self.recall_target,
-                row_scales=self.row_scales,
+                row_scales=self.row_scales, rescore_fetch=self.rescore_fetch,
             )
         elif self.quantized and self.rescore_fetch > 0:
-            from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
+            from tpuvdb.kernels.pallas_scan import fit_block_rows
 
-            dist, rows = l2sq_topk_int8_rescored(
-                q, self.vectors, self.row_scales, self.sqnorms, self.valid,
-                k=k, fetch=max(self.rescore_fetch, k),
-                recall_target=self.recall_target,
-            )
+            # dim-aware block sizing (a fixed 16384-row int8 tile OOMs
+            # scoped VMEM at dim 512: 8 MB x 2 pipeline buffers)
+            br = fit_block_rows(self.vectors.shape[0],
+                                self.vectors.shape[1], 1)
+            if (self.search_mode == "pallas"
+                    and jax.default_backend() == "tpu"
+                    and br is not None):
+                # fused Mosaic sweep: widening the rescore set is free on
+                # the scan side (candidates already sit in VMEM buckets),
+                # unlike approx_max_k whose cost grows with fetch
+                from tpuvdb.kernels.pallas_scan import \
+                    pallas_l2sq_topk_int8_rescored
+
+                dist, rows = pallas_l2sq_topk_int8_rescored(
+                    q, self.vectors, self.row_scales, self.sqnorms,
+                    self.valid, k=k, fetch=max(self.rescore_fetch, k),
+                    block_rows=br, n_buckets=min(512, br),
+                )
+            else:
+                from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
+
+                dist, rows = l2sq_topk_int8_rescored(
+                    q, self.vectors, self.row_scales, self.sqnorms,
+                    self.valid, k=k, fetch=max(self.rescore_fetch, k),
+                    recall_target=self.recall_target,
+                )
         elif self.quantized:
             from tpuvdb.kernels.quant import l2sq_topk_int8_xla
 

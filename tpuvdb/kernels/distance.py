@@ -215,12 +215,13 @@ def l2sq_topk(
         # the fused Mosaic kernel needs a TPU backend and a block-divisible
         # corpus; anything else falls back to the XLA approx path
         if jax.default_backend() == "tpu":
-            from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk
+            from tpuvdb.kernels.pallas_scan import (fit_block_rows,
+                                                    pallas_l2sq_topk)
 
-            br = 16384
-            while br > 128 and n % br != 0:
-                br //= 2
-            if n % br == 0 and br >= 512:
+            # dim-aware block sizing: a fixed 16384-row block OOMs scoped
+            # VMEM at dim >= 256 (16 MB bf16 tile at 512-d, double-buffered)
+            br = fit_block_rows(n, corpus.shape[1], corpus.dtype.itemsize)
+            if br is not None:
                 return pallas_l2sq_topk(
                     queries, corpus, corpus_sqnorms, valid, k=k,
                     block_rows=br, n_buckets=min(512, br),

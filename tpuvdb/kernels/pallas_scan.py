@@ -27,7 +27,7 @@ last dimension fastest).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -274,6 +274,94 @@ def pallas_candidates_int8(
     )(qscale, qi, corpus_i8, row_scales, corpus_sqnorms, neg_mask)
 
 
+def fit_block_rows(n_rows: int, dim: int, itemsize: int,
+                   max_tile_bytes: int = 1 << 22, max_rows: int = 16384,
+                   min_rows: int = 512) -> Optional[int]:
+    """Largest power-of-two block_rows that (a) divides n_rows, (b) keeps
+    the pipelined corpus tile within the scoped-VMEM budget — the tile is
+    double-buffered, so block_rows * dim * itemsize must stay <= ~4 MB
+    (at dim 512 an int8 16384-row tile alone is 8 MB x 2 buffers, which
+    blows the 16 MB scoped limit), and (c) stays >= min_rows (the bucket
+    fold needs >= n_buckets rows per block). None = no valid size; every
+    caller falls back to the XLA scan."""
+    cap = min(max_rows, max_tile_bytes // max(1, dim * itemsize))
+    if cap < min_rows:
+        return None
+    br = 1 << (cap.bit_length() - 1)
+    while br >= min_rows and n_rows % br:
+        br //= 2
+    return br if br >= min_rows and n_rows % br == 0 else None
+
+
+def _fit_sub_rows(block_rows: int, n_buckets: int, sub_rows: int) -> int:
+    """Largest sub-chunk <= sub_rows that divides block_rows and is a
+    multiple of n_buckets; raises if none exists (fail loudly instead of
+    looping forever / going negative)."""
+    sub = min(sub_rows, block_rows)
+    while sub > n_buckets and (block_rows % sub or sub % n_buckets):
+        sub -= n_buckets
+    if sub < n_buckets or block_rows % sub or sub % n_buckets:
+        raise ValueError(
+            f"no sub_rows in [{n_buckets}, {block_rows}] divides "
+            f"block_rows={block_rows} and is a multiple of "
+            f"n_buckets={n_buckets}")
+    return sub
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "fetch", "block_rows", "n_buckets", "query_tile",
+                     "sub_rows", "interpret"),
+)
+def pallas_l2sq_topk_int8_rescored(
+    queries: jax.Array,        # (Q, d) f32
+    corpus_i8: jax.Array,      # (N, d) int8
+    row_scales: jax.Array,     # (N,) f32
+    corpus_sqnorms: jax.Array,  # (N,) f32
+    valid: jax.Array,          # (N,) bool
+    k: int,
+    fetch: int = 32,
+    block_rows: int = 16384,
+    n_buckets: int = 512,
+    query_tile: int = 256,
+    sub_rows: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas int8 candidate sweep + fused on-device exact re-rank.
+
+    The bucketed streaming sweep already holds the per-bucket best
+    candidates in VMEM, so widening the rescore set is FREE on the scan
+    side — `fetch` just takes more of the n_buckets candidates into the
+    exact epilogue. Contrast l2sq_topk_int8_rescored (quant.py), where
+    approx_max_k's PartialReduce cost grows steeply with fetch
+    (32 -> 515k QPS, 128 -> 255k at 1M x 128). One jit program end to end.
+    """
+    from tpuvdb.kernels.quant import exact_rescore
+
+    qn = queries.shape[0]
+    qt = min(query_tile, max(8, qn))
+    pad_q = (-qn) % qt
+    q = queries
+    if pad_q:
+        q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
+    sub = _fit_sub_rows(block_rows, n_buckets, sub_rows)
+    neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
+    cand_val, cand_idx = pallas_candidates_int8(
+        q, corpus_i8, row_scales.reshape(1, -1).astype(jnp.float32),
+        corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,
+        block_rows=block_rows, n_buckets=n_buckets, query_tile=qt,
+        sub_rows=sub, interpret=interpret,
+    )
+    cand_val = cand_val[:qn]
+    cand_idx = cand_idx[:qn]
+    f = max(k, min(fetch, n_buckets))
+    neg, pos = jax.lax.top_k(cand_val, f)
+    cand = jnp.take_along_axis(cand_idx, pos, axis=1)
+    cand = jnp.where(neg <= NEG_INF, -1, cand)
+    return exact_rescore(queries.astype(jnp.float32), corpus_i8,
+                         row_scales.reshape(-1), cand, k)
+
+
 def pallas_l2sq_topk_int8(
     queries: jax.Array,
     corpus_i8: jax.Array,
@@ -295,16 +383,7 @@ def pallas_l2sq_topk_int8(
     q = queries
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
-    sub = min(sub_rows, block_rows)
-    while sub > n_buckets and (block_rows % sub or sub % n_buckets):
-        sub -= n_buckets
-    if sub < n_buckets or block_rows % sub or sub % n_buckets:
-        # e.g. n_buckets that doesn't divide block_rows: no valid sub-chunk
-        # exists — fail loudly instead of looping forever / going negative
-        raise ValueError(
-            f"no sub_rows in [{n_buckets}, {block_rows}] divides "
-            f"block_rows={block_rows} and is a multiple of "
-            f"n_buckets={n_buckets}")
+    sub = _fit_sub_rows(block_rows, n_buckets, sub_rows)
     neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     cand_val, cand_idx = pallas_candidates_int8(
         q, corpus_i8, row_scales.reshape(1, -1).astype(jnp.float32),
@@ -346,16 +425,7 @@ def pallas_l2sq_topk(
     q = queries
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
-    sub = min(sub_rows, block_rows)
-    while sub > n_buckets and (block_rows % sub or sub % n_buckets):
-        sub -= n_buckets
-    if sub < n_buckets or block_rows % sub or sub % n_buckets:
-        # e.g. n_buckets that doesn't divide block_rows: no valid sub-chunk
-        # exists — fail loudly instead of looping forever / going negative
-        raise ValueError(
-            f"no sub_rows in [{n_buckets}, {block_rows}] divides "
-            f"block_rows={block_rows} and is a multiple of "
-            f"n_buckets={n_buckets}")
+    sub = _fit_sub_rows(block_rows, n_buckets, sub_rows)
     neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     cand_val, cand_idx = pallas_candidates(
         q, corpus, corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,

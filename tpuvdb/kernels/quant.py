@@ -71,6 +71,32 @@ def l2sq_topk_int8_xla(
     return dist, idx
 
 
+def exact_rescore(
+    queries: jax.Array,       # (Q, d) f32 — UNQUANTIZED queries
+    corpus_i8: jax.Array,     # (N, d) int8
+    row_scales: jax.Array,    # (N,) f32
+    cand: jax.Array,          # (Q, F) int32 candidate rows, -1 = empty
+    k: int,
+):
+    """On-device exact re-rank of int8 candidate rows.
+
+    Gathers the candidate rows (1 byte/dim), dequantizes, and re-ranks by
+    exact f32 distance to the unquantized query; only per-row corpus
+    quantization error (|x - x_hat| <= s_r/2 per dim) remains. Shared by
+    the XLA (approx_max_k) and Pallas (bucketed sweep) candidate paths.
+    """
+    safe = jnp.maximum(cand, 0)
+    rows = jnp.take(corpus_i8, safe, axis=0).astype(jnp.float32)
+    rows = rows * jnp.take(row_scales, safe)[..., None]   # (Q, F, d) f32
+    d = jnp.sum(jnp.square(queries[:, None, :] - rows), axis=-1)
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    neg_d, pos = jax.lax.top_k(-d, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    dist = jnp.where(jnp.isfinite(neg_d), -neg_d, jnp.inf)
+    idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
+    return dist, idx
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "fetch", "recall_target"))
 def l2sq_topk_int8_rescored(
@@ -98,13 +124,4 @@ def l2sq_topk_int8_rescored(
     _, cand = l2sq_topk_int8_xla(
         queries, corpus_i8, row_scales, corpus_sqnorms, valid,
         k=fetch, recall_target=recall_target)
-    safe = jnp.maximum(cand, 0)
-    rows = jnp.take(corpus_i8, safe, axis=0).astype(jnp.float32)
-    rows = rows * jnp.take(row_scales, safe)[..., None]   # (Q, F, d) f32
-    d = jnp.sum(jnp.square(queries[:, None, :] - rows), axis=-1)
-    d = jnp.where(cand >= 0, d, jnp.inf)
-    neg_d, pos = jax.lax.top_k(-d, k)
-    idx = jnp.take_along_axis(cand, pos, axis=1)
-    dist = jnp.where(jnp.isfinite(neg_d), -neg_d, jnp.inf)
-    idx = jnp.where(jnp.isfinite(neg_d), idx, -1)
-    return dist, idx
+    return exact_rescore(queries, corpus_i8, row_scales, cand, k)

@@ -62,11 +62,19 @@ def shard_corpus_replicated(
 def _build_replicated_search(mesh, repl_axis: str, shard_axis: str, k: int,
                              block_size: int, rows_per_shard: int,
                              mode: str, recall_target: float,
-                             quantized: bool = False):
+                             quantized: bool = False, rescore_fetch: int = 0):
     nshards = mesh.shape[shard_axis]
     nrepl = mesh.shape[repl_axis]
 
     def local_topk(q_slice, vecs, sq, valid, scales=None):
+        if quantized and rescore_fetch > 0:
+            # per-shard fused dequant re-rank before the collective merge
+            # (see mesh/sharded.py — same trade: no extra ICI traffic)
+            from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
+
+            return l2sq_topk_int8_rescored(q_slice, vecs, scales, sq, valid,
+                                           k=k, fetch=max(rescore_fetch, k),
+                                           recall_target=recall_target)
         if quantized:
             from tpuvdb.kernels.quant import l2sq_topk_int8_xla
 
@@ -123,9 +131,11 @@ def replicated_search(
     mode: str = "approx",
     recall_target: float = 0.95,
     row_scales=None,
+    rescore_fetch: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-batch search over the (repl, shards) mesh. The query batch must
-    divide by the repl axis size. Pass row_scales for int8 corpora.
+    divide by the repl axis size. Pass row_scales for int8 corpora;
+    rescore_fetch > 0 adds a per-shard fused exact re-rank (int8 only).
     Returns (dists, rows) for every query."""
     nrepl = mesh.shape[repl_axis]
     nshards = mesh.shape[shard_axis]
@@ -140,6 +150,7 @@ def replicated_search(
     fn = _build_replicated_search(
         mesh, repl_axis, shard_axis, k, block_size,
         total_rows // nshards, mode, recall_target, quantized,
+        rescore_fetch if quantized else 0,
     )
     if quantized:
         return fn(queries, vectors, sqnorms, valid, row_scales)

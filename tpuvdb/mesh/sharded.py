@@ -27,10 +27,20 @@ shard_map = jax.shard_map
 @functools.lru_cache(maxsize=32)
 def _build_sharded_search(mesh, axis: str, k: int, block_size: int,
                           rows_per_dev: int, mode: str, recall_target: float,
-                          quantized: bool = False):
+                          quantized: bool = False, rescore_fetch: int = 0):
     ndev = mesh.shape[axis]
 
     def local_topk(q, vecs, sq, valid, scales=None):
+        if quantized and rescore_fetch > 0:
+            # fused dequant re-rank BEFORE the collective merge: each shard
+            # rescores its own overfetched candidates locally (no extra
+            # ICI traffic — the merge still moves only (Q, k) per shard),
+            # and the merged distances are exact over stored rows
+            from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
+
+            return l2sq_topk_int8_rescored(q, vecs, scales, sq, valid, k=k,
+                                           fetch=max(rescore_fetch, k),
+                                           recall_target=recall_target)
         if quantized:
             from tpuvdb.kernels.quant import l2sq_topk_int8_xla
 
@@ -80,9 +90,11 @@ def sharded_search(
     mode: str = "approx",
     recall_target: float = 0.95,
     row_scales=None,
+    rescore_fetch: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over the row-sharded corpus. Returns (dists, rows).
-    Pass row_scales for int8-quantized corpora."""
+    Pass row_scales for int8-quantized corpora; rescore_fetch > 0 adds a
+    per-shard fused exact re-rank of that many candidates (int8 only)."""
     ndev = mesh.shape[axis]
     total_rows = vectors.shape[0]
     if total_rows % ndev != 0:
@@ -94,7 +106,8 @@ def sharded_search(
         )
     quantized = row_scales is not None
     fn = _build_sharded_search(mesh, axis, k, block_size, rows_per_dev,
-                               mode, recall_target, quantized)
+                               mode, recall_target, quantized,
+                               rescore_fetch if quantized else 0)
     if quantized:
         return fn(queries, vectors, sqnorms, valid, row_scales)
     return fn(queries, vectors, sqnorms, valid)
