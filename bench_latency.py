@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="int8",
                     choices=["exact", "approx", "int8", "pallas"])
+    ap.add_argument("--index", default="flat", choices=["flat", "ivf"])
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuvdb_jax_cache")
@@ -47,9 +48,31 @@ def main():
     search_mode = "approx" if args.mode == "int8" else args.mode
     cfg = DBConfig(vector_dim=args.dim, shard_count=4,
                    shard_capacity=max(args.rows, 1024),
-                   storage_dtype=storage, search_mode=search_mode)
+                   storage_dtype=storage, search_mode=search_mode,
+                   index_type=args.index,
+                   ivf_nlist=max(64, min(1024, args.rows // 256)),
+                   ivf_nprobe=32, ivf_kmeans_iters=6)
     svc = DBService(cfg)
     rng = np.random.default_rng(0)
+
+    # Dispatch floor: steady-state round trip of a TRIVIAL chained device
+    # op — the per-call cost of the execution path (relay hop included)
+    # that a colocated TPU host does not pay. The dispatch-subtracted
+    # figures below are the defensible device+host latency claim.
+    import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(1.0)
+    triv(x).block_until_ready()
+    floor = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        triv(x).block_until_ready()
+        floor.append(time.perf_counter() - t0)
+    dispatch_ms = round(float(np.percentile(np.asarray(floor) * 1e3, 50)), 3)
+    print(f"dispatch floor (trivial op round trip): p50 {dispatch_ms} ms",
+          flush=True)
 
     print(f"ingest {args.rows} x {args.dim} ...", flush=True)
     bs = 8192
@@ -85,24 +108,39 @@ def main():
             assert resp["success"], resp
         s = np.sort(np.asarray(lat)) * 1e3  # ms per request
         per_q = s / batch
+        p50 = float(np.percentile(s, 50))
+        # conditional (colocated-host) claim: measured host+device p50
+        # minus the dispatch floor — every search pays exactly one device
+        # dispatch per batch through the batcher
+        adj = max(0.0, p50 - dispatch_ms)
         row = {
             "batch": batch,
-            "p50_ms": round(float(np.percentile(s, 50)), 3),
+            "p50_ms": round(p50, 3),
             "p95_ms": round(float(np.percentile(s, 95)), 3),
             "p99_ms": round(float(np.percentile(s, 99)), 3),
             "per_query_p50_ms": round(float(np.percentile(per_q, 50)), 4),
+            "p50_minus_dispatch_ms": round(adj, 3),
+            "per_query_p50_minus_dispatch_ms": round(adj / batch, 4),
         }
         results[batch] = row
         print(json.dumps({"metric": f"search_latency_b{batch}",
                           "unit": "ms_host_p50", "value": row["p50_ms"],
                           "per_query_p50_ms": row["per_query_p50_ms"],
                           "p99_ms": row["p99_ms"], "mode": args.mode,
+                          "index": args.index,
+                          "dispatch_floor_ms": dispatch_ms,
+                          "p50_minus_dispatch_ms": row["p50_minus_dispatch_ms"],
+                          "per_query_p50_minus_dispatch_ms":
+                              row["per_query_p50_minus_dispatch_ms"],
                           "rows": args.rows}), flush=True)
 
-    print("\nbatch  p50_ms  p95_ms  p99_ms  per-query p50")
+    print("\nbatch  p50_ms  p95_ms  p99_ms  per-query p50 | minus-dispatch"
+          " (batch / per-query)")
     for b, r in results.items():
         print(f"{b:5d}  {r['p50_ms']:6.2f}  {r['p95_ms']:6.2f}  "
-              f"{r['p99_ms']:6.2f}  {r['per_query_p50_ms']:.4f} ms")
+              f"{r['p99_ms']:6.2f}  {r['per_query_p50_ms']:.4f} ms | "
+              f"{r['p50_minus_dispatch_ms']:.3f} / "
+              f"{r['per_query_p50_minus_dispatch_ms']:.4f} ms")
     print("\nper-stage timers (service.search = host-inclusive):")
     snap = svc.engine.timers.snapshot()
     for name in sorted(snap):

@@ -86,3 +86,38 @@ def test_keys_at_bulk_matches_key_at():
     bulk = store.keys_at_bulk(shards, slots)
     assert bulk == [store.key_at(sh, sl) for sh, sl in zip(shards, slots)]
     assert store.keys_at_bulk([], []) == []
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_keys_rows_fused_resolution(backend):
+    """keys_rows (fused liveness + key resolution over flat row ids — the
+    serving fast path, one FFI crossing on the native backend) must agree
+    with the two-pass slots_live + key_at decomposition, and its miss
+    count must certify all-live exactly."""
+    if backend == "native" and not native.available():
+        pytest.skip("native library unavailable")
+    store = DocStore(backend=backend)
+    phys_cap = 64
+    for i in range(50):
+        store.put(DocEntry(f"k{i}", i % 4, i // 4, {}, i))
+    store.delete("k7")
+
+    rows = [0 * phys_cap + 0, 1 * phys_cap + 0, 3 * phys_cap + 2,  # live
+            -1,                                   # device pad
+            1 * phys_cap + 63,                    # in-range dead slot
+            9 * phys_cap + 2]                     # out-of-range shard
+    keys, miss = store.keys_rows(rows, phys_cap)
+    want = [None if r < 0 else store.key_at(r // phys_cap, r % phys_cap)
+            for r in rows]
+    assert keys == want
+    assert miss == sum(1 for w in want if w is None) == 3
+
+    # all-live certification: miss == 0 iff every row resolves
+    live_rows = [(i % 4) * phys_cap + i // 4 for i in range(50) if i != 7]
+    keys2, miss2 = store.keys_rows(live_rows, phys_cap)
+    assert miss2 == 0 and None not in keys2
+    assert keys2 == [f"k{i}" for i in range(50) if i != 7]
+
+    # k7's old slot is unmapped after the delete -> counted missing
+    _, miss3 = store.keys_rows([(7 % 4) * phys_cap + 7 // 4], phys_cap)
+    assert miss3 == 1

@@ -1111,11 +1111,25 @@ class VectorDBEngine:
             # live hits (found by review after the flush-hysteresis
             # change stopped flushing deletes before every search)
             qn, width = rows.shape
-            # (1) LIVENESS first — one FFI bitmap call, no strings; dead /
-            # padded / staged-deleted candidates compact away before any
-            # key materializes (resolving keys for the full Q x width
-            # matrix was the serving-path hot spot: ~0.7 us per python
-            # string at batch sizes where the device scan costs 0.9 ms).
+            # (0) FUSED fast path (the common serving case: no deletes in
+            # the candidate set, no device pad rows): resolve ONLY the
+            # first fetch_k columns in one FFI crossing — kv_rows_keys
+            # decomposes shard/slot in C with prefetch and reports the
+            # miss count, so liveness is certified by the same call that
+            # materializes the keys (width >= fetch_k always: the device
+            # fetch is padded UP from fetch_k). The previous two-pass
+            # shape (bitmap over the full width, then keys) was the
+            # serving hot spot: 2.8 ms/batch at Q=512 on a 1M corpus vs
+            # 0.9 ms of device scan.
+            r_cut = np.ascontiguousarray(rows[:, :fetch_k]).reshape(-1)
+            keys, n_missing = self.docstore.keys_rows(
+                r_cut, layout.phys_cap, row=fetch_k)
+            if n_missing == 0:
+                out_d = np.asarray(dists, np.float32)[:, :fetch_k]
+                return "ok", (out_d, keys)
+            # (1) slow path — some candidate is dead / padded /
+            # staged-deleted: take the LIVENESS bitmap over the full
+            # device width (no strings) and compact live hits forward.
             flat = rows.reshape(-1)
             nn = flat >= 0
             live = np.zeros(flat.shape[0], bool)
@@ -1123,20 +1137,6 @@ class VectorDBEngine:
                 live[nn] = self.docstore.slots_live(
                     flat[nn] // layout.phys_cap, flat[nn] % layout.phys_cap)
             live = live.reshape(qn, width)
-            if live.all():
-                # fast path (the common serving case: no deletes in the
-                # candidate set, no device pad rows): every slot resolves,
-                # so the distance-sorted rows truncate by plain slicing
-                # (width >= fetch_k always: the device fetch is padded UP
-                # from fetch_k) and the whole matrix resolves in one bulk
-                # call — no compaction argsort, no scatter loop
-                r_cut = rows[:, :fetch_k].reshape(-1)
-                resolved = self.docstore.keys_at_bulk(
-                    r_cut // layout.phys_cap, r_cut % layout.phys_cap)
-                out_d = np.asarray(dists, np.float32)[:, :fetch_k]
-                keys = [resolved[i * fetch_k : (i + 1) * fetch_k]
-                        for i in range(qn)]
-                return "ok", (out_d, keys)
             # (2) compact live hits to the front per row (pure numpy),
             # truncate to the fetch_k output width
             order = np.argsort(~live, axis=1, kind="stable")

@@ -110,6 +110,12 @@ def _load():
                                    c.POINTER(c.c_int64), c.c_uint64,
                                    c.c_char_p, c.c_uint64,
                                    c.POINTER(c.c_uint32)]
+        if hasattr(lib, "kv_rows_keys"):  # stale .so tolerance
+            lib.kv_rows_keys.restype = c.c_int
+            lib.kv_rows_keys.argtypes = [
+                c.c_void_p, c.POINTER(c.c_int64), c.c_uint64, c.c_int64,
+                c.c_char_p, c.c_uint64, c.POINTER(c.c_uint32),
+                c.POINTER(c.c_uint32)]
 
         lib.vf_open.restype = c.c_void_p
         lib.vf_open.argtypes = [c.c_char_p, c.c_uint64, c.c_uint64]
@@ -358,6 +364,60 @@ class NativeKv:
                     res.append(blob[off : off + ln].decode())
                     off += ln
         return res
+
+    def rows_keys(self, rows, phys_cap: int, row: int = 0):
+        """Fused liveness + key resolution for FLAT global row ids (the
+        serving fast path): one FFI crossing decomposes shard/slot in C
+        with prefetch and returns (keys, n_missing). Negative rows
+        resolve to None. With row > 0 the keys come back as len(rows)/row
+        row-sized inner lists (the engine's per-query shape) built in C.
+        Requires a fresh .so (kv_rows_keys); callers check for None and
+        fall back to slots_live + keys_at. NOT thread-safe with itself
+        (scratch buffer) — callers hold the DocStore lock."""
+        if not hasattr(self._lib, "kv_rows_keys"):
+            return None
+        import numpy as np
+
+        rows_a = np.ascontiguousarray(rows, np.int64)
+        n = len(rows_a)
+        lens = np.empty(n, np.uint32)
+        miss = ctypes.c_uint32(0)
+        c = ctypes
+        out = getattr(self, "_keys_buf", None)
+        if out is None or len(out) < max(64 * n, 4096):
+            out = ctypes.create_string_buffer(max(64 * n, 8192))
+            self._keys_buf = out
+        while True:
+            ok = self._lib.kv_rows_keys(
+                self._h, rows_a.ctypes.data_as(c.POINTER(c.c_int64)), n,
+                phys_cap, out, len(out),
+                lens.ctypes.data_as(c.POINTER(c.c_uint32)),
+                ctypes.byref(miss))
+            if ok:
+                break
+            out = ctypes.create_string_buffer(len(out) * 4)
+            self._keys_buf = out
+        fl = _load_fastlist()
+        if fl is not None:
+            if row > 0 and n % row == 0 and hasattr(
+                    fl, "keys_from_buffer_rows"):
+                keys = fl.keys_from_buffer_rows(
+                    ctypes.addressof(out), lens.ctypes.data, n, row)
+            else:
+                keys = fl.keys_from_buffer(ctypes.addressof(out),
+                                           lens.ctypes.data, n)
+                if row > 0 and n % row == 0:
+                    keys = [keys[i:i + row] for i in range(0, n, row)]
+        else:
+            keys = []
+            off = 0
+            blob = ctypes.string_at(out, int(lens.sum()))
+            for ln in lens.tolist():
+                keys.append(blob[off:off + ln].decode() if ln else None)
+                off += ln
+            if row > 0 and n % row == 0:
+                keys = [keys[i:i + row] for i in range(0, n, row)]
+        return keys, int(miss.value)
 
     def delete(self, key: str) -> bool:
         k = key.encode()

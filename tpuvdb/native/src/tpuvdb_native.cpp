@@ -180,6 +180,7 @@ struct KvStore {
   std::vector<KvEntry> table;
   std::vector<uint8_t> arena;  // [0] unused so offset 0 == null
   std::vector<std::vector<RevEntry>> rev;  // [shard][slot] -> key
+  std::vector<const RevEntry*> scratch_cells;  // kv_rows_keys pass-1 buffer
   uint64_t used = 0;
   uint64_t tombstones = 0;
   std::mutex mu;
@@ -401,6 +402,70 @@ int kv_keys_at(void* h, const int32_t* shards, const int64_t* slots,
     lens[i] = c->key_len;
     off += c->key_len;
   }
+  return 1;
+}
+
+// Fused liveness + bulk reverse lookup for the serving fast path: rows[]
+// are FLAT global row ids (shard = row / phys_cap, slot = row % phys_cap,
+// decomposed here — saves a numpy div/mod pass and a second FFI crossing
+// for the liveness bitmap). lens[i] = 0 marks dead / unmapped / negative
+// rows; *n_missing counts them so the caller can tell "all live" (serve
+// the packed keys as-is) from "needs the compaction slow path" without
+// scanning the list. Random accesses into the rev tables and the key
+// arena are cache-cold at 1M+ keys, so both passes software-prefetch a
+// few iterations ahead. Returns 0 when out_cap is insufficient (caller
+// grows the buffer and retries), else 1.
+int kv_rows_keys(void* h, const int64_t* rows, uint64_t n, int64_t phys_cap,
+                 uint8_t* out, uint64_t out_cap, uint32_t* lens,
+                 uint32_t* n_missing) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  if (phys_cap <= 0) return 0;
+  const uint64_t D = 8;  // prefetch distance
+  const size_t nsh = kv->rev.size();
+  std::vector<const RevEntry*>& cells = kv->scratch_cells;
+  cells.resize(n);
+  // pass 1: gather RevEntry pointers, prefetching the rev cells ahead
+  for (uint64_t i = 0; i < n; i++) {
+    if (i + D < n) {
+      int64_t r = rows[i + D];
+      if (r >= 0) {
+        size_t sh = static_cast<size_t>(r / phys_cap);
+        size_t sl = static_cast<size_t>(r % phys_cap);
+        if (sh < nsh && sl < kv->rev[sh].size())
+          __builtin_prefetch(&kv->rev[sh][sl]);
+      }
+    }
+    const RevEntry* c = nullptr;
+    int64_t r = rows[i];
+    if (r >= 0) {
+      size_t sh = static_cast<size_t>(r / phys_cap);
+      size_t sl = static_cast<size_t>(r % phys_cap);
+      if (sh < nsh && sl < kv->rev[sh].size()) c = &kv->rev[sh][sl];
+    }
+    cells[i] = c;
+  }
+  // pass 2: copy key bytes, prefetching the arena reads ahead
+  uint64_t off = 0;
+  uint32_t miss = 0;
+  const uint8_t* arena = kv->arena.data();
+  for (uint64_t i = 0; i < n; i++) {
+    if (i + D < n) {
+      const RevEntry* cn = cells[i + D];
+      if (cn && cn->key_off) __builtin_prefetch(arena + cn->key_off);
+    }
+    const RevEntry* c = cells[i];
+    if (!c || !c->key_off) {
+      lens[i] = 0;
+      miss++;
+      continue;
+    }
+    if (off + c->key_len > out_cap) return 0;
+    memcpy(out + off, arena + c->key_off, c->key_len);
+    lens[i] = c->key_len;
+    off += c->key_len;
+  }
+  *n_missing = miss;
   return 1;
 }
 

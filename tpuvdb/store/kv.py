@@ -228,6 +228,45 @@ class DocStore:
                 return None
             return slots[slot]
 
+    def keys_rows(self, rows, phys_cap: int, row: int = 0):
+        """Fused liveness + key resolution over FLAT global row ids
+        (shard = row // phys_cap, slot = row % phys_cap; negative = pad).
+        Returns (keys, n_missing) in ONE lock acquisition and — on the
+        native backend — one FFI crossing with C-side shard/slot
+        decomposition and prefetch. With row > 0 the keys come back as
+        row-sized inner lists (the engine's per-query shape), built in C.
+        n_missing == 0 certifies every row resolved live, so the serving
+        fast path skips the separate liveness bitmap + compaction pass
+        entirely."""
+        with self._lock:
+            if self._native is not None:
+                res = self._native.rows_keys(rows, phys_cap, row)
+                if res is not None:
+                    return res
+            # python fallback (dict backend or stale .so)
+            by_shard = self._slots if self._native is None else None
+            out: List[Optional[str]] = []
+            miss = 0
+            for r in rows:
+                r = int(r)
+                if r < 0:
+                    out.append(None)
+                    miss += 1
+                    continue
+                sh, sl = r // phys_cap, r % phys_cap
+                if by_shard is None:
+                    key = self._native.key_at(sh, sl)
+                else:
+                    lst = by_shard.get(sh)
+                    key = (lst[sl] if lst is not None and sl < len(lst)
+                           else None)
+                if key is None:
+                    miss += 1
+                out.append(key)
+            if row > 0 and len(out) % row == 0:
+                out = [out[i:i + row] for i in range(0, len(out), row)]
+            return out, miss
+
     def keys_at_bulk(self, shards, slots) -> List[Optional[str]]:
         """Vectorized key_at over parallel (shard, slot) sequences: ONE
         lock acquisition (and, on the native backend, one FFI crossing)
