@@ -40,7 +40,6 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuvdb_jax_cache")
     from tpuvdb.api.service import DBService
     from tpuvdb.core.config import DBConfig
-    from tpuvdb.core.types import VectorData
 
     # "int8" is a storage dtype (scanned via the approx kernel); the other
     # modes are kernel choices over the configured storage dtype
@@ -48,6 +47,10 @@ def main():
     search_mode = "approx" if args.mode == "int8" else args.mode
     cfg = DBConfig(vector_dim=args.dim, shard_count=4,
                    shard_capacity=max(args.rows, 1024),
+                   # pre-size mirrors: the growth ladder costs one XLA
+                   # recompile per doubling through the remote-compile
+                   # relay (minutes of ingest wall clock at 1M rows)
+                   mirror_init_cap=max(args.rows, 1024) // 4 + 4096,
                    storage_dtype=storage, search_mode=search_mode,
                    index_type=args.index,
                    ivf_nlist=max(64, min(1024, args.rows // 256)),
@@ -75,13 +78,12 @@ def main():
           flush=True)
 
     print(f"ingest {args.rows} x {args.dim} ...", flush=True)
-    bs = 8192
+    bs = 65536
     for lo in range(0, args.rows, bs):
         n = min(bs, args.rows - lo)
         vecs = rng.standard_normal((n, args.dim)).astype(np.float32)
-        svc.engine.put_batch([
-            VectorData(key=f"k{lo + i}", vector=vecs[i]) for i in range(n)
-        ])
+        r = svc.engine.put_rows([f"k{lo + i}" for i in range(n)], vecs)
+        assert r.success, r.message
     svc.engine.flush()
 
     results = {}

@@ -133,3 +133,19 @@ def test_cli_remote(server, rng):
     assert r.exit_code == 0 and "rk" in r.output
     r = runner.invoke(cli, base + ["info"])
     assert r.exit_code == 0 and '"docs"' in r.output
+
+
+def test_put_batch_rpc_and_misspelled_field(server, rng):
+    client = DBClient(server.address)
+    vs = rng.standard_normal((4, 8)).astype(np.float32)
+    recs = [{"key": f"b{i}", "vector": vs[i].tolist()} for i in range(4)]
+    r = client.call("put_batch", {"records": recs})
+    assert r["success"], r
+    r = client.call("search", {"query_vector": vs[2].tolist(), "top_k": 1})
+    assert r["search_result"]["keys"] == ["b2"]
+    # a misspelled field used to "succeed" as an empty batch (cost a false
+    # bug hunt in round 3) — it must fail loudly now
+    r = client.call("put_batch", {"items": recs})
+    assert not r["success"] and "records" in r["message"]
+    # an explicit empty batch is still a valid no-op
+    assert client.call("put_batch", {"records": []})["success"]

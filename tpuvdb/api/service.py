@@ -104,7 +104,13 @@ class DBService:
         return self.writer.put(vd).to_dict()
 
     def rpc_put_batch(self, p: Dict[str, Any]) -> Dict[str, Any]:
-        batch = [VectorData.from_dict(d) for d in p.get("records", [])]
+        if "records" not in p:
+            # a misspelled field ("items", "vectors", ...) used to return
+            # success for an empty batch — fail loudly instead
+            return Response.fail(
+                "put_batch expects a 'records' list "
+                f"(got keys: {sorted(p)})").to_dict()
+        batch = [VectorData.from_dict(d) for d in p["records"]]
         return self.engine.put_batch(batch).to_dict()
 
     def rpc_get(self, p: Dict[str, Any]) -> Dict[str, Any]:

@@ -1315,9 +1315,9 @@ class VectorDBEngine:
         scatter phase) so an in-flight scatter drains before slots move."""
         if not online:
             with self._flush_lock, self._lock:
-                entries = list(self.docstore.entries())
+                snap = self.docstore.export_snapshot()
                 old_mirrors = self.mirrors
-                new_mirrors, new_docstore = self._rebuild_dense(entries, old_mirrors)
+                new_mirrors, new_docstore = self._rebuild_dense(snap, old_mirrors)
                 self._swap_compacted(new_mirrors, new_docstore)
             for m in old_mirrors:  # mappings stay valid for live refs
                 m.unlink_files()
@@ -1326,12 +1326,15 @@ class VectorDBEngine:
             if self._compact_journal is not None:
                 return  # a compaction is already in flight
             self._compact_journal = []
-            entries = list(self.docstore.entries())
+            # one memcpy-speed FFI crossing on the native backend — the
+            # per-item entries() cursor held this lock for ~40 s per 1M
+            # keys, stalling serving for the whole snapshot
+            snap = self.docstore.export_snapshot()
             old_mirrors = self.mirrors
         try:
             # rebuild with no locks held: written slots are immutable, so
             # reading old mirror vectors races with nothing
-            new_mirrors, new_docstore = self._rebuild_dense(entries, old_mirrors)
+            new_mirrors, new_docstore = self._rebuild_dense(snap, old_mirrors)
         except Exception:
             with self._lock:
                 self._compact_journal = None
@@ -1358,17 +1361,38 @@ class VectorDBEngine:
         for m in old_mirrors:  # unlink swapped-out vector files (the
             m.unlink_files()   # mmap stays valid for any live snapshot)
 
-    def _rebuild_dense(self, entries, old_mirrors):
+    def _rebuild_dense(self, snap, old_mirrors):
+        """Columnar dense rebuild from an export_snapshot(). The previous
+        per-entry loop (alloc + write + docstore.put per row) was a python
+        crawl — 111 s at 500k rows — which made the reference-cadence
+        compaction (every 200k puts) dominate ingest. Rows copy in the
+        STORED dtype (bit-exact for int8), one gather + one write per
+        shard; the docstore rebuilds through chunked put_many."""
+        keys, shards, slots, tss, mds = DocStore.snapshot_columns(snap)
         new_mirrors = [self._new_mirror(i)
                        for i in range(self.config.shard_count)]
         new_docstore = DocStore(backend=self.config.docstore_backend)
-        for e in entries:
-            m = new_mirrors[e.shard]
-            slot = m.alloc()
-            m.write(slot, old_mirrors[e.shard].vector_at(e.slot))
-            new_docstore.put(DocEntry(key=e.key, shard=e.shard, slot=slot,
-                                      metadata=e.metadata,
-                                      timestamp=e.timestamp))
+        n = len(keys)
+        new_slots = np.empty(n, np.int64)
+        for s in range(self.config.shard_count):
+            idx = np.flatnonzero(shards == s)
+            if not idx.size:
+                continue
+            vec, scale, sq = old_mirrors[s].rows_raw(slots[idx])
+            first = new_mirrors[s].alloc(idx.size)
+            new_mirrors[s].write_raw_batch(first, vec, scale, sq)
+            new_slots[idx] = first + np.arange(idx.size, dtype=np.int64)
+        shards_l = shards.tolist()
+        nslots_l = new_slots.tolist()
+        tss_l = tss.tolist()
+        B = 65536
+        for lo in range(0, n, B):
+            hi = min(lo + B, n)
+            new_docstore.put_many([
+                DocEntry(key=keys[i], shard=shards_l[i], slot=nslots_l[i],
+                         metadata=mds[i], timestamp=tss_l[i])
+                for i in range(lo, hi)
+            ])
         return new_mirrors, new_docstore
 
     def _swap_compacted(self, new_mirrors, new_docstore):

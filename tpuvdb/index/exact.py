@@ -389,6 +389,11 @@ class DeviceExactIndex:
                 k=k, block_size=self.block_size,
                 mode=self.search_mode, recall_target=self.recall_target,
             )
+        # ONE transfer for both results: through the execution relay each
+        # fresh-result materialization pays a sync tick (~15 ms measured),
+        # so fetching (dist, rows) together saves a tick per search; on
+        # directly-attached hardware it is never worse
+        dist, rows = jax.device_get((dist, rows))
         return np.asarray(dist), np.asarray(rows)
 
     def nbytes(self) -> int:

@@ -812,6 +812,9 @@ class IVFIndex:
                     nprobe=nprobe, k=k, cell_pad=self.cell_pad,
                     recall_target=self.recall_target,
                 )
+            # one transfer for both results (each fresh-result fetch pays a
+            # relay sync tick; see index/exact.py search)
+            gid, dist = jax.device_get((gid, dist))
             gid = np.asarray(gid)
             dist = np.asarray(dist)
             # map grouped/spill ids back to physical rows

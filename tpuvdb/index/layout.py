@@ -288,6 +288,20 @@ class ShardMirror:
             self._sq[sl] = np.einsum("nd,nd->n", vecs, vecs)
         self.valid[sl] = True
 
+    def write_raw_batch(self, first_slot: int, vec, scale, sq):
+        """Bulk write of rows ALREADY in this mirror's stored dtype —
+        pairs with rows_raw so compaction copies int8 codes bit-exactly
+        between mirror generations instead of dequantizing to f32 and
+        re-quantizing row by row. scale is ignored for unquantized
+        mirrors."""
+        n = len(vec)
+        sl = slice(first_slot, first_slot + n)
+        self._vec[sl] = vec
+        self._sq[sl] = np.asarray(sq).reshape(-1)
+        if self.quantized:
+            self._scale[sl] = np.asarray(scale).reshape(-1)
+        self.valid[sl] = True
+
     def mark_deleted(self, slot: int):
         if self.valid[slot]:
             self.valid[slot] = False

@@ -405,6 +405,62 @@ int kv_keys_at(void* h, const int32_t* shards, const int64_t* slots,
   return 1;
 }
 
+// Sizes for kv_export_entries buffer allocation: live entry count plus
+// total key/value byte lengths.
+int kv_export_sizes(void* h, uint64_t* n, uint64_t* key_bytes,
+                    uint64_t* val_bytes) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  uint64_t cnt = 0, kb = 0, vb = 0;
+  for (auto& e : kv->table) {
+    if (e.state != 1) continue;
+    cnt++;
+    kb += e.key_len;
+    vb += e.val_len;
+  }
+  *n = cnt;
+  *key_bytes = kb;
+  *val_bytes = vb;
+  return 1;
+}
+
+// Columnar bulk export of every live entry in ONE crossing: packed key
+// blob + per-entry lengths, shard/slot/ts arrays, packed value blob +
+// lengths. The per-item cursor iterator (kv_next) costs ~60 us/1k entries
+// of ctypes round trips — compaction snapshots a 1M-key store through
+// this instead (memcpy speed, taken under the engine lock). Returns 0 if
+// a buffer is too small (caller re-sizes via kv_export_sizes), else 1.
+int kv_export_entries(void* h, uint8_t* keys_out, uint64_t keys_cap,
+                      uint32_t* key_lens, int32_t* shards, int64_t* slots,
+                      int64_t* tss, uint8_t* vals_out, uint64_t vals_cap,
+                      uint32_t* val_lens, uint64_t max_n, uint64_t* n_out) {
+  auto* kv = static_cast<KvStore*>(h);
+  std::lock_guard<std::mutex> lk(kv->mu);
+  const uint8_t* arena = kv->arena.data();
+  uint64_t i = 0, koff = 0, voff = 0;
+  for (auto& e : kv->table) {
+    if (e.state != 1) continue;
+    if (i >= max_n || koff + e.key_len > keys_cap ||
+        voff + e.val_len > vals_cap) {
+      return 0;
+    }
+    memcpy(keys_out + koff, arena + e.key_off, e.key_len);
+    key_lens[i] = e.key_len;
+    koff += e.key_len;
+    if (e.val_len) {
+      memcpy(vals_out + voff, arena + e.val_off, e.val_len);
+      voff += e.val_len;
+    }
+    val_lens[i] = e.val_len;
+    shards[i] = e.shard;
+    slots[i] = e.slot;
+    tss[i] = e.ts;
+    i++;
+  }
+  *n_out = i;
+  return 1;
+}
+
 // Fused liveness + bulk reverse lookup for the serving fast path: rows[]
 // are FLAT global row ids (shard = row / phys_cap, slot = row % phys_cap,
 // decomposed here — saves a numpy div/mod pass and a second FFI crossing

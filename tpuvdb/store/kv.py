@@ -228,6 +228,53 @@ class DocStore:
                 return None
             return slots[slot]
 
+    def export_snapshot(self):
+        """Consistent snapshot of all entries, optimized for a caller that
+        holds the ENGINE lock (compaction): on the native backend this is
+        one memcpy-speed FFI crossing (the per-item `entries()` cursor cost
+        ~40 s of under-lock serving stall per 1M keys); on the python
+        backend a list of the live DocEntry refs. Decode with
+        snapshot_columns() with the lock RELEASED."""
+        with self._lock:
+            if self._native is not None:
+                packed = self._native.export_packed()
+                if packed is not None:
+                    return ("packed", packed)
+            return ("entries", list(self._map_iter()))
+
+    @staticmethod
+    def snapshot_columns(snap):
+        """(keys list, shards i32, slots i64, tss i64, metadatas list) from
+        an export_snapshot() — run OUTSIDE the engine lock (msgpack decode
+        of non-empty metadata blobs happens here)."""
+        import numpy as np
+
+        kind, data = snap
+        if kind == "packed":
+            val_lens = data["val_lens"]
+            n = len(data["keys"])
+            mds: List[Dict[str, str]] = [{}] * 0
+            if int(val_lens.sum()) == 0:
+                mds = [{} for _ in range(n)]
+            else:
+                blob = data["vals_blob"]
+                offs = np.zeros(n + 1, np.int64)
+                np.cumsum(val_lens, out=offs[1:])
+                mds = [
+                    (msgpack.unpackb(blob[offs[i]:offs[i + 1]], raw=False)
+                     if val_lens[i] else {})
+                    for i in range(n)
+                ]
+            return (data["keys"], data["shards"], data["slots"],
+                    data["tss"], mds)
+        entries = data
+        n = len(entries)
+        shards = np.fromiter((e.shard for e in entries), np.int32, n)
+        slots = np.fromiter((e.slot for e in entries), np.int64, n)
+        tss = np.fromiter((e.timestamp for e in entries), np.int64, n)
+        return ([e.key for e in entries], shards, slots, tss,
+                [e.metadata for e in entries])
+
     def keys_rows(self, rows, phys_cap: int, row: int = 0):
         """Fused liveness + key resolution over FLAT global row ids
         (shard = row // phys_cap, slot = row % phys_cap; negative = pad).
