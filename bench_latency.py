@@ -65,17 +65,22 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    triv = jax.jit(lambda x: x + 1.0)
-    x = jnp.float32(1.0)
-    triv(x).block_until_ready()
+    # a realistic micro-cycle: upload a small fresh array, run a tiny
+    # kernel, MATERIALIZE the fresh result (np.asarray). Through the relay
+    # materializing a fresh result is what costs a sync tick (~30-60 ms);
+    # a scalar x+1 round trip measures ~0.03 ms and would understate the
+    # floor by three orders of magnitude.
+    triv = jax.jit(lambda x: x @ x)
+    x_np = np.ones((8, 8), np.float32)
+    np.asarray(triv(jnp.asarray(x_np)))
     floor = []
-    for _ in range(50):
+    for _ in range(30):
         t0 = time.perf_counter()
-        triv(x).block_until_ready()
+        np.asarray(triv(jnp.asarray(x_np)))
         floor.append(time.perf_counter() - t0)
     dispatch_ms = round(float(np.percentile(np.asarray(floor) * 1e3, 50)), 3)
-    print(f"dispatch floor (trivial op round trip): p50 {dispatch_ms} ms",
-          flush=True)
+    print(f"dispatch floor (micro execute+materialize cycle): "
+          f"p50 {dispatch_ms} ms", flush=True)
 
     print(f"ingest {args.rows} x {args.dim} ...", flush=True)
     bs = 65536

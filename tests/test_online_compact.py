@@ -169,3 +169,42 @@ def test_compact_under_concurrent_load(rng):
     assert not errors
     # every written key is still present post-compactions
     assert eng.get("w0").success
+
+
+def test_compact_copies_int8_rows_bit_exactly(rng):
+    """Columnar compaction (round 3) copies stored int8 codes/scales
+    between mirror generations via rows_raw + write_raw_batch — the old
+    per-row path dequantized to f32 and re-quantized, which was both the
+    500k-row python crawl and a needless round trip through the codec."""
+    cfg = DBConfig(vector_dim=32, shard_count=4, shard_capacity=4096,
+                   storage_dtype="int8", mirror_dtype="int8",
+                   wal_enabled=False,
+                   checkpoint_every_puts=10**9, compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg)
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    eng.put_rows([f"k{i}" for i in range(300)], vecs)
+    eng.flush()
+    for i in range(0, 300, 11):
+        eng.delete(f"k{i}")
+    before = {}
+    with eng._lock:
+        for i in range(300):
+            if i % 11 == 0:
+                continue
+            e = eng.docstore.get(f"k{i}")
+            m = eng.mirrors[e.shard]
+            before[f"k{i}"] = (m._vec[e.slot].copy(),
+                               float(m._scale[e.slot]),
+                               float(m._sq[e.slot]))
+    eng.compact()
+    with eng._lock:
+        assert len(eng.docstore) == 300 - len(range(0, 300, 11))
+        for key, (codes, scale, sq) in before.items():
+            e = eng.docstore.get(key)
+            m = eng.mirrors[e.shard]
+            np.testing.assert_array_equal(m._vec[e.slot], codes)
+            assert float(m._scale[e.slot]) == scale
+            assert float(m._sq[e.slot]) == sq
+    # and the engine still serves correctly post-compaction
+    r = eng.search(SearchRequest(query_vector=vecs[5], top_k=1))
+    assert r.search_result.keys == ["k5"]
