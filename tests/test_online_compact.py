@@ -208,3 +208,33 @@ def test_compact_copies_int8_rows_bit_exactly(rng):
     # and the engine still serves correctly post-compaction
     r = eng.search(SearchRequest(query_vector=vecs[5], top_k=1))
     assert r.search_result.keys == ["k5"]
+
+
+def test_metadata_filters_survive_packed_compaction(rng):
+    """load_packed_remapped reinserts the packed snapshot without decoding
+    metadata for index-free entries — but entries WITH metadata must still
+    land in the inverted filter index with their REMAPPED slots."""
+    cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=4096,
+                   wal_enabled=False, checkpoint_every_puts=10**9,
+                   compact_every_puts=10**9)
+    eng = VectorDBEngine(cfg)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    eng.put_batch([
+        VectorData(key=f"k{i}", vector=vecs[i],
+                   metadata={"color": "red" if i % 3 == 0 else "blue"})
+        for i in range(120)
+    ])
+    eng.flush()
+    for i in range(0, 120, 10):
+        eng.delete(f"k{i}")  # force slot remapping
+    eng.compact()
+    r = eng.search(SearchRequest(query_vector=vecs[4], top_k=3,
+                                 filter_metadata={"color": "blue"}))
+    assert r.success and r.search_result.keys[0] == "k4"
+    # deleted keys must not resurface through the filter index
+    r = eng.search(SearchRequest(query_vector=vecs[30], top_k=3,
+                                 filter_metadata={"color": "red"}))
+    assert "k30" not in r.search_result.keys
+    # and the entry fetched post-compaction carries its metadata
+    g = eng.get("k4")
+    assert g.vector_data.metadata == {"color": "blue"}

@@ -1368,11 +1368,11 @@ class VectorDBEngine:
         compaction (every 200k puts) dominate ingest. Rows copy in the
         STORED dtype (bit-exact for int8), one gather + one write per
         shard; the docstore rebuilds through chunked put_many."""
-        keys, shards, slots, tss, mds = DocStore.snapshot_columns(snap)
+        shards, slots = DocStore.snapshot_shard_slots(snap)
         new_mirrors = [self._new_mirror(i)
                        for i in range(self.config.shard_count)]
         new_docstore = DocStore(backend=self.config.docstore_backend)
-        n = len(keys)
+        n = len(shards)
         new_slots = np.empty(n, np.int64)
         for s in range(self.config.shard_count):
             idx = np.flatnonzero(shards == s)
@@ -1382,7 +1382,13 @@ class VectorDBEngine:
             first = new_mirrors[s].alloc(idx.size)
             new_mirrors[s].write_raw_batch(first, vec, scale, sq)
             new_slots[idx] = first + np.arange(idx.size, dtype=np.int64)
-        shards_l = shards.tolist()
+        # docstore rebuild: packed blobs pass straight back through
+        # kv_put_many with the remapped slots (no python strings at all);
+        # the DocEntry path covers the python backend / stale .so
+        if new_docstore.load_packed_remapped(snap, new_slots):
+            return new_mirrors, new_docstore
+        keys, shards_c, _, tss, mds = DocStore.snapshot_columns(snap)
+        shards_l = shards_c.tolist()
         nslots_l = new_slots.tolist()
         tss_l = tss.tolist()
         B = 65536

@@ -434,8 +434,10 @@ class NativeKv:
         """Columnar snapshot of every live entry in ONE FFI crossing
         (memcpy speed — taken under the engine lock by compaction, where
         the per-item `items()` cursor cost ~40 s/M keys of serving stall).
-        Returns {keys: list[str], shards/slots/tss: np arrays,
-        vals_blob: bytes, val_lens: np.uint32} or None on a stale .so."""
+        Returns raw packed buffers {keys_blob, key_lens, shards, slots,
+        tss, vals_blob, val_lens} (keys decode lazily OFF-lock via
+        DocStore.snapshot_columns, or never — put_packed reinserts the
+        blobs verbatim) or None on a stale .so."""
         if not hasattr(self._lib, "kv_export_entries"):
             return None
         import numpy as np
@@ -471,19 +473,10 @@ class NativeKv:
             self._lib.kv_export_sizes(self._h, c.byref(n), c.byref(kb),
                                       c.byref(vb))
         m = int(n_out.value)
-        fl = _load_fastlist()
-        if fl is not None:
-            keys = fl.keys_from_buffer(ctypes.addressof(keys_buf),
-                                       key_lens.ctypes.data, m)
-        else:
-            keys = []
-            off = 0
-            blob = ctypes.string_at(keys_buf, int(key_lens[:m].sum()))
-            for ln in key_lens[:m].tolist():
-                keys.append(blob[off:off + ln].decode())
-                off += ln
         return {
-            "keys": keys,
+            "keys_blob": ctypes.string_at(keys_buf,
+                                          int(key_lens[:m].sum())),
+            "key_lens": key_lens[:m],
             "shards": shards[:m],
             "slots": slots[:m],
             "tss": tss[:m],
@@ -491,6 +484,52 @@ class NativeKv:
                                           int(val_lens[:m].sum())),
             "val_lens": val_lens[:m],
         }
+
+    @staticmethod
+    def decode_keys(keys_blob: bytes, key_lens) -> list:
+        """list[str] from a packed key blob (C-speed via fastlist)."""
+        n = len(key_lens)
+        fl = _load_fastlist()
+        if fl is not None:
+            buf = ctypes.create_string_buffer(keys_blob, len(keys_blob))
+            import numpy as np
+
+            lens = np.ascontiguousarray(key_lens, np.uint32)
+            return fl.keys_from_buffer(ctypes.addressof(buf),
+                                       lens.ctypes.data, n)
+        keys = []
+        off = 0
+        for ln in list(key_lens):
+            keys.append(keys_blob[off:off + int(ln)].decode())
+            off += int(ln)
+        return keys
+
+    def put_packed(self, keys_blob: bytes, key_lens, shards, slots, tss,
+                   vals_blob: bytes, val_lens):
+        """Bulk insert of ALREADY-PACKED buffers (the export_packed
+        format) in one FFI crossing — compaction reinserts its snapshot
+        with remapped slots without materializing a single python string
+        or msgpack blob."""
+        import numpy as np
+
+        c = ctypes
+        n = len(key_lens)
+        u32p = c.POINTER(c.c_uint32)
+        kl = np.ascontiguousarray(key_lens, np.uint32)
+        vl = np.ascontiguousarray(val_lens, np.uint32)
+        sh = np.ascontiguousarray(shards, np.int32)
+        sl = np.ascontiguousarray(slots, np.int64)
+        ts = np.ascontiguousarray(tss, np.int64)
+        prev_sh = np.empty(n, np.int32)
+        prev_sl = np.empty(n, np.int64)
+        self._lib.kv_put_many(
+            self._h, keys_blob, kl.ctypes.data_as(u32p),
+            sh.ctypes.data_as(c.POINTER(c.c_int32)),
+            sl.ctypes.data_as(c.POINTER(c.c_int64)),
+            ts.ctypes.data_as(c.POINTER(c.c_int64)),
+            vals_blob, vl.ctypes.data_as(u32p), n,
+            prev_sh.ctypes.data_as(c.POINTER(c.c_int32)),
+            prev_sl.ctypes.data_as(c.POINTER(c.c_int64)))
 
     def delete(self, key: str) -> bool:
         k = key.encode()

@@ -245,17 +245,19 @@ class DocStore:
     @staticmethod
     def snapshot_columns(snap):
         """(keys list, shards i32, slots i64, tss i64, metadatas list) from
-        an export_snapshot() — run OUTSIDE the engine lock (msgpack decode
-        of non-empty metadata blobs happens here)."""
+        an export_snapshot() — run OUTSIDE the engine lock (key decode and
+        msgpack decode of non-empty metadata blobs happen here)."""
         import numpy as np
 
         kind, data = snap
         if kind == "packed":
+            from tpuvdb.native import NativeKv
+
+            keys = NativeKv.decode_keys(data["keys_blob"], data["key_lens"])
             val_lens = data["val_lens"]
-            n = len(data["keys"])
-            mds: List[Dict[str, str]] = [{}] * 0
+            n = len(keys)
             if int(val_lens.sum()) == 0:
-                mds = [{} for _ in range(n)]
+                mds: List[Dict[str, str]] = [{} for _ in range(n)]
             else:
                 blob = data["vals_blob"]
                 offs = np.zeros(n + 1, np.int64)
@@ -265,8 +267,7 @@ class DocStore:
                      if val_lens[i] else {})
                     for i in range(n)
                 ]
-            return (data["keys"], data["shards"], data["slots"],
-                    data["tss"], mds)
+            return (keys, data["shards"], data["slots"], data["tss"], mds)
         entries = data
         n = len(entries)
         shards = np.fromiter((e.shard for e in entries), np.int32, n)
@@ -274,6 +275,56 @@ class DocStore:
         tss = np.fromiter((e.timestamp for e in entries), np.int64, n)
         return ([e.key for e in entries], shards, slots, tss,
                 [e.metadata for e in entries])
+
+    @staticmethod
+    def snapshot_shard_slots(snap):
+        """(shards i32, slots i64) only — lets compaction plan the mirror
+        copy without decoding a single key."""
+        import numpy as np
+
+        kind, data = snap
+        if kind == "packed":
+            return data["shards"], data["slots"]
+        entries = data
+        n = len(entries)
+        return (np.fromiter((e.shard for e in entries), np.int32, n),
+                np.fromiter((e.slot for e in entries), np.int64, n))
+
+    def load_packed_remapped(self, snap, new_slots) -> bool:
+        """Compaction fast path: reinsert a packed snapshot with remapped
+        slots in ONE FFI crossing — zero python strings, zero msgpack
+        round trips (the blobs pass through verbatim). Rebuilds the
+        inverted metadata index from the (usually few) entries that carry
+        metadata. Returns False when the fast path doesn't apply (python
+        backend, entry-list snapshot, or stale .so)."""
+        import numpy as np
+
+        kind, data = snap
+        if kind != "packed" or self._native is None:
+            return False
+        with self._lock:
+            self._native.put_packed(
+                data["keys_blob"], data["key_lens"], data["shards"],
+                new_slots, data["tss"], data["vals_blob"], data["val_lens"])
+            val_lens = data["val_lens"]
+            if int(val_lens.sum()):
+                from tpuvdb.native import NativeKv
+
+                keys = NativeKv.decode_keys(data["keys_blob"],
+                                            data["key_lens"])
+                blob = data["vals_blob"]
+                n = len(keys)
+                offs = np.zeros(n + 1, np.int64)
+                np.cumsum(val_lens, out=offs[1:])
+                shards = data["shards"]
+                for i in np.flatnonzero(val_lens).tolist():
+                    md = msgpack.unpackb(blob[offs[i]:offs[i + 1]],
+                                         raw=False)
+                    self._meta_add(DocEntry(
+                        key=keys[i], shard=int(shards[i]),
+                        slot=int(new_slots[i]), metadata=md,
+                        timestamp=int(data["tss"][i])))
+        return True
 
     def keys_rows(self, rows, phys_cap: int, row: int = 0):
         """Fused liveness + key resolution over FLAT global row ids
