@@ -8,6 +8,9 @@ where sub-ms single-query latency and beyond-flat-QPS at small batch
 must come from. Methodology matches bench_capacity.py: device-chained
 fori_loop timing (relay dispatch excluded), recall vs a streamed exact
 f32 oracle over the same clustered corpus.
+
+Set TPUVDB_BENCH_CACHE=<dir> to cache the generated corpus + oracle
+(~12 min of host time at 10M x 96) between runs.
 """
 import functools
 import json
@@ -21,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+N_CHECK = 64
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -28,9 +33,6 @@ def log(*a):
 
 def main():
     import argparse
-
-    from tpuvdb.index.ivf import IVFIndex
-    from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=8_000_000)
@@ -49,20 +51,28 @@ def main():
     std = args.cluster_std
     chunk = 500_000
     n_gen_clusters = 512
-    n_check = 64
     rng = np.random.default_rng(0)
     centers = rng.standard_normal((n_gen_clusters, dim)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
 
-    qc = rng.integers(0, n_gen_clusters, n_check)
+    qc = rng.integers(0, n_gen_clusters, N_CHECK)
     queries = centers[qc] + std * rng.standard_normal(
-        (n_check, dim)).astype(np.float32)
+        (N_CHECK, dim)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     q128 = np.concatenate([queries] * 2)[:128].astype(np.float32)
 
+    cache = os.environ.get("TPUVDB_BENCH_CACHE")
+    cache_file = (os.path.join(cache, f"capivf_{n}_{dim}_{std}_{k}.npz")
+                  if cache else None)
+    if cache_file and os.path.exists(cache_file):
+        z = np.load(cache_file)
+        vectors, best_i = z["vectors"], z["best_i"]
+        log(f"corpus + oracle loaded from {cache_file}")
+        return run(args, vectors, best_i, queries, q128)
+
     vectors = np.empty((n, dim), np.float32)
-    best_d = np.full((n_check, k), np.inf, np.float64)
-    best_i = np.full((n_check, k), -1, np.int64)
+    best_d = np.full((N_CHECK, k), np.inf, np.float64)
+    best_i = np.full((N_CHECK, k), -1, np.int64)
     t0 = time.time()
     for lo in range(0, n, chunk):
         m = min(chunk, n - lo)
@@ -86,30 +96,51 @@ def main():
                 f"({time.time()-t0:.0f}s)")
     log(f"corpus built in {time.time()-t0:.0f}s "
         f"({vectors.nbytes/2**30:.1f} GiB f32 host)")
+    if cache_file:
+        os.makedirs(cache, exist_ok=True)
+        np.savez(cache_file, vectors=vectors, best_i=best_i)
+        log(f"cached corpus + oracle to {cache_file}")
+    run(args, vectors, best_i, queries, q128)
 
+
+def run(args, vectors, best_i, queries, q128):
+    from tpuvdb.index.ivf import IVFIndex
+    from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
+
+    n, dim, k = vectors.shape[0], vectors.shape[1], args.k
     t0 = time.time()
     index = IVFIndex.build(vectors, np.ones(n, bool), nlist=args.nlist,
                            nprobe=32, dtype=jnp.int8, seed=0)
-    del vectors  # free the 25 GiB f32 corpus: the index owns int8 cells
+    del vectors  # free the f32 corpus: the index owns int8 cells
     log(f"IVF build {time.time()-t0:.0f}s: nlist={index.nlist}, "
         f"cell_pad={index.cell_pad}, grouped={index.grouped.shape}, "
         f"spill={index.spill.shape[0]}, "
         f"HBM ~{(index.grouped.nbytes + index.spill.nbytes)/2**30:.2f} GiB")
 
-    oracle = [set(best_i[i]) for i in range(n_check)]
+    oracle = [set(best_i[i]) for i in range(N_CHECK)]
 
     # recall sweep via the host wrapper (maps grouped ids -> physical rows)
     chosen = None
+    rec = 0.0
+    nprobe = 8
     for nprobe in (8, 16, 32, 64, 128, 256):
-        _, rows = index.search(queries, k, nprobe=nprobe, max_batch=64)
+        try:
+            _, rows = index.search(queries, k, nprobe=nprobe, max_batch=64)
+        except Exception as e:
+            # wide nprobe can exceed the kernel's SMEM scalar-prefetch
+            # budget (measured: nprobe 128 at nlist 8192 / query_tile 8);
+            # the curve below the ceiling is still the answer
+            log(f"nprobe {nprobe}: kernel limit ({type(e).__name__}); "
+                f"stopping sweep")
+            break
         rec = float(np.mean([
             len(set(rows[i][rows[i] >= 0]) & oracle[i]) / k
-            for i in range(n_check)]))
+            for i in range(N_CHECK)]))
         log(f"nprobe {nprobe}: recall@{k} {rec:.4f}")
         if chosen is None and rec >= 0.95:
             chosen = (nprobe, rec)
     if chosen is None:
-        chosen = (64, rec)
+        chosen = (nprobe, rec)
     nprobe, recall = chosen
     log(f"measuring at nprobe={nprobe} (recall {recall:.4f})")
 
@@ -179,8 +210,6 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/tpuvdb_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
