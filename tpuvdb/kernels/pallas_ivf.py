@@ -257,6 +257,11 @@ def pallas_ivf_candidates(
       neg_mask)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_pad", "k", "nprobe", "query_tile", "n_buckets",
+                     "interpret"),
+)
 def pallas_ivf_search(
     queries: jax.Array,       # (Q, d) f32
     centroids: jax.Array,     # (nlist, d) f32
