@@ -5,7 +5,14 @@ BASELINE config 5 (LAION-100M class) math: 100M rows over 8+ chips needs
 of the 16 GB HBM. Measures the XLA int8 scan (+ exact dequant re-rank)
 QPS and recall@10 against a streamed exact-f32 oracle.
 """
-import json, sys, time, functools
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
