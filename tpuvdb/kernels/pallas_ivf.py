@@ -34,9 +34,28 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _probe_kernel(cells_ref, segs_ref, q_ref, cell_ref, sq_ref, mask_ref,
-                  val_out, idx_out, run_val, run_idx,
-                  *, cell_pad: int, n_buckets: int, n_segments: int):
+def _fold_chunk(scores, cell_id, seg, run_val, run_idx,
+                cell_pad: int, n_buckets: int):
+    """Fold one chunk's (QT, cell_pad) scores into the running candidate
+    buffer at the chunk's segment offset."""
+    base = cell_id * cell_pad
+    off = seg * n_buckets
+    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
+    rv = run_val[:, pl.ds(off, n_buckets)]
+    ri = run_idx[:, pl.ds(off, n_buckets)]
+    for j in range(cell_pad // n_buckets):
+        cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
+        cidx = base + j * n_buckets + col
+        better = cand > rv
+        rv = jnp.where(better, cand, rv)
+        ri = jnp.where(better, cidx, ri)
+    run_val[:, pl.ds(off, n_buckets)] = rv
+    run_idx[:, pl.ds(off, n_buckets)] = ri
+
+
+def _probe_kernel(cells_ref, segs_ref, q_ref, *rest,
+                  cell_pad: int, n_buckets: int, n_segments: int,
+                  cps: int = 1):
     """n_segments > 1 rotates chunks across SEGMENTS of the candidate
     buffer, multiplying per-query candidate capacity to
     n_buckets*n_segments without changing the DMA. The segment id comes
@@ -45,7 +64,18 @@ def _probe_kernel(cells_ref, segs_ref, q_ref, cell_ref, sq_ref, mask_ref,
     (so the running max still self-dedupes) while ADJACENT distinct
     chunks land in different segments (a plain cell_id %% n_segments let
     the two hottest neighboring cells collide in one segment and lose
-    half their rows)."""
+    half their rows).
+
+    cps > 1 processes several chunks per GRID STEP (the packed layout's
+    128-row chunks made each step ~3.7 us of fixed overhead for 12 KB of
+    DMA — ~3000 steps per tile at Deep10M shapes): the cps blocks arrive
+    as separate pipelined operands, concatenate in VMEM, and feed ONE
+    wider MXU dot; the bucket folds stay per-chunk, so ids/segments are
+    exactly the cps=1 result."""
+    cell_refs = rest[:cps]
+    sq_refs = rest[cps:2 * cps]
+    mask_refs = rest[2 * cps:3 * cps]
+    val_out, idx_out, run_val, run_idx = rest[3 * cps:]
     np_probe = pl.num_programs(1)
     p = pl.program_id(1)
 
@@ -55,33 +85,25 @@ def _probe_kernel(cells_ref, segs_ref, q_ref, cell_ref, sq_ref, mask_ref,
         run_idx[:] = jnp.full_like(run_idx, -1)
 
     qt = pl.program_id(0)
-    cell_id = cells_ref[qt, p]
 
     # HIGHEST matters for f32 cells: default MXU bf16 passes add ~0.4%
     # score noise, enough to shuffle tightly-packed neighbor shells
     prec = (jax.lax.Precision.HIGHEST
-            if cell_ref.dtype == jnp.float32 else None)
+            if cell_refs[0].dtype == jnp.float32 else None)
+    blocks = (cell_refs[0][:] if cps == 1
+              else jnp.concatenate([r[:] for r in cell_refs], axis=0))
     dots = jax.lax.dot_general(
-        q_ref[:], cell_ref[:],
+        q_ref[:], blocks,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
-    )                                   # (QT, cell_pad)
-    scores = 2.0 * dots - sq_ref[:] + mask_ref[:]
-
-    base = cell_id * cell_pad
-    off = segs_ref[qt, p] * n_buckets
-    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
-    rv = run_val[:, pl.ds(off, n_buckets)]
-    ri = run_idx[:, pl.ds(off, n_buckets)]
-    for j in range(cell_pad // n_buckets):
-        cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
-        cidx = base + j * n_buckets + col
-        better = cand > rv
-        rv = jnp.where(better, cand, rv)
-        ri = jnp.where(better, cidx, ri)
-    run_val[:, pl.ds(off, n_buckets)] = rv
-    run_idx[:, pl.ds(off, n_buckets)] = ri
+    )                                   # (QT, cps * cell_pad)
+    for c in range(cps):
+        scores = (2.0 * dots[:, c * cell_pad:(c + 1) * cell_pad]
+                  - sq_refs[c][:] + mask_refs[c][:])
+        _fold_chunk(scores, cells_ref[qt, cps * p + c],
+                    segs_ref[qt, cps * p + c], run_val, run_idx,
+                    cell_pad, n_buckets)
 
     @pl.when(p == np_probe - 1)
     def _():
@@ -89,13 +111,17 @@ def _probe_kernel(cells_ref, segs_ref, q_ref, cell_ref, sq_ref, mask_ref,
         idx_out[:] = run_idx[:]
 
 
-def _probe_kernel_int8(cells_ref, segs_ref, qscale_ref, q_ref, cell_ref,
-                       rowscale_ref, sq_ref, mask_ref, val_out, idx_out,
-                       run_val, run_idx,
-                       *, cell_pad: int, n_buckets: int, n_segments: int):
+def _probe_kernel_int8(cells_ref, segs_ref, qscale_ref, q_ref, *rest,
+                       cell_pad: int, n_buckets: int, n_segments: int,
+                       cps: int = 1):
     """Int8-cell probe: int8 x int8 MXU dots, per-row dequant scales from
     VMEM, batch-global query scale from SMEM (see kernels.quant).
-    Segment rotation as in _probe_kernel."""
+    Segment rotation and cps chunks-per-step as in _probe_kernel."""
+    cell_refs = rest[:cps]
+    rowscale_refs = rest[cps:2 * cps]
+    sq_refs = rest[2 * cps:3 * cps]
+    mask_refs = rest[3 * cps:4 * cps]
+    val_out, idx_out, run_val, run_idx = rest[4 * cps:]
     np_probe = pl.num_programs(1)
     p = pl.program_id(1)
 
@@ -105,28 +131,21 @@ def _probe_kernel_int8(cells_ref, segs_ref, qscale_ref, q_ref, cell_ref,
         run_idx[:] = jnp.full_like(run_idx, -1)
 
     qt = pl.program_id(0)
-    cell_id = cells_ref[qt, p]
+    blocks = (cell_refs[0][:] if cps == 1
+              else jnp.concatenate([r[:] for r in cell_refs], axis=0))
     dots = jax.lax.dot_general(
-        q_ref[:], cell_ref[:],
+        q_ref[:], blocks,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
     qs = qscale_ref[0, 0]
-    scores = 2.0 * qs * rowscale_ref[:] * dots - sq_ref[:] + mask_ref[:]
-
-    base = cell_id * cell_pad
-    off = segs_ref[qt, p] * n_buckets
-    col = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], n_buckets), 1)
-    rv = run_val[:, pl.ds(off, n_buckets)]
-    ri = run_idx[:, pl.ds(off, n_buckets)]
-    for j in range(cell_pad // n_buckets):
-        cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
-        cidx = base + j * n_buckets + col
-        better = cand > rv
-        rv = jnp.where(better, cand, rv)
-        ri = jnp.where(better, cidx, ri)
-    run_val[:, pl.ds(off, n_buckets)] = rv
-    run_idx[:, pl.ds(off, n_buckets)] = ri
+    for c in range(cps):
+        scores = (2.0 * qs * rowscale_refs[c][:]
+                  * dots[:, c * cell_pad:(c + 1) * cell_pad]
+                  - sq_refs[c][:] + mask_refs[c][:])
+        _fold_chunk(scores, cells_ref[qt, cps * p + c],
+                    segs_ref[qt, cps * p + c], run_val, run_idx,
+                    cell_pad, n_buckets)
 
     @pl.when(p == np_probe - 1)
     def _():
@@ -137,12 +156,12 @@ def _probe_kernel_int8(cells_ref, segs_ref, qscale_ref, q_ref, cell_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("cell_pad", "n_buckets", "query_tile", "n_segments",
-                     "interpret"),
+                     "cps", "interpret"),
 )
 def pallas_ivf_candidates_int8(
     queries: jax.Array,       # (Q, d) f32
-    cells: jax.Array,         # (Q // query_tile, nprobe) int32
-    segs: jax.Array,          # (Q // query_tile, nprobe) int32 segment ids
+    cells: jax.Array,         # (Q // query_tile, W) int32; W % cps == 0
+    segs: jax.Array,          # (Q // query_tile, W) int32 segment ids
     grouped_i8: jax.Array,    # (nlist * cell_pad, d) int8
     cell_scales: jax.Array,   # (1, nlist * cell_pad) f32
     grouped_sq: jax.Array,    # (1, nlist * cell_pad) f32
@@ -151,29 +170,38 @@ def pallas_ivf_candidates_int8(
     n_buckets: int = 128,
     query_tile: int = 8,
     n_segments: int = 1,
+    cps: int = 1,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     from tpuvdb.kernels.quant import quantize_batch
 
     qn, d = queries.shape
     nprobe = cells.shape[1]
+    if nprobe % cps:
+        raise ValueError(f"cells width {nprobe} %% cps {cps} != 0")
     cand_w = n_buckets * n_segments
     qi, qscale = quantize_batch(queries)
-    grid = (qn // query_tile, nprobe)
+    grid = (qn // query_tile, nprobe // cps)
     kernel = functools.partial(_probe_kernel_int8, cell_pad=cell_pad,
-                               n_buckets=n_buckets, n_segments=n_segments)
+                               n_buckets=n_buckets, n_segments=n_segments,
+                               cps=cps)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda qt, p, c, s: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((query_tile, d), lambda qt, p, c, s: (qt, 0)),
+    ]
+    for j in range(cps):
+        in_specs.append(pl.BlockSpec(
+            (cell_pad, d), lambda qt, p, c, s, j=j: (c[qt, cps * p + j], 0)))
+    for _ in range(3):  # rowscale, sq, mask — one (1, cell_pad) slab each
+        for j in range(cps):
+            in_specs.append(pl.BlockSpec(
+                (1, cell_pad),
+                lambda qt, p, c, s, j=j: (0, c[qt, cps * p + j])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda qt, p, c, s: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((query_tile, d), lambda qt, p, c, s: (qt, 0)),
-            pl.BlockSpec((cell_pad, d), lambda qt, p, c, s: (c[qt, p], 0)),
-            pl.BlockSpec((1, cell_pad), lambda qt, p, c, s: (0, c[qt, p])),
-            pl.BlockSpec((1, cell_pad), lambda qt, p, c, s: (0, c[qt, p])),
-            pl.BlockSpec((1, cell_pad), lambda qt, p, c, s: (0, c[qt, p])),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
             pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
@@ -191,18 +219,19 @@ def pallas_ivf_candidates_int8(
             jax.ShapeDtypeStruct((qn, cand_w), jnp.int32),
         ],
         interpret=interpret,
-    )(cells, segs, qscale, qi, grouped_i8, cell_scales, grouped_sq, neg_mask)
+    )(cells, segs, qscale, qi, *([grouped_i8] * cps),
+      *([cell_scales] * cps), *([grouped_sq] * cps), *([neg_mask] * cps))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cell_pad", "n_buckets", "query_tile", "n_segments",
-                     "interpret"),
+                     "cps", "interpret"),
 )
 def pallas_ivf_candidates(
     queries: jax.Array,     # (Q, d); Q % query_tile == 0
-    cells: jax.Array,       # (Q // query_tile, nprobe) int32 cell ids
-    segs: jax.Array,        # (Q // query_tile, nprobe) int32 segment ids
+    cells: jax.Array,       # (Q // query_tile, W) int32; W % cps == 0
+    segs: jax.Array,        # (Q // query_tile, W) int32 segment ids
     grouped: jax.Array,     # (nlist * cell_pad, d)
     grouped_sq: jax.Array,  # (1, nlist * cell_pad) f32
     neg_mask: jax.Array,    # (1, nlist * cell_pad) f32 additive mask
@@ -210,6 +239,7 @@ def pallas_ivf_candidates(
     n_buckets: int = 128,
     query_tile: int = 8,
     n_segments: int = 1,
+    cps: int = 1,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     qn, d = queries.shape
@@ -218,24 +248,31 @@ def pallas_ivf_candidates(
         raise ValueError(f"queries {qn} %% query_tile {query_tile} != 0")
     if cell_pad % n_buckets != 0:
         raise ValueError("cell_pad must be a multiple of n_buckets")
+    if nprobe % cps:
+        raise ValueError(f"cells width {nprobe} %% cps {cps} != 0")
     cand_w = n_buckets * n_segments
-    grid = (qn // query_tile, nprobe)
+    grid = (qn // query_tile, nprobe // cps)
 
     kernel = functools.partial(_probe_kernel, cell_pad=cell_pad,
-                               n_buckets=n_buckets, n_segments=n_segments)
+                               n_buckets=n_buckets, n_segments=n_segments,
+                               cps=cps)
+    in_specs = [
+        pl.BlockSpec((query_tile, d), lambda qt, p, c, s: (qt, 0)),
+    ]
+    # the probed cells' contiguous blocks, chosen by the prefetched ids —
+    # cps blocks per grid step, each its own pipelined operand
+    for j in range(cps):
+        in_specs.append(pl.BlockSpec(
+            (cell_pad, d), lambda qt, p, c, s, j=j: (c[qt, cps * p + j], 0)))
+    for _ in range(2):  # sq, mask
+        for j in range(cps):
+            in_specs.append(pl.BlockSpec(
+                (1, cell_pad),
+                lambda qt, p, c, s, j=j: (0, c[qt, cps * p + j])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((query_tile, d), lambda qt, p, c, s: (qt, 0)),
-            # the probed cell's contiguous block, chosen by the prefetched id
-            pl.BlockSpec((cell_pad, d),
-                         lambda qt, p, c, s: (c[qt, p], 0)),
-            pl.BlockSpec((1, cell_pad),
-                         lambda qt, p, c, s: (0, c[qt, p])),
-            pl.BlockSpec((1, cell_pad),
-                         lambda qt, p, c, s: (0, c[qt, p])),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
             pl.BlockSpec((query_tile, cand_w), lambda qt, p, c, s: (qt, 0)),
@@ -253,8 +290,8 @@ def pallas_ivf_candidates(
             jax.ShapeDtypeStruct((qn, cand_w), jnp.int32),
         ],
         interpret=interpret,
-    )(cells, segs, queries.astype(grouped.dtype), grouped, grouped_sq,
-      neg_mask)
+    )(cells, segs, queries.astype(grouped.dtype), *([grouped] * cps),
+      *([grouped_sq] * cps), *([neg_mask] * cps))
 
 
 @functools.partial(
@@ -355,6 +392,21 @@ def pallas_ivf_search(
     else:
         segs = jnp.zeros(cells.shape, jnp.int32)
 
+    # chunks per grid step: the packed layout's 128-row chunks cost one
+    # grid step each (~a few us of fixed pipeline overhead for 12 KB of
+    # DMA — thousands of steps per tile at 10M-row shapes). Processing 8
+    # chunks per step concatenates their blocks into one wider MXU dot;
+    # grid steps (and SMEM prefetch rows consumed per step) shrink 8x.
+    # Width pads with duplicates of the LAST (chunk, seg) pair: dups fold
+    # into the same (chunk, bucket) slots, so the result is unchanged.
+    cps = 8 if cell_pad == 128 and cells.shape[1] >= 8 else 1
+    pad_w = (-cells.shape[1]) % cps
+    if pad_w:
+        cells = jnp.concatenate(
+            [cells, jnp.repeat(cells[:, -1:], pad_w, axis=1)], axis=1)
+        segs = jnp.concatenate(
+            [segs, jnp.repeat(segs[:, -1:], pad_w, axis=1)], axis=1)
+
     neg_mask = jnp.where(grouped_valid, 0.0, NEG_INF).astype(jnp.float32)
     if grouped.dtype == jnp.int8:
         if cell_scales is None:
@@ -365,7 +417,7 @@ def pallas_ivf_search(
             grouped_sq.reshape(1, -1).astype(jnp.float32),
             neg_mask.reshape(1, -1),
             cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
-            n_segments=n_segments, interpret=interpret,
+            n_segments=n_segments, cps=cps, interpret=interpret,
         )
     else:
         cand_val, cand_idx = pallas_ivf_candidates(
@@ -373,7 +425,7 @@ def pallas_ivf_search(
             grouped_sq.reshape(1, -1).astype(jnp.float32),
             neg_mask.reshape(1, -1),
             cell_pad=cell_pad, n_buckets=n_buckets, query_tile=qt,
-            n_segments=n_segments, interpret=interpret,
+            n_segments=n_segments, cps=cps, interpret=interpret,
         )
     cand_val = cand_val[:qn]
     cand_idx = cand_idx[:qn]
