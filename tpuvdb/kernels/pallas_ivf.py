@@ -372,7 +372,7 @@ def pallas_ivf_search(
         cells = (chunk0[:, :, None]
                  + jnp.arange(w128, dtype=jnp.int32)[None, None, :]
                  ).reshape(cells.shape[0], -1)            # (tiles, U*w128)
-        cells = jnp.sort(cells, axis=1)  # adjacent dups -> DMA skipped
+        cells = jnp.sort(cells, axis=1)  # adjacent dups -> one rank below
         cell_pad = 128
         n_buckets = 128
         # 128-slot chunks cap distinct candidates per query at 128 —
@@ -380,7 +380,11 @@ def pallas_ivf_search(
         # delete padding) and collision-prone for tight cells. Rotate
         # chunks over segments so capacity is >= 2k and at least the 512
         # the strided path gets. Segment id = rank among the tile's
-        # DISTINCT sorted chunks (see _probe_kernel for why not cell %% n).
+        # DISTINCT sorted chunks: duplicates of a chunk share a rank (the
+        # running max self-dedupes) AND every segment gets exactly 1/n of
+        # the distinct chunks. (`chunk %% n_segments` was tried to skip
+        # the sort — offset-alignment patterns overload segments and
+        # wide-fetch recall drops 0.95 -> 0.72.)
         n_segments = max(4, -(-2 * k // n_buckets))
 
     if n_segments > 1:
