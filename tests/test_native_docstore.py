@@ -121,3 +121,56 @@ def test_keys_rows_fused_resolution(backend):
     # k7's old slot is unmapped after the delete -> counted missing
     _, miss3 = store.keys_rows([(7 % 4) * phys_cap + 7 // 4], phys_cap)
     assert miss3 == 1
+
+
+def test_put_rows_bulk_fast_path_semantics(rng):
+    """Columnar ingest fast path (put_rows_bulk): entries land with empty
+    metadata, overwrites report previous placements for soft-deletes, and
+    the fast path refuses when the metadata index is non-empty (an
+    overwritten predecessor's metadata must leave the inverted index)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    store = DocStore(backend="native")
+    res = store.put_rows_bulk([f"k{i}" for i in range(10)], 2, 100)
+    assert res is not None
+    prev_sh, prev_sl = res
+    assert (prev_sh == -1).all()
+    e = store.get("k3")
+    assert (e.shard, e.slot, e.metadata) == (2, 103, {})
+    assert store.key_at(2, 103) == "k3"
+    # overwrite: prevs report the old placement
+    prev_sh, prev_sl = store.put_rows_bulk(["k3", "k99"], 1, 0)
+    assert prev_sh.tolist() == [2, -1] and prev_sl.tolist() == [103, -1]
+    assert store.get("k3").shard == 1
+    # a metadata-carrying entry disables the fast path
+    store.put(DocEntry("meta", 0, 7, {"a": "b"}, 0))
+    assert store.put_rows_bulk(["x"], 0, 8) is None
+
+
+def test_engine_fast_ingest_matches_generic(rng):
+    """put_rows fast path (no metadata/WAL/journal) must be observationally
+    identical to the generic loop: same docstore state, same staged sets,
+    same soft-deletes on overwrite."""
+    from tpuvdb.core.config import DBConfig
+    from tpuvdb.engine.engine import VectorDBEngine
+
+    vecs = rng.standard_normal((64, 16)).astype(np.float32)
+    keys = [f"k{i}" for i in range(64)]
+    engines = []
+    for backend in ("native", "python"):  # python backend = generic loop
+        cfg = DBConfig(vector_dim=16, shard_count=4, shard_capacity=4096,
+                       wal_enabled=False, docstore_backend=backend,
+                       checkpoint_every_puts=10**9,
+                       compact_every_puts=10**9)
+        eng = VectorDBEngine(cfg)
+        eng.put_rows(keys, vecs)
+        eng.put_rows(keys[:10], vecs[:10])  # overwrites
+        engines.append(eng)
+    a, b = engines
+    assert len(a.docstore) == len(b.docstore) == 64
+    assert sorted(a._staged_deletes) == sorted(b._staged_deletes)
+    assert a._staged_updates == b._staged_updates
+    for k in keys:
+        ea, eb = a.docstore.get(k), b.docstore.get(k)
+        assert (ea.shard, ea.slot, ea.metadata) == (eb.shard, eb.slot,
+                                                    eb.metadata)

@@ -331,6 +331,14 @@ class VectorDBEngine:
             applied = 0
             wal_records = []
             journal = self._compact_journal
+            # columnar fast path: metadata-free, timestamp-free, nothing
+            # to journal or WAL — the per-row DocEntry/dict/tuple loop
+            # below was ~13 us/row of pure interpreter work at capacity
+            # load sizes (8M rows). Durable (WAL-on) and metadata ingest
+            # keep the generic loop.
+            fast = (metadatas is None and timestamps is None
+                    and journal is None
+                    and (replay_mode or self.wal is None))
             for s in range(self.config.shard_count):
                 idx = np.flatnonzero(shard_ids == s)
                 if not len(idx):
@@ -339,6 +347,20 @@ class VectorDBEngine:
                 first = mirror.alloc(len(idx))
                 mirror.write_batch(first, vecs[idx])
                 idx_list = idx.tolist()
+                if fast:
+                    res = self.docstore.put_rows_bulk(
+                        [keys[i] for i in idx_list], s, first)
+                    if res is not None:
+                        prev_sh, prev_sl = res
+                        m = len(idx_list)
+                        self._staged_updates.extend(
+                            zip([s] * m, range(first, first + m)))
+                        for t in np.flatnonzero(prev_sh >= 0).tolist():
+                            p = (int(prev_sh[t]), int(prev_sl[t]))
+                            self.mirrors[p[0]].mark_deleted(p[1])
+                            self._staged_deletes.append(p)
+                        applied += m
+                        continue
                 entries = []
                 for j, i in enumerate(idx_list):
                     md = metadatas[i] if metadatas is not None else empty_md

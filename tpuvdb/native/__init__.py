@@ -262,18 +262,24 @@ class NativeKv:
         return (shard.value, slot.value, ts.value,
                 ctypes.string_at(self._buf, vlen.value))
 
-    def put_many(self, keys, shards, slots, tss, values) -> list:
+    def put_many(self, keys, shards, slots, tss, values=None, raw=False):
         """Bulk insert: ONE FFI crossing for the whole batch (the per-key
         ctypes round trip dominated bulk ingest). Returns a list of
-        (prev_shard, prev_slot) per key, (-1, -1) = new key."""
+        (prev_shard, prev_slot) per key, (-1, -1) = new key — or, with
+        raw=True, the two numpy arrays directly (the columnar ingest path
+        skips the n-tuple materialization). values=None = all-empty."""
         import numpy as np
 
         n = len(keys)
         kbs = [k.encode() for k in keys]
         keys_blob = b"".join(kbs)
         key_lens = np.fromiter((len(b) for b in kbs), np.uint32, n)
-        vals_blob = b"".join(values)
-        val_lens = np.fromiter((len(v) for v in values), np.uint32, n)
+        if values is None:
+            vals_blob = b""
+            val_lens = np.zeros(n, np.uint32)
+        else:
+            vals_blob = b"".join(values)
+            val_lens = np.fromiter((len(v) for v in values), np.uint32, n)
         shards_a = np.asarray(shards, np.int32)
         slots_a = np.asarray(slots, np.int64)
         tss_a = np.asarray(tss, np.int64)
@@ -289,6 +295,8 @@ class NativeKv:
             vals_blob, val_lens.ctypes.data_as(u32p), n,
             prev_sh.ctypes.data_as(c.POINTER(c.c_int32)),
             prev_sl.ctypes.data_as(c.POINTER(c.c_int64)))
+        if raw:
+            return prev_sh, prev_sl
         return list(zip(prev_sh.tolist(), prev_sl.tolist()))
 
     def key_at(self, shard: int, slot: int) -> Optional[str]:

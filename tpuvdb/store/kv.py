@@ -168,6 +168,24 @@ class DocStore:
                            else (prev.shard, prev.slot))
             return out
 
+    def put_rows_bulk(self, keys: List[str], shard: int, first_slot: int):
+        """Columnar ingest fast path: metadata-free entries at consecutive
+        slots, one FFI crossing, numpy prev arrays back (no DocEntry, no
+        per-row tuples). Returns (prev_shards, prev_slots) with -1 = new
+        key, or None when the fast path doesn't apply (python backend, or
+        a non-empty metadata index — an overwritten predecessor might
+        carry metadata that must leave the inverted index)."""
+        import numpy as np
+
+        with self._lock:
+            if self._native is None or self._meta:
+                return None
+            n = len(keys)
+            return self._native.put_many(
+                keys, np.full(n, shard, np.int32),
+                np.arange(first_slot, first_slot + n, dtype=np.int64),
+                np.zeros(n, np.int64), values=None, raw=True)
+
     def get(self, key: str) -> Optional[DocEntry]:
         with self._lock:
             return self._map_get(key)
