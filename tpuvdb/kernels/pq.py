@@ -1,0 +1,344 @@
+"""Product quantization (PQ) — capacity beyond int8.
+
+The int8 path (kernels/quant.py) stores 1 byte/dim: 8M x 768 rows fill
+5.7 GiB of v5e HBM. PQ compresses a d-dim row to M bytes (one uint8 code
+per d/M-dim subspace, 256-entry codebook each), i.e. d/M x smaller than
+int8 — 30M x 768 rows at M=96 are 2.9 GiB of codes, 100M fit a v5p chip.
+This is the capacity tier BASELINE config 5 (LAION-100M CLIP 768-d)
+points at, beyond the reference's single-node hnswlib ceiling of 1M rows
+(max_elements, /root/reference/src/datanode/handler.py:86).
+
+TPU-native design notes (why this is NOT the CPU ADC from FAISS):
+  * Codebook training is one batched-Lloyd program: all M subspaces train
+    simultaneously (assignment = one einsum on the MXU, update = one
+    segment-sum over combined (m, j) segment ids), streamed with lax.scan
+    so memory stays O(block).
+  * Encoding is the same assignment einsum, blockwise; reconstruction
+    norms come free as sums of per-subspace codeword norms (subspaces are
+    orthogonal coordinate blocks, so ||x_hat||^2 = sum_m ||c_m||^2).
+  * ADC scanning has no gather on the hot path: scores are computed as
+    one bf16 GEMM between the per-query LUT, flattened to (Q, M*256),
+    and a one-hot expansion of the code block, (B, M*256) — built by an
+    iota-compare on the VPU. The MXU contracts over M*256; accumulation
+    is f32. This trades d -> M*256 contraction FLOPs for the 256-entry
+    table gathers a TPU cannot do efficiently; at serving batch sizes the
+    scan stays HBM-bound on the 1-byte/subspace code stream.
+  * Exact distances to the RECONSTRUCTION: d(q, x_hat)^2 = ||q||^2
+    - 2 q.x_hat + ||x_hat||^2 where q.x_hat = sum_m LUT[m, code_m] is
+    exact (up to bf16 GEMM rounding); the only approximation is the
+    quantization x -> x_hat itself. Recall is recovered by overfetch +
+    exact re-rank from the host mirror (the engine's existing int8
+    rescore machinery).
+
+No reference analog: the reference has no quantization at all (f32
+hnswlib, src/datanode/handler.py:46); this is a beyond-parity capacity
+feature.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvdb.kernels import topk as tk
+
+
+def _check_dims(d: int, m_subq: int) -> int:
+    if m_subq <= 0 or d % m_subq != 0:
+        raise ValueError(f"m_subq={m_subq} must divide dim={d}")
+    return d // m_subq
+
+
+# --------------------------------------------------------------------------
+# training: batched Lloyd over all M subspaces in one program
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _pq_assign_block_scores(chunk_sub: jax.Array, codebooks: jax.Array,
+                            block: int) -> jax.Array:
+    """(B, M) nearest-codeword ids for chunk_sub (B, M, dsub)."""
+    c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, 256)
+    scores = (
+        2.0
+        * jnp.einsum("bms,mjs->bmj", chunk_sub, codebooks,
+                     preferred_element_type=jnp.float32)
+        - c_sq[None, :, :]
+    )
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _pq_lloyd_step(data_sub: jax.Array, valid: jax.Array,
+                   codebooks: jax.Array, block: int):
+    """One Lloyd iteration over all subspaces. data_sub: (n, M, dsub),
+    n % block == 0. Returns (new_codebooks, mean_shift)."""
+    n, m_subq, dsub = data_sub.shape
+    nseg = m_subq * 256
+    seg_base = jnp.arange(m_subq, dtype=jnp.int32) * 256  # (M,)
+
+    def body(carry, i):
+        sums, counts = carry
+        chunk = jax.lax.dynamic_slice_in_dim(data_sub, i * block, block)
+        v = jax.lax.dynamic_slice_in_dim(valid, i * block, block)
+        assign = _pq_assign_block_scores(chunk, codebooks, block)  # (B, M)
+        seg = (assign + seg_base[None, :]).reshape(-1)  # (B*M,)
+        w = v.astype(jnp.float32)
+        flat = (chunk * w[:, None, None]).reshape(-1, dsub)
+        sums = sums + jax.ops.segment_sum(flat, seg, num_segments=nseg)
+        counts = counts + jax.ops.segment_sum(
+            jnp.broadcast_to(w[:, None], (block, m_subq)).reshape(-1),
+            seg, num_segments=nseg)
+        return (sums, counts), None
+
+    init = (jnp.zeros((nseg, dsub), jnp.float32), jnp.zeros((nseg,), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(
+        body, init, jnp.arange(n // block, dtype=jnp.int32))
+    sums = sums.reshape(m_subq, 256, dsub)
+    counts = counts.reshape(m_subq, 256)
+    new = jnp.where(counts[:, :, None] > 0,
+                    sums / jnp.maximum(counts, 1.0)[:, :, None], codebooks)
+    shift = jnp.mean(jnp.linalg.norm(new - codebooks, axis=-1))
+    return new, shift
+
+
+def train_pq(
+    sample: np.ndarray,
+    m_subq: int,
+    iters: int = 15,
+    block: int = 4096,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a sample. Returns (M, 256, dsub) f32.
+
+    The sample should be a few hundred rows per codeword (e.g. 100-300k
+    rows); training streams in `block`-row chunks so device memory stays
+    O(block * M * 256)."""
+    sample = np.asarray(sample, np.float32)
+    n, d = sample.shape
+    dsub = _check_dims(d, m_subq)
+    if n == 0:
+        raise ValueError("train_pq on empty sample")
+
+    rng = np.random.default_rng(seed)
+    # init: random sample rows per subspace (independent draws decorrelate
+    # the subspace codebooks even when n < 256)
+    take = rng.integers(0, n, size=(m_subq, 256))
+    cents = sample.reshape(n, m_subq, dsub)[take, np.arange(m_subq)[:, None], :]
+    # jitter duplicates so Lloyd can separate them
+    cents = cents + rng.standard_normal(cents.shape).astype(np.float32) * 1e-5
+
+    pad = (-n) % block
+    if pad:
+        sample = np.concatenate([sample, np.zeros((pad, d), np.float32)])
+    valid = np.zeros(n + pad, bool)
+    valid[:n] = True
+
+    data_sub = jnp.asarray(sample.reshape(-1, m_subq, dsub))
+    valid_j = jnp.asarray(valid)
+    codebooks = jnp.asarray(cents, jnp.float32)
+    for _ in range(iters):
+        codebooks, shift = _pq_lloyd_step(data_sub, valid_j, codebooks,
+                                          block=block)
+        if float(shift) < 1e-7:
+            break
+    return np.asarray(codebooks)
+
+
+# --------------------------------------------------------------------------
+# encoding
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _encode_scan(data_sub: jax.Array, codebooks: jax.Array, block: int):
+    n = data_sub.shape[0]
+    c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, 256)
+
+    def body(_, i):
+        chunk = jax.lax.dynamic_slice_in_dim(data_sub, i * block, block)
+        assign = _pq_assign_block_scores(chunk, codebooks, block)  # (B, M)
+        csq_b = jnp.broadcast_to(c_sq[None], (block,) + c_sq.shape)
+        rsq = jnp.sum(jnp.take_along_axis(csq_b, assign[:, :, None],
+                                          axis=-1)[..., 0], axis=-1)  # (B,)
+        return 0, (assign.astype(jnp.uint8), rsq)
+
+    _, (codes, rsq) = jax.lax.scan(
+        body, 0, jnp.arange(n // block, dtype=jnp.int32))
+    return codes.reshape(n, -1), rsq.reshape(n)
+
+
+def encode_pq(
+    data: np.ndarray,
+    codebooks: np.ndarray,
+    block: int = 16384,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode rows -> (codes (n, M) uint8, recon_sq (n,) f32).
+
+    recon_sq is ||x_hat||^2 of the reconstruction (exact: subspaces are
+    orthogonal coordinate blocks), the norm the ADC scan ranks against —
+    the PQ twin of layout.quantize_block's dequantized-row norms."""
+    data = np.asarray(data, np.float32)
+    n, d = data.shape
+    m_subq = codebooks.shape[0]
+    dsub = _check_dims(d, m_subq)
+    if n == 0:
+        return (np.zeros((0, m_subq), np.uint8), np.zeros((0,), np.float32))
+    pad = (-n) % block
+    if pad:
+        data = np.concatenate([data, np.zeros((pad, d), np.float32)])
+    codes, rsq = _encode_scan(
+        jnp.asarray(data.reshape(-1, m_subq, dsub)),
+        jnp.asarray(codebooks, jnp.float32), block=min(block, len(data)))
+    return np.asarray(codes)[:n], np.asarray(rsq)[:n]
+
+
+def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, d) f32 rows from codes — host-side helper for
+    rescoring/tests (the hot path never decodes)."""
+    codes = np.asarray(codes)
+    n, m_subq = codes.shape
+    recon = codebooks[np.arange(m_subq)[None, :], codes.astype(np.int64), :]
+    return recon.reshape(n, -1).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# ADC scan (flat): one-hot MXU GEMM, blockwise streaming top-k
+# --------------------------------------------------------------------------
+
+
+def _pq_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """(Q, M, 256) f32: LUT[q, m, j] = 2 * q_m . codebook[m, j]."""
+    q = queries.astype(jnp.float32)
+    m_subq, _, dsub = codebooks.shape
+    q_sub = q.reshape(q.shape[0], m_subq, dsub)
+    return 2.0 * jnp.einsum("qms,mjs->qmj", q_sub, codebooks,
+                            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def pq_topk(
+    queries: jax.Array,     # (Q, d) f32
+    codes: jax.Array,       # (N, M) uint8; N % block == 0
+    codebooks: jax.Array,   # (M, 256, dsub) f32
+    recon_sq: jax.Array,    # (N,) f32 reconstruction norms
+    valid: jax.Array,       # (N,) bool
+    k: int,
+    block: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming ADC top-k over the full code array. Same contract as
+    distance.l2sq_topk_blockwise: returns (dist, idx) with dist the
+    squared-L2 to the RECONSTRUCTION, ascending; empty slots +inf / -1."""
+    n, m_subq = codes.shape
+    if n % block != 0:
+        raise ValueError(f"codes rows {n} not a multiple of block {block}")
+    q_sq = jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=-1,
+                   keepdims=True)
+    lut = _pq_lut(queries, codebooks)                       # (Q, M, 256)
+    lut_flat = lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16)
+    codes_i32 = codes.astype(jnp.int32)
+    jota = jnp.arange(256, dtype=jnp.int32)
+
+    def body(carry, i):
+        neg, idx = carry
+        start = i * block
+        cblk = jax.lax.dynamic_slice_in_dim(codes_i32, start, block)
+        rsq = jax.lax.dynamic_slice_in_dim(recon_sq, start, block)
+        v = jax.lax.dynamic_slice_in_dim(valid, start, block)
+        onehot = (cblk[:, :, None] == jota[None, None, :]).astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            lut_flat, onehot.reshape(block, m_subq * 256),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (Q, B)
+        scores = dots - rsq[None, :]
+        scores = tk.mask_scores(scores, v[None, :])
+        gidx = start + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        neg, idx = tk.merge_topk(neg, idx, scores,
+                                 jnp.broadcast_to(gidx, scores.shape), k)
+        return (neg, idx), None
+
+    init = tk.empty_topk(queries.shape[0], k)
+    (neg, idx), _ = jax.lax.scan(
+        body, init, jnp.arange(n // block, dtype=jnp.int32))
+    dist = jnp.where(idx >= 0, q_sq - neg, jnp.inf)
+    return dist, idx
+
+
+# --------------------------------------------------------------------------
+# gathered-candidate ADC (the IVF probe epilogue)
+# --------------------------------------------------------------------------
+
+
+def adc_scores_gathered(
+    lut: jax.Array,        # (Q, M, 256) f32 from _pq_lut
+    codes_g: jax.Array,    # (Q, R, M) uint8 gathered candidate codes
+) -> jax.Array:
+    """(Q, R) dot scores 2 q.x_hat for per-query gathered candidates.
+
+    Per-element 256-entry table lookups: expressed as take_along_axis so
+    XLA lowers one gather per query over the (256, M) transposed LUT —
+    candidate code rows were already fetched at row granularity (cheap
+    DMA); this step is VPU/gather work proportional to Q*R*M elements.
+    """
+    lut_t = jnp.swapaxes(lut, 1, 2)  # (Q, 256, M)
+
+    def per_q(lut_q, codes_q):
+        # out[r, m] = lut_q[codes_q[r, m], m]
+        return jnp.take_along_axis(lut_q, codes_q.astype(jnp.int32), axis=0)
+
+    vals = jax.vmap(per_q)(lut_t, codes_g)  # (Q, R, M)
+    return jnp.sum(vals, axis=-1)
+
+
+def adc_scores_gathered_onehot(
+    lut: jax.Array,        # (Q, M, 256) f32
+    codes_g: jax.Array,    # (Q, R, M) uint8
+    chunk: int = 2048,
+) -> jax.Array:
+    """Gather-free variant: per-R-chunk one-hot einsum on the MXU.
+
+    FLOPs are Q*R*M*256 (vs Q*R*M adds for the gather variant) but every
+    op is an MXU contraction; wins when XLA's gather lowering is the
+    bottleneck. Memory: Q*chunk*M*256 bf16 transient per step."""
+    q_n, r_n, m_subq = codes_g.shape
+    if r_n % chunk != 0:
+        chunk = r_n  # small candidate sets: single step
+    jota = jnp.arange(256, dtype=jnp.int32)
+    lut_b = lut.astype(jnp.bfloat16)
+    codes_i = codes_g.astype(jnp.int32)
+
+    def body(_, i):
+        cg = jax.lax.dynamic_slice_in_dim(codes_i, i * chunk, chunk, axis=1)
+        onehot = (cg[..., None] == jota).astype(jnp.bfloat16)  # (Q,C,M,256)
+        return 0, jnp.einsum("qcmj,qmj->qc", onehot, lut_b,
+                             preferred_element_type=jnp.float32)
+
+    _, out = jax.lax.scan(body, 0,
+                          jnp.arange(r_n // chunk, dtype=jnp.int32))
+    return jnp.moveaxis(out, 0, 1).reshape(q_n, r_n)
+
+
+# --------------------------------------------------------------------------
+# numpy oracle (tests)
+# --------------------------------------------------------------------------
+
+
+def numpy_adc_oracle(queries, codes, codebooks, recon_sq, valid, k):
+    """Exact ADC in float64 numpy: the correctness bar for pq_topk."""
+    queries = np.asarray(queries, np.float64)
+    n, m_subq = codes.shape
+    recon = decode_pq(codes, np.asarray(codebooks)).astype(np.float64)
+    d2 = (
+        np.sum(queries**2, axis=1)[:, None]
+        - 2.0 * queries @ recon.T
+        + np.asarray(recon_sq, np.float64)[None, :]
+    )
+    d2 = np.where(np.asarray(valid, bool)[None, :], d2, np.inf)
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    dist = np.take_along_axis(d2, idx, axis=1)
+    idx = np.where(np.isinf(dist), -1, idx)
+    return dist, idx
