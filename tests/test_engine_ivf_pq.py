@@ -1,0 +1,153 @@
+"""Engine with ivf_pq_subq: IVF-PQ cells end to end — ADC candidates +
+exact host re-rank, warm-restart codebook reuse, mesh guard, config
+validation. The capacity tier beyond int8 (tests/test_engine_ivf.py is
+the flat-cell twin)."""
+
+import numpy as np
+import pytest
+
+from tpuvdb.core.config import DBConfig
+from tpuvdb.core.types import SearchRequest, VectorData
+from tpuvdb.engine.engine import VectorDBEngine
+
+
+def pq_config(**kw):
+    d = dict(
+        vector_dim=16,
+        shard_count=4,
+        shard_capacity=8192,
+        block_size=128,
+        index_type="ivf",
+        ivf_nlist=8,
+        ivf_nprobe=8,
+        ivf_kmeans_iters=5,
+        ivf_delta_max=64,
+        ivf_pq_subq=4,
+        rescore_overfetch=16,
+        checkpoint_every_puts=10_000,
+        compact_every_puts=1_000_000,
+    )
+    d.update(kw)
+    return DBConfig(**d)
+
+
+def fill(eng, rng, n, prefix="k"):
+    vecs = {}
+    batch = []
+    for i in range(n):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"{prefix}{i}"] = v
+        batch.append(VectorData(key=f"{prefix}{i}", vector=v))
+    assert eng.put_batch(batch).success
+    return vecs
+
+
+def test_pq_engine_end_to_end(rng):
+    eng = VectorDBEngine(pq_config())
+    vecs = fill(eng, rng, 400)
+    eng.flush()
+    assert eng._ivf is not None and eng._ivf.pq
+    # the exact re-rank makes self-queries exact despite lossy cells
+    for key in ("k3", "k123", "k321"):
+        r = eng.search(SearchRequest(query_vector=vecs[key], top_k=5))
+        assert r.success
+        assert r.search_result.keys[0] == key
+        assert r.search_result.scores[0] < 1e-2
+
+
+def test_pq_delete_and_overwrite(rng):
+    eng = VectorDBEngine(pq_config())
+    vecs = fill(eng, rng, 300)
+    eng.flush()
+    assert eng.delete("k7").success
+    r = eng.search(SearchRequest(query_vector=vecs["k7"], top_k=5))
+    assert "k7" not in r.search_result.keys
+    # overwrite: new vector wins
+    nv = rng.standard_normal(16).astype(np.float32)
+    eng.put(VectorData(key="k9", vector=nv))
+    eng.flush()
+    r = eng.search(SearchRequest(query_vector=nv, top_k=1))
+    assert r.search_result.keys[0] == "k9"
+    assert r.search_result.scores[0] < 1e-2
+
+
+def test_pq_sustained_appends_drain_without_recluster(rng):
+    """Overflowing ivf_delta_max drains through append_rows: codes are
+    encoded with the trained codebooks, rows stay searchable."""
+    eng = VectorDBEngine(pq_config(ivf_delta_max=64))
+    fill(eng, rng, 300)
+    eng.flush()
+    vecs2 = fill(eng, rng, 200, prefix="m")  # > delta_max: appends
+    eng.flush()
+    assert eng.stats.get("ivf_appends", 0) > 0
+    r = eng.search(SearchRequest(query_vector=vecs2["m150"], top_k=3))
+    assert r.search_result.keys[0] == "m150"
+    assert r.search_result.scores[0] < 1e-2
+
+
+def test_pq_warm_restart_skips_codebook_training(rng, tmp_path,
+                                                 monkeypatch):
+    """Restart reuses checkpointed codebooks AND centroids: neither
+    k-means nor PQ training may run on recovery."""
+    d = str(tmp_path / "db")
+    cfg = pq_config(ivf_delta_max=10_000, checkpoint_every_puts=10**9)
+    eng = VectorDBEngine(cfg, data_dir=d)
+    vecs = fill(eng, rng, 400)
+    eng.flush()
+    cb0 = np.asarray(eng._ivf.pq_codebooks)
+    eng.close()
+
+    import tpuvdb.index.ivf as ivf_mod
+    import tpuvdb.kernels.pq as pq_mod
+
+    def no_training(*a, **k):
+        raise AssertionError("training ran on a warm restart")
+
+    monkeypatch.setattr(ivf_mod, "kmeans", no_training)
+    monkeypatch.setattr(pq_mod, "train_pq", no_training)
+    eng2 = VectorDBEngine(cfg, data_dir=d)
+    r = eng2.search(SearchRequest(query_vector=vecs["k42"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k42"
+    assert r.search_result.scores[0] < 1e-2
+    np.testing.assert_array_equal(np.asarray(eng2._ivf.pq_codebooks), cb0)
+    eng2.close()
+
+
+def test_pq_filtered_search(rng):
+    eng = VectorDBEngine(pq_config())
+    batch = []
+    vecs = {}
+    for i in range(300):
+        v = rng.standard_normal(16).astype(np.float32)
+        vecs[f"k{i}"] = v
+        batch.append(VectorData(key=f"k{i}", vector=v,
+                                metadata={"par": str(i % 2)}))
+    eng.put_batch(batch)
+    eng.flush()
+    r = eng.search(SearchRequest(query_vector=vecs["k10"], top_k=5,
+                                 filter_metadata={"par": "1"}))
+    assert r.success and len(r.search_result.keys) == 5
+    assert all(int(k[1:]) % 2 == 1 for k in r.search_result.keys)
+
+
+def test_pq_mesh_raises_loudly(rng):
+    from tpuvdb.mesh.mesh import create_mesh
+
+    mesh = create_mesh()  # 8 virtual CPU devices
+    if mesh.size <= 1:
+        pytest.skip("needs multi-device mesh")
+    eng = VectorDBEngine(pq_config(), mesh=mesh)
+    fill(eng, rng, 200)
+    with pytest.raises(ValueError, match="mesh"):
+        eng.flush()
+
+
+def test_pq_config_validation():
+    with pytest.raises(ValueError, match="divide"):
+        DBConfig(vector_dim=30, index_type="ivf", ivf_pq_subq=7)
+    with pytest.raises(ValueError, match="exclusive"):
+        DBConfig(vector_dim=32, index_type="ivf", ivf_pq_subq=4,
+                 storage_dtype="int8")
+    # mirror_dtype int8 + PQ cells is the intended capacity pairing
+    DBConfig(vector_dim=32, index_type="ivf", ivf_pq_subq=4,
+             mirror_dtype="int8")

@@ -119,6 +119,11 @@ class DBConfig:
     ivf_kmeans_iters: int = 12
     ivf_train_sample: int = 262_144
     ivf_delta_max: int = 16384     # fresh inserts before re-clustering
+    # >0: IVF-PQ — cells store M-byte product-quantization codes instead
+    # of rows (d/M x below int8; the 30-100M rows/chip capacity tier).
+    # Must divide vector_dim. ADC distances rank reconstructions, so pair
+    # with rescore_overfetch (exact host re-rank restores true ordering).
+    ivf_pq_subq: int = 0
 
     # -- mesh --
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis
@@ -165,6 +170,16 @@ class DBConfig:
             if v not in allowed:
                 raise ValueError(
                     f"{field_name}={v!r} invalid; must be one of {allowed}")
+        if self.ivf_pq_subq < 0 or (
+                self.ivf_pq_subq and self.vector_dim % self.ivf_pq_subq):
+            raise ValueError(
+                f"ivf_pq_subq={self.ivf_pq_subq} must be >= 0 and divide "
+                f"vector_dim={self.vector_dim}")
+        if self.ivf_pq_subq and self.storage_dtype == "int8":
+            raise ValueError(
+                "ivf_pq_subq and storage_dtype='int8' are exclusive: PQ "
+                "cells already compress below int8 (host mirrors may still "
+                "be int8 via mirror_dtype)")
 
     # -- serialization (stored inside checkpoints so restores validate shape) --
     def to_json(self) -> str:

@@ -302,13 +302,26 @@ def pack_cells(
 
 
 def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
-                           positions, int8_out: bool, chunk: int = 1_000_000):
+                           positions, int8_out: bool, chunk: int = 1_000_000,
+                           pq_codebooks=None):
     """Copy `phys_rows` from the source into vec/scale/sq at `positions`,
     chunked so the f32 transient stays bounded. int8 output takes the
     bit-exact raw path when the source stores int8; otherwise it gathers
-    f32 and quantizes per chunk. sq is always the norm of the f32 row the
-    scanner's correction term expects."""
+    f32 and quantizes per chunk. sq is always the norm the scanner's
+    correction term expects: the f32 row's, or — for PQ cells — the
+    RECONSTRUCTION's (ADC ranks against x_hat)."""
     from tpuvdb.kernels.quant import quantize_rows_np
+
+    if pq_codebooks is not None:
+        from tpuvdb.kernels.pq import encode_pq
+
+        for lo in range(0, len(phys_rows), chunk):
+            r = phys_rows[lo : lo + chunk]
+            p = positions[lo : lo + chunk]
+            codes, rsq = encode_pq(source.gather_f32(r), pq_codebooks)
+            vec_out[p] = codes
+            sq_out[p] = rsq
+        return
 
     raw_ok = int8_out and getattr(source, "all_int8", False)
     for lo in range(0, len(phys_rows), chunk):
@@ -331,13 +344,16 @@ def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
 
 
 def _pack_cells_from_source(source, rows, assign_live, nlist, window,
-                            int8_out: bool):
+                            int8_out: bool, pq_codebooks=None):
     """pack_cells over a row source: same contiguous 128-aligned layout,
     but rows copy straight into the TARGET dtype (int8 cells pack in
-    ~1 byte/dim host memory instead of materializing the f32 corpus).
-    Returns (gvec, gscales|None, gsq, gval, grow, offsets, sizes,
-    spill_rows)."""
+    ~1 byte/dim host memory instead of materializing the f32 corpus;
+    PQ cells in M bytes/row). Returns (gvec, gscales|None, gsq, gval,
+    grow, offsets, sizes, spill_rows)."""
     d = source.dim
+    width, cell_dtype = ((pq_codebooks.shape[0], np.uint8)
+                         if pq_codebooks is not None
+                         else (d, np.int8 if int8_out else np.float32))
     order = np.argsort(assign_live, kind="stable")
     rows_sorted = rows[order]
     cells_sorted = assign_live[order]
@@ -350,7 +366,7 @@ def _pack_cells_from_source(source, rows, assign_live, nlist, window,
     # + one full window of invalid tail rows so the last cells' scan
     # windows (and index clipping) never alias a real row
     grouped_rows = _round_up(total + window, 128)
-    gvec = np.zeros((grouped_rows, d), np.int8 if int8_out else np.float32)
+    gvec = np.zeros((grouped_rows, width), cell_dtype)
     gscales = np.ones(grouped_rows, np.float32) if int8_out else None
     gsq = np.zeros(grouped_rows, np.float32)
     gval = np.zeros(grouped_rows, bool)
@@ -359,7 +375,7 @@ def _pack_cells_from_source(source, rows, assign_live, nlist, window,
     main = pos_in_cell < window
     gpos = offsets[cells_sorted[main]] + pos_in_cell[main]
     _fill_rows_from_source(source, rows_sorted[main], gvec, gscales, gsq,
-                           gpos, int8_out)
+                           gpos, int8_out, pq_codebooks=pq_codebooks)
     gval[gpos] = True
     grow[gpos] = rows_sorted[main]
     spill_rows = np.asarray(rows_sorted[~main], dtype=np.int64)
@@ -529,6 +545,74 @@ def _ivf_search_int8(
     return dist, top_ids
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "cell_pad",
+                                              "recall_target"))
+def _ivf_search_pq(
+    queries, centroids, cell_offsets, cell_lens, grouped_codes, codebooks,
+    grouped_sq, grouped_valid, spill_codes, spill_sq, spill_valid,
+    nprobe: int, k: int, cell_pad: int, recall_target: float = 0.95,
+):
+    """PQ-cell variant (IVF-PQ): cells hold M-byte codes instead of rows.
+
+    Probing gathers candidate CODE rows (M bytes each — d/M x less DMA
+    than the int8 variant) and scores them by ADC against the per-query
+    LUT (kernels/pq.adc_scores_gathered); the spill region — always
+    scanned by every query — takes the gather-free one-hot MXU path
+    (kernels/pq.pq_topk's block formulation). Distances are squared-L2
+    to the RECONSTRUCTION; the engine's exact re-rank from the host
+    mirror recovers true-distance ordering."""
+    from tpuvdb.kernels import pq as pqk
+
+    qf = queries.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    c_sq = jnp.sum(centroids * centroids, axis=-1)
+    c_scores = 2.0 * jnp.dot(qf, centroids.T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+    _, cells = jax.lax.top_k(c_scores, nprobe)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
+    starts = jnp.take(cell_offsets, cells, axis=0)
+    cand = (starts[:, :, None] + offs).reshape(queries.shape[0], -1)
+    in_cell = (offs < jnp.take(cell_lens, cells, axis=0)[:, :, None]
+               ).reshape(queries.shape[0], -1)
+
+    lut = pqk._pq_lut(qf, codebooks)                      # (Q, M, 256)
+    codes_g = jnp.take(grouped_codes, cand, axis=0)       # (Q, R, M) u8
+    csq = jnp.take(grouped_sq, cand, axis=0)
+    cval = jnp.take(grouped_valid, cand, axis=0)
+    dots = pqk.adc_scores_gathered(lut, codes_g)          # (Q, R) = 2 q.x
+    neg = jnp.where(cval & in_cell, dots - csq, -jnp.inf)
+
+    # spill: dense one-hot GEMM over the whole (small) region
+    s_n, m_subq = spill_codes.shape
+    jota = jnp.arange(256, dtype=jnp.int32)
+    onehot = (spill_codes.astype(jnp.int32)[:, :, None] == jota
+              ).astype(jnp.bfloat16)
+    sdots = jax.lax.dot_general(
+        lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16),
+        onehot.reshape(s_n, m_subq * 256),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    sneg = jnp.where(spill_valid[None, :], sdots - spill_sq[None, :],
+                     -jnp.inf)
+    spill_ids = grouped_codes.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, s_n), 1)
+    all_neg = jnp.concatenate(
+        [neg, jnp.broadcast_to(sneg, (queries.shape[0], s_n))], axis=1)
+    all_ids = jnp.concatenate(
+        [cand, jnp.broadcast_to(spill_ids, (queries.shape[0], s_n))], axis=1)
+    kk = min(k, all_neg.shape[1])
+    top_neg, pos = jax.lax.approx_max_k(all_neg, kk,
+                                        recall_target=recall_target)
+    top_ids = jnp.take_along_axis(all_ids, pos.astype(jnp.int32), axis=1)
+    if kk < k:
+        top_neg = jnp.pad(top_neg, ((0, 0), (0, k - kk)),
+                          constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    top_ids = jnp.where(top_neg == -jnp.inf, -1, top_ids)
+    dist = jnp.where(top_ids >= 0, q_sq - top_neg, jnp.inf)
+    return dist, top_ids
+
+
 @dataclasses.dataclass
 class IVFStats:
     nlist: int
@@ -557,6 +641,7 @@ class IVFIndex:
         recall_target: float = 0.95,
         cell_scales: Optional[jax.Array] = None,   # (N_g,) int8 dequant
         spill_scales: Optional[jax.Array] = None,  # (S,)
+        pq_codebooks: Optional[jax.Array] = None,  # (M, 256, d/M) f32
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.cell_offsets = jnp.asarray(cell_offsets, jnp.int32)
@@ -579,6 +664,9 @@ class IVFIndex:
         self.cell_scales = cell_scales
         self.spill_scales = spill_scales
         self.quantized = cell_scales is not None
+        self.pq_codebooks = (jnp.asarray(pq_codebooks, jnp.float32)
+                             if pq_codebooks is not None else None)
+        self.pq = pq_codebooks is not None
 
     # ------------------------------------------------------------------ build
 
@@ -597,6 +685,8 @@ class IVFIndex:
         recall_target: float = 0.95,
         split_oversized: bool = True,
         centroids: Optional[np.ndarray] = None,  # skip k-means training
+        pq_subq: int = 0,
+        pq_codebooks: Optional[np.ndarray] = None,
     ) -> "IVFIndex":
         """With split_oversized (default), cell_pad tracks the MEDIAN cell
         and hot cells are subdivided into real child centroids, so fill
@@ -610,7 +700,7 @@ class IVFIndex:
             kmeans_iters=kmeans_iters, train_sample=train_sample,
             cell_cap_quantile=cell_cap_quantile, dtype=dtype, seed=seed,
             recall_target=recall_target, split_oversized=split_oversized,
-            centroids=centroids)
+            centroids=centroids, pq_subq=pq_subq, pq_codebooks=pq_codebooks)
 
     @classmethod
     def build_streaming(
@@ -627,6 +717,8 @@ class IVFIndex:
         recall_target: float = 0.95,
         split_oversized: bool = True,
         centroids: Optional[np.ndarray] = None,
+        pq_subq: int = 0,                          # 0 = off; else IVF-PQ
+        pq_codebooks: Optional[np.ndarray] = None,  # warm-start codebooks
     ) -> "IVFIndex":
         """Memory-bounded build: the corpus is read through `source` —
         k-means sample and cell members by gather, the assignment pass in
@@ -639,24 +731,42 @@ class IVFIndex:
         live_idx = np.flatnonzero(valid)
         if len(live_idx) == 0:
             raise ValueError("cannot build IVF over empty corpus")
+        if pq_subq:
+            if d % pq_subq != 0:
+                raise ValueError(f"pq_subq={pq_subq} must divide dim={d}")
+            if dtype == jnp.int8:
+                raise ValueError("pq_subq and int8 cells are exclusive — "
+                                 "PQ already compresses below int8")
+            if (pq_codebooks is not None
+                    and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
+                pq_codebooks = None  # stale warm shape: retrain
         rng = np.random.default_rng(seed)
 
         # 1. train the coarse quantizer on a sample (TPU k-means) — or
         # reuse caller-provided centroids (checkpoint warm-start: a
-        # restarted engine pays one assignment pass, not a training run)
-        if centroids is not None and centroids.shape[1] == d:
-            centroids = np.asarray(centroids, np.float32)
-            nlist = len(centroids)
-        else:
+        # restarted engine pays one assignment pass, not a training run).
+        # PQ codebooks train on the SAME sample (one gather serves both).
+        warm_cents = centroids is not None and centroids.shape[1] == d
+        need_cb = pq_subq and pq_codebooks is None
+        sample = None
+        if not warm_cents or need_cb:
             if len(live_idx) > train_sample:
                 tr = np.sort(rng.choice(live_idx, size=train_sample,
                                         replace=False))
             else:
                 tr = live_idx
             sample = source.gather_f32(tr)
-            centroids, _ = kmeans(sample, np.ones(len(tr), bool),
+        if warm_cents:
+            centroids = np.asarray(centroids, np.float32)
+            nlist = len(centroids)
+        else:
+            centroids, _ = kmeans(sample, np.ones(sample.shape[0], bool),
                                   nlist=nlist, iters=kmeans_iters, seed=seed)
-            del sample
+        if need_cb:
+            from tpuvdb.kernels.pq import train_pq
+
+            pq_codebooks = train_pq(sample, m_subq=pq_subq, seed=seed)
+        del sample
 
         # 2. assign every row, streamed in ONE fixed block shape (pad the
         # ragged tail); invalid rows masked to -1 afterwards
@@ -696,7 +806,8 @@ class IVFIndex:
         int8_out = dtype == jnp.int8
         (gvec, gscales, gsq, gval, grow, cell_offsets, cell_lens,
          spill_rows) = _pack_cells_from_source(
-            source, live2, assign[live2], nlist, cell_pad, int8_out)
+            source, live2, assign[live2], nlist, cell_pad, int8_out,
+            pq_codebooks=pq_codebooks)
 
         # spill reserve: free tail capacity so append_rows can overflow
         # full cells here instead of forcing a rebuild (scaled down for
@@ -704,7 +815,9 @@ class IVFIndex:
         reserve = min(8192, max(128, n // 8))
         s = max(len(spill_rows), 1)
         s_pad = _round_up(s + reserve, 128)
-        svec = np.zeros((s_pad, d), np.int8 if int8_out else np.float32)
+        s_width, s_dtype = ((pq_subq, np.uint8) if pq_codebooks is not None
+                            else (d, np.int8 if int8_out else np.float32))
+        svec = np.zeros((s_pad, s_width), s_dtype)
         sscales = np.ones(s_pad, np.float32) if int8_out else None
         ssq = np.zeros(s_pad, np.float32)
         sval = np.zeros(s_pad, bool)
@@ -712,7 +825,8 @@ class IVFIndex:
         ns = len(spill_rows)
         if ns:
             _fill_rows_from_source(source, spill_rows, svec, sscales, ssq,
-                                   np.arange(ns), int8_out)
+                                   np.arange(ns), int8_out,
+                                   pq_codebooks=pq_codebooks)
             sval[:ns] = True
             srow[:ns] = spill_rows
 
@@ -720,6 +834,9 @@ class IVFIndex:
         if int8_out:
             cell_scales = jnp.asarray(gscales)
             spill_scales = jnp.asarray(sscales)
+            grouped_dev = jnp.asarray(gvec)
+            spill_dev = jnp.asarray(svec)
+        elif pq_codebooks is not None:  # PQ code cells: keep uint8
             grouped_dev = jnp.asarray(gvec)
             spill_dev = jnp.asarray(svec)
         else:
@@ -742,6 +859,7 @@ class IVFIndex:
             recall_target=recall_target,
             cell_scales=cell_scales,
             spill_scales=spill_scales,
+            pq_codebooks=pq_codebooks,
         )
 
     # ----------------------------------------------------------------- search
@@ -774,12 +892,21 @@ class IVFIndex:
         gval, sval = (valid_override if valid_override is not None
                       else (self.grouped_valid, self.spill_valid))
         # on TPU the scalar-prefetch pallas probe (contiguous cell DMA) is
-        # ~50x faster than the row-gather XLA path; CPU keeps the XLA path
-        use_pallas = jax.default_backend() == "tpu"
+        # ~50x faster than the row-gather XLA path; CPU keeps the XLA path.
+        # PQ cells always take the XLA ADC path (no pallas PQ probe yet).
+        use_pallas = jax.default_backend() == "tpu" and not self.pq
         out_d, out_r = [], []
         for start in range(0, q.shape[0], max_batch):
             qc = q[start : start + max_batch]
-            if use_pallas:
+            if self.pq:
+                dist, gid = _ivf_search_pq(
+                    jnp.asarray(qc), self.centroids, self.cell_offsets,
+                    self.cell_lens, self.grouped, self.pq_codebooks,
+                    self.grouped_sq, gval, self.spill, self.spill_sq,
+                    sval, nprobe=nprobe, k=k, cell_pad=self.cell_pad,
+                    recall_target=self.recall_target,
+                )
+            elif use_pallas:
                 from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
 
                 dist, gid = pallas_ivf_search(
@@ -916,7 +1043,25 @@ class IVFIndex:
                 return False  # out of room everywhere: rebuild
 
         # ---- commit: host maps first, then bucketed device scatters
-        sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+        if self.pq:
+            # encode in the same fixed chunk shape as the assignment GEMM
+            # (one compiled encode serves every serving batch size); the
+            # scanner ranks against reconstructions, so sq is recon_sq
+            from tpuvdb.kernels.pq import encode_pq
+
+            cb_np = np.asarray(self.pq_codebooks)
+            payload = np.empty((m, cb_np.shape[0]), np.uint8)
+            sq = np.empty(m, np.float32)
+            for lo in range(0, m, _ASSIGN_CHUNK):
+                chunk = vecs[lo : lo + _ASSIGN_CHUNK]
+                vp = np.zeros((_ASSIGN_CHUNK, vecs.shape[1]), np.float32)
+                vp[: len(chunk)] = chunk
+                c, r = encode_pq(vp, cb_np, block=_ASSIGN_CHUNK)
+                payload[lo : lo + len(chunk)] = c[: len(chunk)]
+                sq[lo : lo + len(chunk)] = r[: len(chunk)]
+        else:
+            payload = vecs
+            sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
         if self.quantized:
             from tpuvdb.kernels.quant import quantize_rows_np
 
@@ -930,7 +1075,7 @@ class IVFIndex:
             (self.grouped, self.grouped_sq, self.grouped_valid,
              self.cell_scales) = commit_append_region(
                 self.grouped, self.grouped_sq, self.grouped_valid,
-                self.cell_scales, self.row_ids, gp, phys[gt], vecs[gt],
+                self.cell_scales, self.row_ids, gp, phys[gt], payload[gt],
                 sq[gt], qvecs[gt] if self.quantized else None,
                 qscales[gt] if self.quantized else None)
         if s_take:
@@ -941,7 +1086,7 @@ class IVFIndex:
              self.spill_scales) = commit_append_region(
                 self.spill, self.spill_sq, self.spill_valid,
                 self.spill_scales, self.spill_row_ids, sp, phys[st],
-                vecs[st], sq[st], qvecs[st] if self.quantized else None,
+                payload[st], sq[st], qvecs[st] if self.quantized else None,
                 qscales[st] if self.quantized else None)
         return True
 
@@ -955,10 +1100,15 @@ class IVFIndex:
         expected, and the compile cache makes later appends ~0.2 s."""
         from tpuvdb.kernels.kmeans import assign_blockwise
 
-        d = self.grouped.shape[1]
+        d = int(self.centroids.shape[1])  # grouped width != d for PQ cells
         assign_blockwise(jnp.zeros((_ASSIGN_CHUNK, d), jnp.float32),
                          self.centroids, block_size=2048)
-        z = np.zeros((1, d), np.float32)
+        if self.pq:
+            from tpuvdb.kernels.pq import encode_pq
+
+            encode_pq(np.zeros((_ASSIGN_CHUNK, d), np.float32),
+                      np.asarray(self.pq_codebooks), block=_ASSIGN_CHUNK)
+        z = np.zeros((1, int(self.grouped.shape[1])), np.float32)
         s1 = np.zeros(1, np.float32)
         for arr_name, payload in (("grouped", z), ("grouped_sq", s1),
                                   ("spill", z), ("spill_sq", s1)):

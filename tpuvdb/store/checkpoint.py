@@ -170,12 +170,17 @@ class CheckpointManager:
             # against these (seconds) instead of a full k-means training
             # run (minutes at 1M rows), unless the corpus has drifted too
             # far from the training snapshot (engine checks the ratio)
-            cents, trained_live, mut_at_train, mut_now = ivf_warm
+            cents, trained_live, mut_at_train, mut_now = ivf_warm[:4]
+            extra = {}
+            # 5-element warm state carries trained PQ codebooks (IVF-PQ
+            # engines skip codebook retraining on restart, like centroids)
+            if len(ivf_warm) > 4 and ivf_warm[4] is not None:
+                extra["pq_codebooks"] = np.asarray(ivf_warm[4], np.float32)
             np.savez(os.path.join(tmp, "ivf_warm.npz"),
                      centroids=np.asarray(cents, np.float32),
                      trained_live=np.int64(trained_live),
                      mut_at_train=np.int64(mut_at_train),
-                     mut_at_ckpt=np.int64(mut_now))
+                     mut_at_ckpt=np.int64(mut_now), **extra)
         with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
             json.dump({"num_shards": len(shard_snaps), "dim": dim,
                        "format": 2,
@@ -292,8 +297,9 @@ class CheckpointManager:
             m.load_f32(np.asarray(vec, np.float32), valid, n, deleted)
 
     def load_ivf_warm(self):
-        """(centroids, trained_live, mut_at_train, mut_at_ckpt) of the
-        newest checkpoint, or None (older checkpoints / flat engines)."""
+        """(centroids, trained_live, mut_at_train, mut_at_ckpt,
+        pq_codebooks|None) of the newest checkpoint, or None (older
+        checkpoints / flat engines)."""
         path = self.latest()
         if path is None:
             return None
@@ -308,6 +314,7 @@ class CheckpointManager:
             # discarding a perfectly good warm start
             mt = int(z["mut_at_train"]) if "mut_at_train" in z else 0
             mc = int(z["mut_at_ckpt"]) if "mut_at_ckpt" in z else 0
-            return z["centroids"], int(z["trained_live"]), mt, mc
+            cb = z["pq_codebooks"] if "pq_codebooks" in z else None
+            return z["centroids"], int(z["trained_live"]), mt, mc, cb
         except Exception:
             return None  # torn/corrupt extras never block recovery
