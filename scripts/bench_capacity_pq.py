@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""ENGINE-level PQ capacity proof: 32M x 768 on one chip via IVF-PQ.
+
+The int8 tier (scripts/bench_capacity_engine.py) tops out near 8M x 768
+rows/chip — 1 byte/dim fills v5e HBM at ~5.7 GiB plus workspace. PQ code
+cells (ivf_pq_subq=96 -> 96 bytes/row, 8x below int8) raise the per-chip
+ceiling to the LAION-100M-class tier BASELINE config 5 points at: 32M
+rows of 768-d in ~3 GiB of HBM codes. This script runs the FULL stack at
+that size on one chip:
+
+    put_rows bulk ingest -> mmap int8 shard mirrors (disk-backed rows)
+    -> streaming IVF-PQ build (sampled codebook+centroid training,
+       blockwise assignment, code packing; no host/device f32 corpus)
+    -> engine.search_batch serving (device ADC probe + exact host
+       re-rank from the mmap mirrors + key resolution)
+    -> checkpoint (warm codebooks+centroids) -> restart-with-recovery
+
+Reports ingest rate, build time, HBM bytes, recall@10 vs an exact scan
+over the STORED rows, serving QPS, restart time, and peak host RSS.
+
+Usage: python scripts/bench_capacity_pq.py [--rows 32000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuvdb_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024 / 1024
+
+
+def anon_gb() -> float:
+    try:
+        with open("/proc/self/smaps_rollup") as f:
+            for line in f:
+                if line.startswith("Anonymous:"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:
+        pass
+    return -1.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=32_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--subq", type=int, default=96)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--skip-restart", action="store_true")
+    args = ap.parse_args()
+
+    from tpuvdb.core.config import DBConfig
+    from tpuvdb.engine.engine import VectorDBEngine
+
+    N, DIM, K = args.rows, args.dim, args.k
+    shards = 4
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="tpuvdb_pq_")
+    per_shard = (N // shards) + 65536
+    cfg = DBConfig(
+        vector_dim=DIM, shard_count=shards, shard_capacity=per_shard,
+        mirror_init_cap=per_shard, mirror_dtype="int8",
+        mirror_backend="mmap",
+        index_type="ivf", ivf_pq_subq=args.subq,
+        ivf_nlist=args.nlist, ivf_nprobe=args.nprobe,
+        ivf_kmeans_iters=8, ivf_train_sample=262_144,
+        rescore_mode="exact", rescore_overfetch=10,  # fetch 100 at k=10
+        wal_enabled=False,  # bulk load; durability = explicit checkpoint
+        checkpoint_every_puts=10 ** 12, compact_every_puts=10 ** 12,
+        flush_batch=1 << 30,
+    )
+    import jax
+
+    log(f"device: {jax.devices()[0].platform}, rows={N}, dim={DIM}, "
+        f"subq={args.subq}, nlist={args.nlist}, data_dir={data_dir}, "
+        f"base rss {rss_gb():.2f} GB")
+    eng = VectorDBEngine(cfg, data_dir=data_dir)
+
+    # ---- ingest, synthesized per block (full f32 corpus = 98 GB)
+    rng = np.random.default_rng(0)
+    n_clusters = 4096
+    cents = rng.standard_normal((n_clusters, DIM)).astype(np.float32) * 3.0
+    B = 65536
+    t0 = time.perf_counter()
+    held_out = []
+    for lo in range(0, N, B):
+        n = min(B, N - lo)
+        cid = rng.integers(0, n_clusters, n)
+        block = (cents[cid]
+                 + 0.4 * rng.standard_normal((n, DIM)).astype(np.float32))
+        r = eng.put_rows([f"k{i}" for i in range(lo, lo + n)], block)
+        assert r.success, r.message
+        if lo == 0:
+            held_out = block[:64].copy()
+        if (lo // B) % 64 == 0:
+            log(f"  ingested {lo + n:,}/{N:,} rows, rss {rss_gb():.2f} GB")
+    ingest_s = time.perf_counter() - t0
+    log(f"ingest: {N / ingest_s:,.0f} rows/s ({ingest_s:.0f}s), "
+        f"rss {rss_gb():.2f} GB, anon {anon_gb():.2f} GB")
+
+    # ---- streaming IVF-PQ build
+    t0 = time.perf_counter()
+    eng.flush()
+    build_s = time.perf_counter() - t0
+    ivf = eng._ivf
+    code_gib = (ivf.grouped.nbytes + ivf.grouped_sq.nbytes
+                + ivf.spill.nbytes) / 2 ** 30
+    st = ivf.stats()
+    log(f"IVF-PQ build: {build_s:.1f}s, codes+norms {code_gib:.2f} GiB HBM "
+        f"(nlist={st.nlist}, cell_pad={st.cell_pad}, fill={st.fill:.2f}, "
+        f"spill={st.spill_rows}), rss {rss_gb():.2f} GB, "
+        f"anon {anon_gb():.2f} GB")
+
+    # ---- recall vs exact scan over the STORED (dequantized) rows
+    queries = np.stack(held_out)[:32]
+    layout = eng._ivf_layout
+    best_d = np.full((len(queries), K), np.inf, np.float32)
+    best_r = np.full((len(queries), K), -1, np.int64)
+    qsq = np.einsum("nd,nd->n", queries, queries)
+    t0 = time.perf_counter()
+    for s, m in enumerate(eng.mirrors):
+        used = m.next_slot
+        for lo in range(0, used, 262144):
+            hi = min(lo + 262144, used)
+            raw, scale, msq = m.raw_range(lo, hi)
+            blk = raw.astype(np.float32) * np.asarray(scale)[:, None]
+            d = (qsq[:, None] + np.asarray(msq)[None, :]
+                 - 2.0 * queries @ blk.T)
+            d = np.where(np.asarray(m.valid[lo:hi])[None, :], d, np.inf)
+            rows = s * layout.phys_cap + np.arange(lo, hi)
+            alld = np.concatenate([best_d, d], axis=1)
+            allr = np.concatenate(
+                [best_r, np.broadcast_to(rows, (len(queries), hi - lo))], 1)
+            sel = np.argpartition(alld, K - 1, axis=1)[:, :K]
+            best_d = np.take_along_axis(alld, sel, 1)
+            best_r = np.take_along_axis(allr, sel, 1)
+    log(f"oracle scan: {time.perf_counter()-t0:.0f}s")
+    oracle_keys = []
+    for qi in range(len(queries)):
+        ks = set()
+        for r_ in best_r[qi]:
+            sh, sl = layout.shard_slot_of(int(r_))
+            ks.add(eng.docstore.key_at(sh, sl))
+        oracle_keys.append(ks)
+
+    dists, keys = eng.search_batch(queries, K)
+    recall = float(np.mean([
+        len(set(keys[i][:K]) & oracle_keys[i]) / K
+        for i in range(len(queries))]))
+    log(f"recall@{K} vs exact-over-stored: {recall:.4f}")
+
+    # ---- serving throughput (device ADC probe + exact re-rank + keys)
+    qbatch = rng.standard_normal((args.batch, DIM)).astype(np.float32) * 0.1
+    qbatch += cents[rng.integers(0, n_clusters, args.batch)]
+    eng.search_batch(qbatch, K)  # warm
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        eng.search_batch(qbatch, K)
+    single = args.batch * iters / (time.perf_counter() - t0)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(lambda _: eng.search_batch(qbatch, K), range(64)))
+        piped = args.batch * 64 / (time.perf_counter() - t0)
+    log(f"engine serving: {single:,.0f} QPS single-stream, "
+        f"{piped:,.0f} QPS pipelined x8 (batch {args.batch})")
+
+    # ---- durability: checkpoint carries codebooks + centroids
+    t0 = time.perf_counter()
+    ck = eng.save_checkpoint()
+    ckpt_s = time.perf_counter() - t0
+    log(f"checkpoint: {ckpt_s:.1f}s -> {ck}")
+    restart_s = None
+    if not args.skip_restart:
+        if eng.wal is not None:
+            eng.wal.close()
+        del eng
+        t0 = time.perf_counter()
+        eng = VectorDBEngine(cfg, data_dir=data_dir)
+        assert eng.count() == N, eng.count()
+        eng.flush()  # warm build: assignment only, no k-means / PQ training
+        d2, k2 = eng.search_batch(queries, K)
+        assert all(k2[0][j] is not None for j in range(K))
+        restart_s = time.perf_counter() - t0
+        r2 = float(np.mean([
+            len(set(k2[i][:K]) & oracle_keys[i]) / K
+            for i in range(len(queries))]))
+        log(f"restart-with-recovery: {restart_s:.1f}s (count={eng.count():,},"
+            f" recall {r2:.4f}), rss {rss_gb():.2f} GB")
+
+    out = {
+        "metric": f"engine_capacity_pq_{N//10**6}m{DIM}",
+        "rows": N, "dim": DIM, "pq_subq": args.subq,
+        "ingest_rows_per_s": round(N / ingest_s, 1),
+        "build_s": round(build_s, 1),
+        "codes_gib_hbm": round(code_gib, 2),
+        "recall_at_10": round(recall, 4),
+        "engine_qps_single": round(single, 1),
+        "engine_qps_pipelined": round(piped, 1),
+        "checkpoint_s": round(ckpt_s, 1),
+        "restart_s": round(restart_s, 1) if restart_s else None,
+        "peak_rss_gb": round(rss_gb(), 2),
+        "anon_rss_gb": round(anon_gb(), 2),
+    }
+    print(json.dumps(out))
+    if args.data_dir is None:
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.jit
+def _dequant_dev(codes_i8: jax.Array, scales: jax.Array) -> jax.Array:
+    """Device-side int8 row dequantization (see iter_blocks_dev)."""
+    return codes_i8.astype(jnp.float32) * scales[:, None]
+
+
 _DELETE_BUCKET = 1024
 
 
@@ -119,6 +125,14 @@ class ArrayRowSource:
             blk = np.asarray(self.v[lo : lo + block_rows], np.float32)
             yield lo, blk
 
+    def iter_blocks_dev(self, block_rows: int, pad_to: int):
+        for lo, blk in self.iter_blocks_f32(block_rows):
+            m = blk.shape[0]
+            rows = _round_up(max(m, 1), pad_to)
+            fp = np.zeros((rows, self.dim), np.float32)
+            fp[:m] = blk
+            yield lo, m, jnp.asarray(fp)
+
 
 class MirrorRowSource:
     """Row access over stacked shard mirrors WITHOUT materializing the
@@ -179,6 +193,27 @@ class MirrorRowSource:
             else:
                 blk = np.asarray(raw, np.float32)
             yield g0, blk
+
+    def iter_blocks_dev(self, block_rows: int, pad_to: int):
+        """(g0, m, device f32 block) — int8 mirrors upload their raw codes
+        + scales (1 byte/dim) and dequantize ON DEVICE: the assignment/
+        encode pass over an 8M x 768 corpus moves 6 GB through the relay
+        instead of 24.6 GB of host-dequantized f32 (uploads dominate the
+        build wall-clock through the relay)."""
+        for g0, raw, scales, sq, valid in self.layout.iter_blocks(
+                self.mirrors, block_rows):
+            m = raw.shape[0]
+            rows = _round_up(max(m, 1), pad_to)
+            if raw.dtype == np.int8:
+                rp = np.zeros((rows, raw.shape[1]), np.int8)
+                rp[:m] = raw
+                sp = np.zeros(rows, np.float32)
+                sp[:m] = scales
+                yield g0, m, _dequant_dev(jnp.asarray(rp), jnp.asarray(sp))
+            else:
+                fp = np.zeros((rows, raw.shape[1]), np.float32)
+                fp[:m] = raw
+                yield g0, m, jnp.asarray(fp)
 
 
 def _as_gather(vectors):
@@ -303,7 +338,7 @@ def pack_cells(
 
 def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
                            positions, int8_out: bool, chunk: int = 1_000_000,
-                           pq_codebooks=None):
+                           pq_codebooks=None, pq_precomputed=None):
     """Copy `phys_rows` from the source into vec/scale/sq at `positions`,
     chunked so the f32 transient stays bounded. int8 output takes the
     bit-exact raw path when the source stores int8; otherwise it gathers
@@ -312,6 +347,11 @@ def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
     RECONSTRUCTION's (ADC ranks against x_hat)."""
     from tpuvdb.kernels.quant import quantize_rows_np
 
+    if pq_precomputed is not None:  # codes from the fused assign+encode pass
+        codes_all, rsq_all = pq_precomputed
+        vec_out[positions] = codes_all[phys_rows]
+        sq_out[positions] = rsq_all[phys_rows]
+        return
     if pq_codebooks is not None:
         from tpuvdb.kernels.pq import encode_pq
 
@@ -344,7 +384,8 @@ def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
 
 
 def _pack_cells_from_source(source, rows, assign_live, nlist, window,
-                            int8_out: bool, pq_codebooks=None):
+                            int8_out: bool, pq_codebooks=None,
+                            pq_precomputed=None):
     """pack_cells over a row source: same contiguous 128-aligned layout,
     but rows copy straight into the TARGET dtype (int8 cells pack in
     ~1 byte/dim host memory instead of materializing the f32 corpus;
@@ -375,7 +416,8 @@ def _pack_cells_from_source(source, rows, assign_live, nlist, window,
     main = pos_in_cell < window
     gpos = offsets[cells_sorted[main]] + pos_in_cell[main]
     _fill_rows_from_source(source, rows_sorted[main], gvec, gscales, gsq,
-                           gpos, int8_out, pq_codebooks=pq_codebooks)
+                           gpos, int8_out, pq_codebooks=pq_codebooks,
+                           pq_precomputed=pq_precomputed)
     gval[gpos] = True
     grow[gpos] = rows_sorted[main]
     spill_rows = np.asarray(rows_sorted[~main], dtype=np.int64)
@@ -731,6 +773,8 @@ class IVFIndex:
         live_idx = np.flatnonzero(valid)
         if len(live_idx) == 0:
             raise ValueError("cannot build IVF over empty corpus")
+        if pq_codebooks is not None and not pq_subq:
+            pq_subq = int(pq_codebooks.shape[0])
         if pq_subq:
             if d % pq_subq != 0:
                 raise ValueError(f"pq_subq={pq_subq} must divide dim={d}")
@@ -775,15 +819,27 @@ class IVFIndex:
         cents_j = jnp.asarray(centroids)
         blk = 262_144
         assign = np.full(n, -1, np.int32)
-        for g0, fblk in source.iter_blocks_f32(blk):
-            m = fblk.shape[0]
-            if m < blk:
-                fb = np.zeros((_round_up(m, 65536), d), np.float32)
-                fb[:m] = fblk
-            else:
-                fb = fblk
-            a = np.asarray(assign_blockwise(jnp.asarray(fb), cents_j))[:m]
+        # PQ: encode in the SAME pass over the SAME device-resident block
+        # (one host->device upload serves both programs; at 32M x 768 the
+        # uploads dominate the build, so a separate encode pass would
+        # double the build's transfer volume) — packing then copies the
+        # precomputed codes host-side instead of gathering f32 rows again
+        pq_codes = pq_rsq = None
+        if pq_codebooks is not None:
+            from tpuvdb.kernels.pq import _encode_scan
+
+            pq_codes = np.empty((n, pq_subq), np.uint8)
+            pq_rsq = np.empty(n, np.float32)
+            cb_j = jnp.asarray(pq_codebooks, jnp.float32)
+        for g0, m, dev in source.iter_blocks_dev(blk, pad_to=65536):
+            a = np.asarray(assign_blockwise(dev, cents_j))[:m]
             assign[g0 : g0 + m] = a
+            if pq_codes is not None:
+                codes, rsq = _encode_scan(
+                    dev.reshape(dev.shape[0], pq_subq, d // pq_subq),
+                    cb_j, block=16384)
+                pq_codes[g0 : g0 + m] = np.asarray(codes)[:m]
+                pq_rsq[g0 : g0 + m] = np.asarray(rsq)[:m]
         assign = np.where(valid, assign, -1)
 
         # 3. skew control: bound the max cell, then PACK
@@ -807,7 +863,9 @@ class IVFIndex:
         (gvec, gscales, gsq, gval, grow, cell_offsets, cell_lens,
          spill_rows) = _pack_cells_from_source(
             source, live2, assign[live2], nlist, cell_pad, int8_out,
-            pq_codebooks=pq_codebooks)
+            pq_codebooks=pq_codebooks,
+            pq_precomputed=((pq_codes, pq_rsq) if pq_codes is not None
+                            else None))
 
         # spill reserve: free tail capacity so append_rows can overflow
         # full cells here instead of forcing a rebuild (scaled down for
@@ -826,7 +884,10 @@ class IVFIndex:
         if ns:
             _fill_rows_from_source(source, spill_rows, svec, sscales, ssq,
                                    np.arange(ns), int8_out,
-                                   pq_codebooks=pq_codebooks)
+                                   pq_codebooks=pq_codebooks,
+                                   pq_precomputed=((pq_codes, pq_rsq)
+                                                   if pq_codes is not None
+                                                   else None))
             sval[:ns] = True
             srow[:ns] = spill_rows
 
