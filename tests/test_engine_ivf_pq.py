@@ -130,16 +130,64 @@ def test_pq_filtered_search(rng):
     assert all(int(k[1:]) % 2 == 1 for k in r.search_result.keys)
 
 
-def test_pq_mesh_raises_loudly(rng):
+def test_pq_on_mesh_end_to_end(rng):
+    """IVF-PQ on the 8-device mesh: per-device coarse structures over PQ
+    code cells, collective top-k merge, exact re-rank — self-queries
+    exact despite lossy cells."""
     from tpuvdb.mesh.mesh import create_mesh
 
     mesh = create_mesh()  # 8 virtual CPU devices
     if mesh.size <= 1:
         pytest.skip("needs multi-device mesh")
-    eng = VectorDBEngine(pq_config(), mesh=mesh)
-    fill(eng, rng, 200)
-    with pytest.raises(ValueError, match="mesh"):
-        eng.flush()
+    eng = VectorDBEngine(pq_config(ivf_nlist=16), mesh=mesh)
+    vecs = fill(eng, rng, 800)
+    eng.flush()
+    assert eng._ivf is not None and eng._ivf.pq
+    for key in ("k3", "k123", "k700"):
+        r = eng.search(SearchRequest(query_vector=vecs[key], top_k=5))
+        assert r.success and r.search_result.keys[0] == key
+        assert r.search_result.scores[0] < 1e-2
+    # deletes flow through the sharded validity scatters
+    assert eng.delete("k3").success
+    r = eng.search(SearchRequest(query_vector=vecs["k3"], top_k=5))
+    assert "k3" not in r.search_result.keys
+
+
+def test_pq_on_mesh_appends(rng):
+    from tpuvdb.mesh.mesh import create_mesh
+
+    mesh = create_mesh()
+    if mesh.size <= 1:
+        pytest.skip("needs multi-device mesh")
+    eng = VectorDBEngine(pq_config(ivf_nlist=16, ivf_delta_max=64),
+                         mesh=mesh)
+    fill(eng, rng, 600)
+    eng.flush()
+    vecs2 = fill(eng, rng, 200, prefix="m")
+    eng.flush()
+    assert eng.stats.get("ivf_appends", 0) > 0
+    r = eng.search(SearchRequest(query_vector=vecs2["m150"], top_k=3))
+    assert r.search_result.keys[0] == "m150"
+    assert r.search_result.scores[0] < 1e-2
+
+
+def test_pq_on_replicated_2d_mesh(rng):
+    """PQ cells on the 2-D (repl, shards) mesh: codebooks replicate via
+    the P() spec, query batches split over the repl axis (odd batch
+    exercises the padding)."""
+    from tpuvdb.mesh.replicated import create_mesh_2d
+
+    mesh = create_mesh_2d(2, 4)
+    eng = VectorDBEngine(pq_config(ivf_nlist=16), mesh=mesh)
+    vecs = fill(eng, rng, 600)
+    eng.flush()
+    assert eng._ivf.pq and eng._ivf.repl_axis == "repl"
+    keys = [f"k{i}" for i in range(41, 54)]  # 13 queries: odd batch
+    q = np.stack([vecs[k] for k in keys])
+    dists, got = eng.search_batch(q, 3)
+    for i, k in enumerate(keys):
+        assert got[i][0] == k, (i, got[i])
+        assert dists[i][0] < 1e-2
 
 
 def test_pq_config_validation():

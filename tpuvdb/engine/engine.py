@@ -650,12 +650,6 @@ class VectorDBEngine:
                     raise ValueError(
                         f"IVF needs a 1-D ({cfg.mesh_axis},) or 2-D "
                         f"(repl, {cfg.mesh_axis}) mesh; got axes {axes}")
-                if cfg.ivf_pq_subq:
-                    # loud, not a silent single-device fallback (the
-                    # VERDICT r2 missing-#4 rule applied to PQ)
-                    raise ValueError(
-                        "ivf_pq_subq on a device mesh is not supported "
-                        "yet; run IVF-PQ single-device or drop pq")
                 if len(axes) == 2:
                     repl_axis = next(a for a in axes if a != cfg.mesh_axis)
             ndev = self.mesh.shape[cfg.mesh_axis] if use_mesh else 1
@@ -687,6 +681,8 @@ class VectorDBEngine:
                     self._consume_ivf_warm(live, ndim=3, lead=ndev)
                 nprobe = cfg.ivf_nprobe if warm_cents is not None \
                     else min(cfg.ivf_nprobe, nlist)
+                warm_cb = getattr(self, "_ivf_pq_warm", None)
+                self._ivf_pq_warm = None
                 self._ivf = ShardedIVFIndex.build(
                     vecs, valid, self.mesh, axis=cfg.mesh_axis,
                     nlist=nlist, nprobe=nprobe,
@@ -695,12 +691,17 @@ class VectorDBEngine:
                     recall_target=cfg.recall_target,
                     centroids=warm_cents,
                     repl_axis=repl_axis,
+                    pq_subq=cfg.ivf_pq_subq,
+                    pq_codebooks=warm_cb,
                 )
                 # compile the append-path programs on the slow path (see
                 # IVFIndex.warm_append — same stall on the mesh branch)
                 self._ivf.warm_append()
                 self._ivf_train_state = (np.asarray(self._ivf.centroids),
                                          trained_live, mut_train)
+                self._ivf_pq_state = (
+                    np.asarray(self._ivf.pq_codebooks)
+                    if self._ivf.pq else None)
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))

@@ -1108,18 +1108,10 @@ class IVFIndex:
             # encode in the same fixed chunk shape as the assignment GEMM
             # (one compiled encode serves every serving batch size); the
             # scanner ranks against reconstructions, so sq is recon_sq
-            from tpuvdb.kernels.pq import encode_pq
+            from tpuvdb.kernels.pq import encode_pq_chunked
 
-            cb_np = np.asarray(self.pq_codebooks)
-            payload = np.empty((m, cb_np.shape[0]), np.uint8)
-            sq = np.empty(m, np.float32)
-            for lo in range(0, m, _ASSIGN_CHUNK):
-                chunk = vecs[lo : lo + _ASSIGN_CHUNK]
-                vp = np.zeros((_ASSIGN_CHUNK, vecs.shape[1]), np.float32)
-                vp[: len(chunk)] = chunk
-                c, r = encode_pq(vp, cb_np, block=_ASSIGN_CHUNK)
-                payload[lo : lo + len(chunk)] = c[: len(chunk)]
-                sq[lo : lo + len(chunk)] = r[: len(chunk)]
+            payload, sq = encode_pq_chunked(
+                vecs, np.asarray(self.pq_codebooks), chunk=_ASSIGN_CHUNK)
         else:
             payload = vecs
             sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)

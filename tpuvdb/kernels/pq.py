@@ -197,6 +197,29 @@ def encode_pq(
     return np.asarray(codes)[:n], np.asarray(rsq)[:n]
 
 
+def encode_pq_chunked(
+    vecs: np.ndarray,
+    codebooks: np.ndarray,
+    chunk: int = 16384,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """encode_pq in FIXED chunk shapes: one compiled encode program serves
+    every batch size (the serving append path runs under the engine lock,
+    where a fresh XLA compile is a stall — same rationale as the
+    assignment GEMM's fixed chunks in index/ivf.py)."""
+    vecs = np.asarray(vecs, np.float32)
+    m, d = vecs.shape
+    codes = np.empty((m, codebooks.shape[0]), np.uint8)
+    rsq = np.empty(m, np.float32)
+    for lo in range(0, m, chunk):
+        part = vecs[lo : lo + chunk]
+        vp = np.zeros((chunk, d), np.float32)
+        vp[: len(part)] = part
+        c, r = encode_pq(vp, codebooks, block=chunk)
+        codes[lo : lo + len(part)] = c[: len(part)]
+        rsq[lo : lo + len(part)] = r[: len(part)]
+    return codes, rsq
+
+
 def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Reconstruct (n, d) f32 rows from codes — host-side helper for
     rescoring/tests (the hot path never decodes)."""

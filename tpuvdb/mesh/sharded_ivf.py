@@ -45,7 +45,7 @@ def _round_up_arr_np(x: np.ndarray, m: int) -> np.ndarray:
 def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    recall_target: float, local_rows: int, spill_rows: int,
                    use_pallas: bool = False, quantized: bool = False,
-                   repl_axis: Optional[str] = None):
+                   repl_axis: Optional[str] = None, pq: bool = False):
     """One shard_map program per (mesh, shape) signature. With `repl_axis`
     (a 2-D (repl, shards) mesh) the query batch SPLITS over the replica
     axis — each replica group serves its slice against its full copy of
@@ -55,7 +55,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     ndev = mesh.shape[axis]
 
     def local_gather(q, cents, offsets, lens, grouped, gscale, gsq, gval,
-                     spill, sscale, ssq, sval):
+                     spill, sscale, ssq, sval, cbs):
         """XLA row-gather probe (CPU path / fallback). Cells are PACKED at
         offsets with lens live rows; window over-scan is masked so a row
         probed via two cells cannot occupy two top-k slots."""
@@ -74,6 +74,40 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    ).reshape(q.shape[0], -1)
         csq = jnp.take(gsq, cand, axis=0)
         cval = jnp.take(gval, cand, axis=0)
+        if pq:
+            # PQ code cells: ADC against the per-query LUT; csq already
+            # holds reconstruction norms (index/ivf.py _ivf_search_pq)
+            from tpuvdb.kernels import pq as pqk
+
+            lut = pqk._pq_lut(qf, cbs)
+            codes_g = jnp.take(grouped, cand, axis=0)       # (Q, R, M)
+            dots_half = pqk.adc_scores_gathered(lut, codes_g)  # = 2 q.x
+            neg = jnp.where(cval & in_cell, dots_half - csq, -jnp.inf)
+            s_n, m_subq = spill.shape
+            jota = jnp.arange(256, dtype=jnp.int32)
+            onehot = (spill.astype(jnp.int32)[:, :, None] == jota
+                      ).astype(jnp.bfloat16)
+            sdots = jax.lax.dot_general(
+                lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16),
+                onehot.reshape(s_n, m_subq * 256),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sneg = jnp.where(sval[None, :], sdots - ssq[None, :], -jnp.inf)
+            spill_ids = local_rows + jax.lax.broadcasted_iota(
+                jnp.int32, (1, s_n), 1)
+            all_neg = jnp.concatenate(
+                [neg, jnp.broadcast_to(sneg, (q.shape[0], s_n))], axis=1)
+            all_ids = jnp.concatenate(
+                [cand, jnp.broadcast_to(spill_ids, (q.shape[0], s_n))],
+                axis=1)
+            kk = min(k, all_neg.shape[1])
+            lneg, pos = jax.lax.approx_max_k(all_neg, kk,
+                                             recall_target=recall_target)
+            lids = jnp.take_along_axis(all_ids, pos.astype(jnp.int32),
+                                       axis=1)
+            lids = jnp.where(lneg == -jnp.inf, -1, lids)
+            ldist = jnp.where(lids >= 0, q_sq - lneg, jnp.inf)
+            return ldist, lids, kk
         if quantized:
             # scaled int8 cells: dequantize at the gather (small candidate
             # set), norms stay exact f32 (index/ivf.py int8 scheme)
@@ -111,7 +145,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         return ldist, lids, kk
 
     def local(q, cents, offsets, lens, grouped, gscale, gsq, gval,
-              spill, sscale, ssq, sval):
+              spill, sscale, ssq, sval, cbs):
         # leading device axis arrives as size-1 blocks
         cents, grouped = cents[0], grouped[0]
         offsets, lens = offsets[0], lens[0]
@@ -137,7 +171,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         else:
             ldist, lids, kk = local_gather(q, cents, offsets, lens, grouped,
                                            gscale, gsq, gval,
-                                           spill, sscale, ssq, sval)
+                                           spill, sscale, ssq, sval, cbs)
 
         # encode device ownership, merge across the mesh on TRUE distances
         # (the per-query ||q||^2 shift is constant, so ordering is global)
@@ -159,8 +193,10 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     fn = shard_map(
         local,
         mesh=mesh,
+        # codebooks (last operand) replicate to every device: specs P()
         in_specs=(q_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P()),
         out_specs=(q_spec, q_spec),
         check_vma=False,
     )
@@ -172,7 +208,7 @@ class ShardedIVFIndex:
                  grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
                  cell_pad, nprobe, recall_target,
                  cell_scales=None, spill_scales=None, rows_per_dev=0,
-                 cell_caps=None, repl_axis=None):
+                 cell_caps=None, repl_axis=None, pq_codebooks=None):
         self.mesh = mesh
         self.axis = axis
         # 2-D (repl, shards) mesh: cell structures replicate across this
@@ -203,6 +239,11 @@ class ShardedIVFIndex:
         self.cell_scales = cell_scales    # (ndev, local_rows) f32 | None
         self.spill_scales = spill_scales  # (ndev, spill_rows) f32 | None
         self.quantized = cell_scales is not None
+        # PQ code cells: GLOBAL codebooks (replicated to every device);
+        # the coarse structure stays per-device
+        self.pq_codebooks = (jnp.asarray(pq_codebooks, jnp.float32)
+                             if pq_codebooks is not None else None)
+        self.pq = pq_codebooks is not None
 
     @classmethod
     def build(
@@ -220,12 +261,34 @@ class ShardedIVFIndex:
         recall_target: float = 0.95,
         centroids: Optional[np.ndarray] = None,  # (ndev, nl, d) warm-start
         repl_axis: Optional[str] = None,  # 2-D mesh: the replica axis
+        pq_subq: int = 0,                 # >0: PQ code cells (IVF-PQ)
+        pq_codebooks: Optional[np.ndarray] = None,  # warm-start codebooks
     ) -> "ShardedIVFIndex":
         ndev = mesh.shape[axis]
         n, d = vectors.shape
         if n % ndev != 0:
             raise ValueError(f"rows {n} % devices {ndev} != 0")
         per = n // ndev
+        if pq_codebooks is not None and not pq_subq:
+            pq_subq = int(pq_codebooks.shape[0])
+        if pq_subq:
+            if d % pq_subq != 0:
+                raise ValueError(f"pq_subq={pq_subq} must divide dim={d}")
+            if dtype == jnp.int8:
+                raise ValueError("pq_subq and int8 cells are exclusive")
+            if (pq_codebooks is not None
+                    and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
+                pq_codebooks = None  # stale warm shape: retrain
+            if pq_codebooks is None:
+                from tpuvdb.kernels.pq import train_pq
+
+                live_all = np.flatnonzero(valid)
+                rng_ = np.random.default_rng(seed)
+                take = (rng_.choice(live_all, 262_144, replace=False)
+                        if len(live_all) > 262_144 else live_all)
+                pq_codebooks = train_pq(
+                    np.asarray(vectors[np.sort(take)], np.float32),
+                    m_subq=pq_subq, seed=seed)
         warm = centroids
         if (warm is not None
                 and (warm.ndim != 3 or warm.shape[0] != ndev
@@ -341,6 +404,20 @@ class ShardedIVFIndex:
         ssq = np.einsum("knd,knd->kn", spill, spill).astype(np.float32)
 
         gscale = sscale = None
+        if pq_subq:
+            # PQ code cells: rows become M-byte codes, norms become
+            # reconstruction norms (ADC ranks against x_hat; pad rows are
+            # masked by gval/sval so their garbage norms never surface)
+            from tpuvdb.kernels.pq import encode_pq_chunked
+
+            gq = np.zeros(grouped.shape[:2] + (pq_subq,), np.uint8)
+            sq8 = np.zeros(spill.shape[:2] + (pq_subq,), np.uint8)
+            for dev in range(ndev_):
+                gq[dev], gsq[dev] = encode_pq_chunked(grouped[dev],
+                                                      pq_codebooks)
+                sq8[dev], ssq[dev] = encode_pq_chunked(spill[dev],
+                                                       pq_codebooks)
+            grouped, spill = gq, sq8
         if dtype == jnp.int8:
             # scaled int8 cells: per-row quantization, exact f32 norms —
             # the HBM capacity knob for the 100M-scale config, now on the
@@ -366,7 +443,7 @@ class ShardedIVFIndex:
             centroids=put(cents_all, Pax),
             cell_offsets=put(offsets_all, Pax),
             cell_lens=put(lens_all, Pax),
-            grouped=put(grouped if dtype == jnp.int8
+            grouped=put(grouped if (dtype == jnp.int8 or pq_subq)
                         else grouped.astype(np.float32), Pax),
             gsq=put(gsq, Pax),
             gval=put(gval, Pax),
@@ -384,6 +461,7 @@ class ShardedIVFIndex:
             cell_caps=np.minimum(_round_up_arr_np(lens_all.astype(np.int64),
                                                   128), cell_pad),
             repl_axis=repl_axis,
+            pq_codebooks=pq_codebooks,
         )
 
     def stats(self):
@@ -464,6 +542,12 @@ class ShardedIVFIndex:
             pad_pos = np.full(1, flat.shape[0], np.int64)
             flat = IVFIndex._scatter_flags(flat, pad_pos)
             setattr(self, name, jax.device_put(flat.reshape(shape), Pax))
+        if self.pq:
+            from tpuvdb.kernels.pq import encode_pq_chunked
+
+            dim = int(self.centroids.shape[-1])
+            encode_pq_chunked(np.zeros((1, dim), np.float32),
+                              np.asarray(self.pq_codebooks))
 
     def append_rows(self, physical_rows: np.ndarray,
                     vectors: np.ndarray) -> bool:
@@ -534,7 +618,14 @@ class ShardedIVFIndex:
         # re-shard each updated array back over the mesh axis
         from tpuvdb.index.ivf import commit_append_region
 
-        sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+        if self.pq:
+            from tpuvdb.kernels.pq import encode_pq_chunked
+
+            payload, sq = encode_pq_chunked(
+                vecs, np.asarray(self.pq_codebooks))
+        else:
+            payload = vecs
+            sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
         if self.quantized:
             from tpuvdb.kernels.quant import quantize_rows_np
 
@@ -547,7 +638,7 @@ class ShardedIVFIndex:
         self.cell_lens = jax.device_put(
             jnp.asarray(lens_all, jnp.int32), Pax)
         self._inv_g = self._inv_s = None
-        d = vecs.shape[1]
+        d = int(self.grouped.shape[-1])  # M for PQ cells, dim otherwise
         if g_take:
             gp = np.asarray(g_pos_flat, np.int64)
             gt = np.asarray(g_take, np.int64)
@@ -556,7 +647,7 @@ class ShardedIVFIndex:
                 self.grouped.reshape(ndev * local_rows, d),
                 self.gsq.reshape(-1), self.gval.reshape(-1),
                 self.cell_scales.reshape(-1) if self.quantized else None,
-                self.row_ids.reshape(-1), gp, phys[gt], vecs[gt], sq[gt],
+                self.row_ids.reshape(-1), gp, phys[gt], payload[gt], sq[gt],
                 qvecs[gt] if self.quantized else None,
                 qscales[gt] if self.quantized else None)
             self.grouped = reshard(vec_a, (ndev, local_rows, d))
@@ -572,7 +663,7 @@ class ShardedIVFIndex:
                 self.spill.reshape(sdev * spill_rows, d),
                 self.ssq.reshape(-1), self.sval.reshape(-1),
                 self.spill_scales.reshape(-1) if self.quantized else None,
-                self.spill_row_ids.reshape(-1), sp, phys[st], vecs[st],
+                self.spill_row_ids.reshape(-1), sp, phys[st], payload[st],
                 sq[st], qvecs[st] if self.quantized else None,
                 qscales[st] if self.quantized else None)
             self.spill = reshard(vec_a, (sdev, spill_rows, d))
@@ -611,11 +702,12 @@ class ShardedIVFIndex:
         nprobe = min(nprobe or self.nprobe, self.centroids.shape[1])
         local_rows = self.grouped.shape[1]
         spill_rows = self.spill.shape[1]
-        use_pallas = jax.default_backend() == "tpu"
+        # PQ cells take the XLA ADC path everywhere (no pallas PQ probe)
+        use_pallas = jax.default_backend() == "tpu" and not self.pq
         fn = _build_program(self.mesh, self.axis, k, nprobe, self.cell_pad,
                             self.recall_target, local_rows, spill_rows,
                             use_pallas, quantized=self.quantized,
-                            repl_axis=self.repl_axis)
+                            repl_axis=self.repl_axis, pq=self.pq)
         if self.quantized:
             gscale, sscale = self.cell_scales, self.spill_scales
         else:  # placeholder rides the same specs; the f32 branch ignores it
@@ -632,10 +724,12 @@ class ShardedIVFIndex:
             if pad:
                 q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]),
                                                   q.dtype)])
+        cbs = (self.pq_codebooks if self.pq
+               else jnp.zeros((1, 1, 1), jnp.float32))  # rides the P() spec
         dist, gids = fn(q, self.centroids,
                         self.cell_offsets, self.cell_lens,
                         self.grouped, gscale, self.gsq, gval,
-                        self.spill, sscale, self.ssq, sval)
+                        self.spill, sscale, self.ssq, sval, cbs)
         if pad:
             dist, gids = dist[:qn], gids[:qn]
         gids = np.asarray(gids)
