@@ -73,7 +73,9 @@ def main():
 
     from tpuvdb.core.config import DBConfig
     from tpuvdb.engine.engine import VectorDBEngine
+    from tpuvdb.utils.hostmem import keep_malloc_warm
 
+    keep_malloc_warm()  # first-touch costs ~100 MB/s on this host class
     N, DIM, K = args.rows, args.dim, args.k
     shards = 4
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="tpuvdb_cap_")

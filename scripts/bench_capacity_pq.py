@@ -72,7 +72,9 @@ def main():
 
     from tpuvdb.core.config import DBConfig
     from tpuvdb.engine.engine import VectorDBEngine
+    from tpuvdb.utils.hostmem import keep_malloc_warm
 
+    keep_malloc_warm()  # first-touch costs ~100 MB/s on this host class
     N, DIM, K = args.rows, args.dim, args.k
     shards = 4
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="tpuvdb_pq_")
@@ -103,12 +105,15 @@ def main():
     B = 65536
     t0 = time.perf_counter()
     held_out = []
+    noise = np.empty((B, DIM), np.float32)  # reused: no fresh-page faults
+    block = np.empty((B, DIM), np.float32)
     for lo in range(0, N, B):
         n = min(B, N - lo)
         cid = rng.integers(0, n_clusters, n)
-        block = (cents[cid]
-                 + 0.4 * rng.standard_normal((n, DIM)).astype(np.float32))
-        r = eng.put_rows([f"k{i}" for i in range(lo, lo + n)], block)
+        rng.standard_normal(out=noise[:n], dtype=np.float32)
+        np.multiply(noise[:n], 0.4, out=block[:n])
+        block[:n] += cents[cid]
+        r = eng.put_rows([f"k{i}" for i in range(lo, lo + n)], block[:n])
         assert r.success, r.message
         if lo == 0:
             held_out = block[:64].copy()

@@ -40,7 +40,9 @@ def main():
     import jax.numpy as jnp
 
     from tpuvdb.index.ivf import IVFIndex, _ivf_search_pq
+    from tpuvdb.utils.hostmem import keep_malloc_warm
 
+    keep_malloc_warm()
     rng = np.random.default_rng(0)
     n, d = args.rows, args.dim
     nc = args.nlist
