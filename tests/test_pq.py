@@ -117,6 +117,15 @@ def test_gathered_adc_variants_agree(rng):
     tol = 0.008 * np.abs(lut).max() * m_subq
     np.testing.assert_allclose(got_oh, want, rtol=2e-2, atol=tol)
 
+    # the serving-path grouped-GEMM formulation (incl. the query-group
+    # padding path: 5 queries with q_group=4 -> one padded group)
+    got_gr = np.asarray(pq.adc_scores_grouped(
+        jnp.asarray(lut), jnp.asarray(codes_g), chunk=16, q_group=4))
+    np.testing.assert_allclose(got_gr, want, rtol=2e-2, atol=tol)
+    got_gr8 = np.asarray(pq.adc_scores_grouped(
+        jnp.asarray(lut), jnp.asarray(codes_g), chunk=64, q_group=8))
+    np.testing.assert_allclose(got_gr8, want, rtol=2e-2, atol=tol)
+
 
 def test_recall_with_rescore_overfetch(rng):
     """End-to-end quality bar: PQ overfetch + exact re-rank recovers

@@ -353,15 +353,11 @@ def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
         sq_out[positions] = rsq_all[phys_rows]
         return
     if pq_codebooks is not None:
-        from tpuvdb.kernels.pq import encode_pq
-
-        for lo in range(0, len(phys_rows), chunk):
-            r = phys_rows[lo : lo + chunk]
-            p = positions[lo : lo + chunk]
-            codes, rsq = encode_pq(source.gather_f32(r), pq_codebooks)
-            vec_out[p] = codes
-            sq_out[p] = rsq
-        return
+        # PQ cells are RESIDUAL-coded (tied to each row's cell centroid):
+        # filling them requires the precomputed (codes, recon_sq) from the
+        # assign+encode pass — a cell-blind re-encode here would silently
+        # corrupt distances
+        raise ValueError("PQ fill requires pq_precomputed codes")
 
     raw_ok = int8_out and getattr(source, "all_int8", False)
     for lo in range(0, len(phys_rows), chunk):
@@ -591,26 +587,37 @@ def _ivf_search_int8(
                                               "recall_target"))
 def _ivf_search_pq(
     queries, centroids, cell_offsets, cell_lens, grouped_codes, codebooks,
-    grouped_sq, grouped_valid, spill_codes, spill_sq, spill_valid,
-    nprobe: int, k: int, cell_pad: int, recall_target: float = 0.95,
+    grouped_sq, grouped_valid, spill_codes, spill_cells, spill_sq,
+    spill_valid, nprobe: int, k: int, cell_pad: int,
+    recall_target: float = 0.95,
 ):
-    """PQ-cell variant (IVF-PQ): cells hold M-byte codes instead of rows.
+    """PQ-cell variant (IVF-PQ): cells hold M-byte RESIDUAL codes.
+
+    Codes quantize (x - c_cell); the distance decomposes as
+        d^2 = ||q||^2 - 2 q.c - 2 q.r_hat + ||c + r_hat||^2
+    where 2 q.c is already on hand from the coarse GEMM, 2 q.r_hat is
+    the ADC sum against a QUERY-ONLY LUT (the term separation is what
+    makes residual IVF-PQ TPU-friendly — no per-cell LUTs), and the
+    stored norm covers the rest. Residual coding is what gives
+    within-cell discrimination: global codebooks spend their entries
+    reproducing WHICH cluster a row is in — information the coarse
+    quantizer already has — and recall collapsed to 0.19 at 16M x 768
+    on clustered data without it.
 
     Probing gathers candidate CODE rows (M bytes each — d/M x less DMA
-    than the int8 variant) and scores them by ADC against the per-query
-    LUT (kernels/pq.adc_scores_gathered); the spill region — always
-    scanned by every query — takes the gather-free one-hot MXU path
-    (kernels/pq.pq_topk's block formulation). Distances are squared-L2
-    to the RECONSTRUCTION; the engine's exact re-rank from the host
-    mirror recovers true-distance ordering."""
+    than the int8 variant); the always-scanned spill region takes the
+    gather-free one-hot MXU path with per-row cell ids (spill_cells)
+    supplying its centroid term. The engine's exact re-rank from the
+    host mirror restores true-distance ordering over the candidates."""
     from tpuvdb.kernels import pq as pqk
 
     qf = queries.astype(jnp.float32)
     q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
     c_sq = jnp.sum(centroids * centroids, axis=-1)
-    c_scores = 2.0 * jnp.dot(qf, centroids.T,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+    qc2 = 2.0 * jnp.dot(qf, centroids.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (Q, nlist)
+    c_scores = qc2 - c_sq[None, :]
     _, cells = jax.lax.top_k(c_scores, nprobe)
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
     starts = jnp.take(cell_offsets, cells, axis=0)
@@ -622,10 +629,16 @@ def _ivf_search_pq(
     codes_g = jnp.take(grouped_codes, cand, axis=0)       # (Q, R, M) u8
     csq = jnp.take(grouped_sq, cand, axis=0)
     cval = jnp.take(grouped_valid, cand, axis=0)
-    dots = pqk.adc_scores_gathered(lut, codes_g)          # (Q, R) = 2 q.x
-    neg = jnp.where(cval & in_cell, dots - csq, -jnp.inf)
+    dots = pqk.adc_scores_grouped(lut, codes_g)          # (Q, R) = 2 q.r
+    # per-candidate centroid term: the probed cell's 2 q.c broadcast over
+    # its window (over-scan rows are masked by in_cell, so every scored
+    # row's cell IS the probed cell it was encoded against)
+    qc_cand = jnp.repeat(jnp.take_along_axis(qc2, cells, axis=1),
+                         cell_pad, axis=1)                # (Q, R)
+    neg = jnp.where(cval & in_cell, qc_cand + dots - csq, -jnp.inf)
 
-    # spill: dense one-hot GEMM over the whole (small) region
+    # spill: dense one-hot GEMM over the whole (small) region; centroid
+    # term gathered per spill row via its stored cell id
     s_n, m_subq = spill_codes.shape
     jota = jnp.arange(256, dtype=jnp.int32)
     onehot = (spill_codes.astype(jnp.int32)[:, :, None] == jota
@@ -634,8 +647,10 @@ def _ivf_search_pq(
         lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16),
         onehot.reshape(s_n, m_subq * 256),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    sneg = jnp.where(spill_valid[None, :], sdots - spill_sq[None, :],
-                     -jnp.inf)
+    qc_spill = jnp.take(qc2, jnp.clip(spill_cells, 0, qc2.shape[1] - 1),
+                        axis=1)                            # (Q, S)
+    sneg = jnp.where(spill_valid[None, :],
+                     qc_spill + sdots - spill_sq[None, :], -jnp.inf)
     spill_ids = grouped_codes.shape[0] + jax.lax.broadcasted_iota(
         jnp.int32, (1, s_n), 1)
     all_neg = jnp.concatenate(
@@ -684,6 +699,7 @@ class IVFIndex:
         cell_scales: Optional[jax.Array] = None,   # (N_g,) int8 dequant
         spill_scales: Optional[jax.Array] = None,  # (S,)
         pq_codebooks: Optional[jax.Array] = None,  # (M, 256, d/M) f32
+        spill_cells: Optional[np.ndarray] = None,  # (S,) i32 residual cells
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.cell_offsets = jnp.asarray(cell_offsets, jnp.int32)
@@ -709,6 +725,12 @@ class IVFIndex:
         self.pq_codebooks = (jnp.asarray(pq_codebooks, jnp.float32)
                              if pq_codebooks is not None else None)
         self.pq = pq_codebooks is not None
+        if self.pq:
+            if spill_cells is None:
+                spill_cells = np.zeros(int(spill.shape[0]), np.int32)
+            self.spill_cells = jnp.asarray(spill_cells, jnp.int32)
+        else:
+            self.spill_cells = None
 
     # ------------------------------------------------------------------ build
 
@@ -761,6 +783,7 @@ class IVFIndex:
         centroids: Optional[np.ndarray] = None,
         pq_subq: int = 0,                          # 0 = off; else IVF-PQ
         pq_codebooks: Optional[np.ndarray] = None,  # warm-start codebooks
+        pq_max_cell: int = 2048,                   # PQ scan-window clamp
     ) -> "IVFIndex":
         """Memory-bounded build: the corpus is read through `source` —
         k-means sample and cell members by gather, the assignment pass in
@@ -809,7 +832,19 @@ class IVFIndex:
         if need_cb:
             from tpuvdb.kernels.pq import train_pq
 
-            pq_codebooks = train_pq(sample, m_subq=pq_subq, seed=seed)
+            # RESIDUAL codebooks: train on (x - c_assign) so the 256
+            # entries per subspace model LOCAL structure — the coarse
+            # quantizer already owns the global structure, and global
+            # codebooks gave ~zero within-cell discrimination (recall
+            # 0.19 at 16M x 768 on clustered data)
+            spad = np.zeros((_round_up(len(sample), 4096), d), np.float32)
+            spad[: len(sample)] = sample
+            from tpuvdb.kernels.kmeans import assign_blockwise as _ab
+
+            sa = np.asarray(_ab(jnp.asarray(spad), jnp.asarray(centroids),
+                                block_size=4096))[: len(sample)]
+            pq_codebooks = train_pq(sample - centroids[sa],
+                                    m_subq=pq_subq, seed=seed)
         del sample
 
         # 2. assign every row, streamed in ONE fixed block shape (pad the
@@ -826,18 +861,18 @@ class IVFIndex:
         # precomputed codes host-side instead of gathering f32 rows again
         pq_codes = pq_rsq = None
         if pq_codebooks is not None:
-            from tpuvdb.kernels.pq import _encode_scan
+            from tpuvdb.kernels.pq import _encode_residual_scan
 
             pq_codes = np.empty((n, pq_subq), np.uint8)
             pq_rsq = np.empty(n, np.float32)
             cb_j = jnp.asarray(pq_codebooks, jnp.float32)
         for g0, m, dev in source.iter_blocks_dev(blk, pad_to=65536):
-            a = np.asarray(assign_blockwise(dev, cents_j))[:m]
+            a_dev = assign_blockwise(dev, cents_j)
+            a = np.asarray(a_dev)[:m]
             assign[g0 : g0 + m] = a
             if pq_codes is not None:
-                codes, rsq = _encode_scan(
-                    dev.reshape(dev.shape[0], pq_subq, d // pq_subq),
-                    cb_j, block=16384)
+                codes, rsq = _encode_residual_scan(
+                    dev, a_dev, cents_j, cb_j, block=16384)
                 pq_codes[g0 : g0 + m] = np.asarray(codes)[:m]
                 pq_rsq[g0 : g0 + m] = np.asarray(rsq)[:m]
         assign = np.where(valid, assign, -1)
@@ -849,10 +884,36 @@ class IVFIndex:
             # window ~ 1.25x the median cell; bisect anything bigger so the
             # packed layout stays tight AND the scan window stays small
             cap = int(np.quantile(live_sizes, 0.5) * 1.25)
+            if pq_codebooks is not None:
+                # ADC cost is per CANDIDATE (nprobe * window), not per
+                # byte: clamp the window so huge corpora at modest nlist
+                # bisect into more cells instead of inflating every
+                # query's candidate set (16M rows / nlist 4096 would
+                # otherwise probe 78k rows/query)
+                cap = min(cap, pq_max_cell)
             cell_pad = max(_round_up(max(cap, 1), 128), 128)
+            old_cents = centroids
             centroids, assign = split_oversized_cells(
                 source.gather_f32, assign, centroids, cell_pad, seed=seed)
             nlist = len(centroids)
+            if pq_codes is not None and nlist > len(old_cents):
+                # residual codes are tied to their cell's centroid: rows
+                # whose cell was bisected (parent replaced + children
+                # appended) re-encode against the FINAL centroids
+                from tpuvdb.kernels.pq import encode_pq_residual_chunked
+
+                changed = np.ones(nlist, bool)
+                changed[: len(old_cents)] = np.any(
+                    old_cents != centroids[: len(old_cents)], axis=1)
+                rows_re = np.flatnonzero(
+                    (assign >= 0) & changed[np.maximum(assign, 0)])
+                for lo in range(0, len(rows_re), 1_000_000):
+                    rr = rows_re[lo : lo + 1_000_000]
+                    codes, rsq = encode_pq_residual_chunked(
+                        source.gather_f32(rr), assign[rr], centroids,
+                        pq_codebooks)
+                    pq_codes[rr] = codes
+                    pq_rsq[rr] = rsq
         else:
             cap = (int(np.quantile(sizes, cell_cap_quantile))
                    if nlist > 1 else int(sizes.max()))
@@ -880,6 +941,7 @@ class IVFIndex:
         ssq = np.zeros(s_pad, np.float32)
         sval = np.zeros(s_pad, bool)
         srow = np.full(s_pad, -1, np.int64)
+        scell = np.zeros(s_pad, np.int32)  # residual-PQ: cell per spill row
         ns = len(spill_rows)
         if ns:
             _fill_rows_from_source(source, spill_rows, svec, sscales, ssq,
@@ -890,6 +952,7 @@ class IVFIndex:
                                                    else None))
             sval[:ns] = True
             srow[:ns] = spill_rows
+            scell[:ns] = assign[spill_rows]
 
         cell_scales = spill_scales = None
         if int8_out:
@@ -921,6 +984,7 @@ class IVFIndex:
             cell_scales=cell_scales,
             spill_scales=spill_scales,
             pq_codebooks=pq_codebooks,
+            spill_cells=scell if pq_codebooks is not None else None,
         )
 
     # ----------------------------------------------------------------- search
@@ -963,8 +1027,9 @@ class IVFIndex:
                 dist, gid = _ivf_search_pq(
                     jnp.asarray(qc), self.centroids, self.cell_offsets,
                     self.cell_lens, self.grouped, self.pq_codebooks,
-                    self.grouped_sq, gval, self.spill, self.spill_sq,
-                    sval, nprobe=nprobe, k=k, cell_pad=self.cell_pad,
+                    self.grouped_sq, gval, self.spill, self.spill_cells,
+                    self.spill_sq, sval, nprobe=nprobe, k=k,
+                    cell_pad=self.cell_pad,
                     recall_target=self.recall_target,
                 )
             elif use_pallas:
@@ -1105,13 +1170,15 @@ class IVFIndex:
 
         # ---- commit: host maps first, then bucketed device scatters
         if self.pq:
-            # encode in the same fixed chunk shape as the assignment GEMM
-            # (one compiled encode serves every serving batch size); the
-            # scanner ranks against reconstructions, so sq is recon_sq
-            from tpuvdb.kernels.pq import encode_pq_chunked
+            # residual encode against each row's ASSIGNED cell, in the
+            # same fixed chunk shape as the assignment GEMM (one compiled
+            # encode serves every serving batch size); sq is the full
+            # reconstruction norm ||c + r_hat||^2
+            from tpuvdb.kernels.pq import encode_pq_residual_chunked
 
-            payload, sq = encode_pq_chunked(
-                vecs, np.asarray(self.pq_codebooks), chunk=_ASSIGN_CHUNK)
+            payload, sq = encode_pq_residual_chunked(
+                vecs, assign, np.asarray(self.centroids),
+                np.asarray(self.pq_codebooks), chunk=_ASSIGN_CHUNK)
         else:
             payload = vecs
             sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
@@ -1141,6 +1208,10 @@ class IVFIndex:
                 self.spill_scales, self.spill_row_ids, sp, phys[st],
                 payload[st], sq[st], qvecs[st] if self.quantized else None,
                 qscales[st] if self.quantized else None)
+            if self.pq:  # residual cell ids for the new spill rows
+                self.spill_cells = self._scatter_payload(
+                    self.spill_cells, sp, assign[st].astype(np.int32),
+                    jnp.int32)
         return True
 
     def warm_append(self):
@@ -1157,10 +1228,15 @@ class IVFIndex:
         assign_blockwise(jnp.zeros((_ASSIGN_CHUNK, d), jnp.float32),
                          self.centroids, block_size=2048)
         if self.pq:
-            from tpuvdb.kernels.pq import encode_pq
+            from tpuvdb.kernels.pq import encode_pq_residual_chunked
 
-            encode_pq(np.zeros((_ASSIGN_CHUNK, d), np.float32),
-                      np.asarray(self.pq_codebooks), block=_ASSIGN_CHUNK)
+            encode_pq_residual_chunked(
+                np.zeros((1, d), np.float32), np.zeros(1, np.int64),
+                np.asarray(self.centroids), np.asarray(self.pq_codebooks),
+                chunk=_ASSIGN_CHUNK)
+            pad_pos = np.full(1, self.spill_cells.shape[0], np.int64)
+            self.spill_cells = self._scatter_payload(
+                self.spill_cells, pad_pos, np.zeros(1, np.int32), jnp.int32)
         z = np.zeros((1, int(self.grouped.shape[1])), np.float32)
         s1 = np.zeros(1, np.float32)
         for arr_name, payload in (("grouped", z), ("grouped_sq", s1),

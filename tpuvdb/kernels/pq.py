@@ -38,7 +38,8 @@ feature.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +198,81 @@ def encode_pq(
     return np.asarray(codes)[:n], np.asarray(rsq)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def _encode_residual_scan(data: jax.Array, assign: jax.Array,
+                          centroids: jax.Array, codebooks: jax.Array,
+                          block: int):
+    """Residual encode for IVF-PQ: codes quantize (x - c_assign), and the
+    stored norm is the FULL reconstruction's ||c + r_hat||^2 (so the
+    probe's distance d^2 = ||q||^2 - 2 q.c - 2 q.r_hat + norm is exact to
+    the reconstruction; 2 q.c comes from the coarse GEMM the probe
+    already runs — residual coding changes NOTHING about the query-side
+    LUT). Returns (codes (n, M) u8, recon_sq (n,) f32)."""
+    n, d = data.shape
+    m_subq, _, dsub = codebooks.shape
+
+    def body(_, i):
+        chunk = jax.lax.dynamic_slice_in_dim(data, i * block, block)
+        a = jax.lax.dynamic_slice_in_dim(assign, i * block, block)
+        cents = jnp.take(centroids, a, axis=0)          # (B, d)
+        res = (chunk - cents).reshape(block, m_subq, dsub)
+        codes = _pq_assign_block_scores(res, codebooks, block)  # (B, M)
+        onehot = (codes[:, :, None]
+                  == jnp.arange(256, dtype=jnp.int32)).astype(codebooks.dtype)
+        r_hat = jnp.einsum("bmj,mjs->bms", onehot, codebooks,
+                           preferred_element_type=jnp.float32)
+        recon = cents + r_hat.reshape(block, d)
+        rsq = jnp.sum(recon * recon, axis=-1)
+        return 0, (codes.astype(jnp.uint8), rsq)
+
+    _, (codes, rsq) = jax.lax.scan(
+        body, 0, jnp.arange(n // block, dtype=jnp.int32))
+    return codes.reshape(n, -1), rsq.reshape(n)
+
+
+def encode_pq_residual_chunked(
+    vecs: np.ndarray,
+    assign: Optional[np.ndarray],
+    centroids,
+    codebooks,
+    chunk: int = 16384,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fixed-chunk residual encode (the append-path twin of
+    encode_pq_chunked; one compiled shape serves every batch size).
+
+    assign=None means `centroids` is a PER-ROW (m, d) centroid array
+    (mesh appends: each row's centroid comes from a different device's
+    table) — the chunked call then passes an identity assignment over
+    the chunk's own centroid slice."""
+    vecs = np.asarray(vecs, np.float32)
+    m, d = vecs.shape
+    cb = jnp.asarray(codebooks, jnp.float32)
+    per_row = assign is None
+    if not per_row:
+        cents = jnp.asarray(centroids, jnp.float32)
+    codes = np.empty((m, cb.shape[0]), np.uint8)
+    rsq = np.empty(m, np.float32)
+    ident = np.arange(chunk, dtype=np.int32)
+    for lo in range(0, m, chunk):
+        part = vecs[lo : lo + chunk]
+        vp = np.zeros((chunk, d), np.float32)
+        vp[: len(part)] = part
+        if per_row:
+            cp = np.zeros((chunk, d), np.float32)
+            cp[: len(part)] = centroids[lo : lo + chunk]
+            c, r = _encode_residual_scan(jnp.asarray(vp),
+                                         jnp.asarray(ident),
+                                         jnp.asarray(cp), cb, block=chunk)
+        else:
+            ap = np.zeros(chunk, np.int32)
+            ap[: len(part)] = assign[lo : lo + chunk]
+            c, r = _encode_residual_scan(jnp.asarray(vp), jnp.asarray(ap),
+                                         cents, cb, block=chunk)
+        codes[lo : lo + len(part)] = np.asarray(c)[: len(part)]
+        rsq[lo : lo + len(part)] = np.asarray(r)[: len(part)]
+    return codes, rsq
+
+
 def encode_pq_chunked(
     vecs: np.ndarray,
     codebooks: np.ndarray,
@@ -315,6 +391,60 @@ def adc_scores_gathered(
 
     vals = jax.vmap(per_q)(lut_t, codes_g)  # (Q, R, M)
     return jnp.sum(vals, axis=-1)
+
+
+def adc_scores_grouped(
+    lut: jax.Array,        # (Q, M, 256) f32
+    codes_g: jax.Array,    # (Q, R, M) uint8
+    chunk: int = 2048,
+    q_group: int = 8,
+) -> jax.Array:
+    """(Q, R) ADC scores as REAL MXU GEMMs — the serving-path formulation.
+
+    The take_along_axis variant lowers to per-element gathers (Q*R*M
+    table lookups): measured seconds per batch at capacity shapes (16M
+    rows, nprobe*cell_pad ~ 78k candidates/query) — it collapsed engine
+    serving to 9 QPS. Here queries process in groups of G: the group's
+    flattened candidate codes one-hot-expand chunkwise to (C, M*256)
+    bf16 and contract against the group's (G, M*256) LUT — a true GEMM
+    with a large N dimension. The G x flop overcount (each query scores
+    the whole group's candidates, the diagonal block is kept) is the
+    price of avoiding gathers; G=8 keeps it far below the gather cost.
+    """
+    q_n, r_n, m_subq = codes_g.shape
+    g = min(q_group, q_n)
+    if q_n % g != 0:  # pad query groups to a common size
+        pad = g - q_n % g
+        lut = jnp.concatenate([lut, jnp.zeros((pad,) + lut.shape[1:],
+                                              lut.dtype)])
+        codes_g = jnp.concatenate(
+            [codes_g, jnp.zeros((pad,) + codes_g.shape[1:],
+                                codes_g.dtype)])
+    n_groups = codes_g.shape[0] // g
+    flat_r = g * r_n
+    if flat_r % chunk != 0:
+        chunk = math.gcd(flat_r, chunk) or flat_r
+    jota = jnp.arange(256, dtype=jnp.int32)
+    lut_g = lut.reshape(n_groups, g, m_subq * 256).astype(jnp.bfloat16)
+    codes_f = codes_g.reshape(n_groups, flat_r, m_subq).astype(jnp.int32)
+
+    def per_group(lut_1, codes_1):
+        def body(_, i):
+            cg = jax.lax.dynamic_slice_in_dim(codes_1, i * chunk, chunk)
+            onehot = (cg[:, :, None] == jota).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                lut_1, onehot.reshape(chunk, m_subq * 256),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (g, C)
+            return 0, out
+
+        _, blocks = jax.lax.scan(
+            body, 0, jnp.arange(flat_r // chunk, dtype=jnp.int32))
+        big = jnp.moveaxis(blocks, 0, 1).reshape(g, g, r_n)
+        return big[jnp.arange(g), jnp.arange(g)]          # (g, R) diagonal
+
+    out = jax.vmap(per_group)(lut_g, codes_f).reshape(-1, r_n)
+    return out[:q_n]
 
 
 def adc_scores_gathered_onehot(

@@ -55,16 +55,17 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     ndev = mesh.shape[axis]
 
     def local_gather(q, cents, offsets, lens, grouped, gscale, gsq, gval,
-                     spill, sscale, ssq, sval, cbs):
+                     spill, sscale, ssq, sval, cbs, scells):
         """XLA row-gather probe (CPU path / fallback). Cells are PACKED at
         offsets with lens live rows; window over-scan is masked so a row
         probed via two cells cannot occupy two top-k slots."""
         qf = q.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=-1, keepdims=True)
         c_sq = jnp.sum(cents * cents, axis=-1)
-        c_scores = 2.0 * jnp.dot(qf, cents.T,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+        qc2 = 2.0 * jnp.dot(qf, cents.T,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        c_scores = qc2 - c_sq[None, :]
         _, cells = jax.lax.top_k(c_scores, nprobe)
 
         offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
@@ -75,14 +76,19 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         csq = jnp.take(gsq, cand, axis=0)
         cval = jnp.take(gval, cand, axis=0)
         if pq:
-            # PQ code cells: ADC against the per-query LUT; csq already
-            # holds reconstruction norms (index/ivf.py _ivf_search_pq)
+            # RESIDUAL PQ code cells: d^2 = ||q||^2 - 2q.c - 2q.r_hat
+            # + ||c + r_hat||^2 — centroid term from the coarse GEMM,
+            # ADC against the query-only LUT, stored reconstruction
+            # norms in csq (see index/ivf.py _ivf_search_pq)
             from tpuvdb.kernels import pq as pqk
 
             lut = pqk._pq_lut(qf, cbs)
             codes_g = jnp.take(grouped, cand, axis=0)       # (Q, R, M)
-            dots_half = pqk.adc_scores_gathered(lut, codes_g)  # = 2 q.x
-            neg = jnp.where(cval & in_cell, dots_half - csq, -jnp.inf)
+            dots_half = pqk.adc_scores_grouped(lut, codes_g)  # = 2 q.r
+            qc_cand = jnp.repeat(jnp.take_along_axis(qc2, cells, axis=1),
+                                 cell_pad, axis=1)
+            neg = jnp.where(cval & in_cell,
+                            qc_cand + dots_half - csq, -jnp.inf)
             s_n, m_subq = spill.shape
             jota = jnp.arange(256, dtype=jnp.int32)
             onehot = (spill.astype(jnp.int32)[:, :, None] == jota
@@ -92,7 +98,10 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                 onehot.reshape(s_n, m_subq * 256),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            sneg = jnp.where(sval[None, :], sdots - ssq[None, :], -jnp.inf)
+            qc_spill = jnp.take(qc2, jnp.clip(scells, 0, qc2.shape[1] - 1),
+                                axis=1)
+            sneg = jnp.where(sval[None, :],
+                             qc_spill + sdots - ssq[None, :], -jnp.inf)
             spill_ids = local_rows + jax.lax.broadcasted_iota(
                 jnp.int32, (1, s_n), 1)
             all_neg = jnp.concatenate(
@@ -145,13 +154,14 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         return ldist, lids, kk
 
     def local(q, cents, offsets, lens, grouped, gscale, gsq, gval,
-              spill, sscale, ssq, sval, cbs):
+              spill, sscale, ssq, sval, cbs, scells):
         # leading device axis arrives as size-1 blocks
         cents, grouped = cents[0], grouped[0]
         offsets, lens = offsets[0], lens[0]
         gscale, sscale = gscale[0], sscale[0]
         gsq, gval = gsq[0], gval[0]
         spill, ssq, sval = spill[0], ssq[0], sval[0]
+        scells = scells[0]
 
         if use_pallas:
             # scalar-prefetch cell-DMA probe (tpuvdb.kernels.pallas_ivf):
@@ -170,8 +180,8 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
             kk = lids.shape[1]
         else:
             ldist, lids, kk = local_gather(q, cents, offsets, lens, grouped,
-                                           gscale, gsq, gval,
-                                           spill, sscale, ssq, sval, cbs)
+                                           gscale, gsq, gval, spill,
+                                           sscale, ssq, sval, cbs, scells)
 
         # encode device ownership, merge across the mesh on TRUE distances
         # (the per-query ||q||^2 shift is constant, so ordering is global)
@@ -193,10 +203,11 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     fn = shard_map(
         local,
         mesh=mesh,
-        # codebooks (last operand) replicate to every device: specs P()
+        # codebooks replicate to every device (P()); spill cell ids ride
+        # the device axis like the other spill arrays
         in_specs=(q_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P()),
+                  P(), P(axis)),
         out_specs=(q_spec, q_spec),
         check_vma=False,
     )
@@ -208,7 +219,8 @@ class ShardedIVFIndex:
                  grouped, gsq, gval, spill, ssq, sval, row_ids, spill_row_ids,
                  cell_pad, nprobe, recall_target,
                  cell_scales=None, spill_scales=None, rows_per_dev=0,
-                 cell_caps=None, repl_axis=None, pq_codebooks=None):
+                 cell_caps=None, repl_axis=None, pq_codebooks=None,
+                 spill_cells=None):
         self.mesh = mesh
         self.axis = axis
         # 2-D (repl, shards) mesh: cell structures replicate across this
@@ -244,6 +256,11 @@ class ShardedIVFIndex:
         self.pq_codebooks = (jnp.asarray(pq_codebooks, jnp.float32)
                              if pq_codebooks is not None else None)
         self.pq = pq_codebooks is not None
+        if self.pq and spill_cells is None:
+            spill_cells = jax.device_put(
+                jnp.zeros(self.sval.shape, jnp.int32),
+                NamedSharding(mesh, P(axis)))
+        self.spill_cells = spill_cells  # (ndev, S) i32 | None
 
     @classmethod
     def build(
@@ -279,16 +296,8 @@ class ShardedIVFIndex:
             if (pq_codebooks is not None
                     and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
                 pq_codebooks = None  # stale warm shape: retrain
-            if pq_codebooks is None:
-                from tpuvdb.kernels.pq import train_pq
-
-                live_all = np.flatnonzero(valid)
-                rng_ = np.random.default_rng(seed)
-                take = (rng_.choice(live_all, 262_144, replace=False)
-                        if len(live_all) > 262_144 else live_all)
-                pq_codebooks = train_pq(
-                    np.asarray(vectors[np.sort(take)], np.float32),
-                    m_subq=pq_subq, seed=seed)
+            # (codebooks train AFTER the per-device assignment below:
+            # residual coding needs (x - c_assign) samples)
         warm = centroids
         if (warm is not None
                 and (warm.ndim != 3 or warm.shape[0] != ndev
@@ -335,6 +344,30 @@ class ShardedIVFIndex:
                 assign = np.where(part_val, assign, -1).astype(np.int32)
             parts.append((part_vec, part_val, cents, assign, lo))
 
+        if pq_subq and pq_codebooks is None:
+            # residual codebooks: train on (x - c_assign) pooled across
+            # devices (global codebooks over per-device coarse structures;
+            # pre-split assignments — the residual DISTRIBUTION barely
+            # moves under bisection, and encoding below uses final cells)
+            from tpuvdb.kernels.pq import train_pq
+
+            rng_ = np.random.default_rng(seed)
+            res_parts = []
+            budget = 262_144
+            for part_vec, part_val, cents, assign, _ in parts:
+                live = np.flatnonzero(part_val & (assign >= 0))
+                if not len(live):
+                    continue
+                take = (rng_.choice(live, min(len(live),
+                                              budget // max(len(parts), 1)),
+                                    replace=False)
+                        if len(live) > budget // max(len(parts), 1)
+                        else live)
+                res_parts.append(part_vec[take] - cents[assign[take]])
+            pq_codebooks = train_pq(
+                np.concatenate(res_parts).astype(np.float32),
+                m_subq=pq_subq, seed=seed)
+
         # common scan window across devices: pooled median * 1.25, then
         # per-device bisection of oversized cells + PACKED layout (see
         # index/ivf.py pack_cells — fixed-stride padding measured fill
@@ -350,6 +383,8 @@ class ShardedIVFIndex:
                         else np.asarray([1]))
         pooled_sizes = pooled_sizes[pooled_sizes > 0]
         cap = int(np.quantile(pooled_sizes, 0.5) * 1.25) if len(pooled_sizes) else 1
+        if pq_subq:
+            cap = min(cap, 2048)  # bound ADC candidates (index/ivf.py)
         cell_pad = max(_round_up(max(cap, 1), 128), 128)
 
         packed = []
@@ -364,8 +399,10 @@ class ShardedIVFIndex:
             gvec, gval_, grow, offs, lens, spill_local = pack_cells(
                 part_vec, live, assign2[live], len(cents2), cell_pad)
             grow[grow >= 0] += lo          # local -> global physical rows
+            spill_local = np.asarray(spill_local, np.int64)
             packed.append((cents2, gvec, gval_, grow, offs, lens,
-                           [lo + r for r in spill_local]))
+                           (lo + spill_local).tolist(),
+                           assign2[spill_local].astype(np.int32)))
 
         # common shapes across devices (stacked device-major arrays)
         nlist_c = max(len(pk[0]) for pk in packed)
@@ -386,7 +423,9 @@ class ShardedIVFIndex:
         spill = np.zeros((ndev_, spill_rows, d), np.float32)
         sval = np.zeros((ndev_, spill_rows), bool)
         srow = np.full((ndev_, spill_rows), -1, np.int64)
-        for dev, (cents2, gvec, gval_, grow, offs, lens, spill_g) in enumerate(packed):
+        scell = np.zeros((ndev_, spill_rows), np.int32)
+        for dev, (cents2, gvec, gval_, grow, offs, lens, spill_g,
+                  spill_c) in enumerate(packed):
             nl, nr = len(cents2), gvec.shape[0]
             cents_all[dev, :nl] = cents2
             grouped[dev, :nr] = gvec
@@ -400,23 +439,35 @@ class ShardedIVFIndex:
                 spill[dev, j] = vectors[grow_row]
                 sval[dev, j] = True
                 srow[dev, j] = grow_row
+            scell[dev, : len(spill_c)] = spill_c
         gsq = np.einsum("knd,knd->kn", grouped, grouped).astype(np.float32)
         ssq = np.einsum("knd,knd->kn", spill, spill).astype(np.float32)
 
         gscale = sscale = None
         if pq_subq:
-            # PQ code cells: rows become M-byte codes, norms become
-            # reconstruction norms (ADC ranks against x_hat; pad rows are
-            # masked by gval/sval so their garbage norms never surface)
-            from tpuvdb.kernels.pq import encode_pq_chunked
+            # RESIDUAL PQ code cells: each row encodes (x - c_cell); the
+            # cell of a grouped position recovers from the packed offsets
+            # (searchsorted over the ascending cell starts), spill rows
+            # carry explicit cell ids. Pad rows encode garbage against a
+            # zeroed centroid and stay masked by gval/sval.
+            from tpuvdb.kernels.pq import encode_pq_residual_chunked
 
             gq = np.zeros(grouped.shape[:2] + (pq_subq,), np.uint8)
             sq8 = np.zeros(spill.shape[:2] + (pq_subq,), np.uint8)
             for dev in range(ndev_):
-                gq[dev], gsq[dev] = encode_pq_chunked(grouped[dev],
-                                                      pq_codebooks)
-                sq8[dev], ssq[dev] = encode_pq_chunked(spill[dev],
-                                                       pq_codebooks)
+                cents2 = packed[dev][0]
+                offs = packed[dev][4]
+                safe = np.where(np.abs(cents2) > 1e29, 0.0,
+                                cents2).astype(np.float32)
+                pos_cell = np.clip(
+                    np.searchsorted(offs, np.arange(local_rows),
+                                    side="right") - 1, 0, len(offs) - 1)
+                gq[dev], gsq[dev] = encode_pq_residual_chunked(
+                    grouped[dev], None, safe[pos_cell], pq_codebooks)
+                sq8[dev], ssq[dev] = encode_pq_residual_chunked(
+                    spill[dev], None,
+                    safe[np.clip(scell[dev], 0, len(safe) - 1)],
+                    pq_codebooks)
             grouped, spill = gq, sq8
         if dtype == jnp.int8:
             # scaled int8 cells: per-row quantization, exact f32 norms —
@@ -462,6 +513,7 @@ class ShardedIVFIndex:
                                                   128), cell_pad),
             repl_axis=repl_axis,
             pq_codebooks=pq_codebooks,
+            spill_cells=put(scell, Pax) if pq_subq else None,
         )
 
     def stats(self):
@@ -543,11 +595,20 @@ class ShardedIVFIndex:
             flat = IVFIndex._scatter_flags(flat, pad_pos)
             setattr(self, name, jax.device_put(flat.reshape(shape), Pax))
         if self.pq:
-            from tpuvdb.kernels.pq import encode_pq_chunked
+            from tpuvdb.kernels.pq import encode_pq_residual_chunked
 
             dim = int(self.centroids.shape[-1])
-            encode_pq_chunked(np.zeros((1, dim), np.float32),
-                              np.asarray(self.pq_codebooks))
+            encode_pq_residual_chunked(
+                np.zeros((1, dim), np.float32), None,
+                np.zeros((1, dim), np.float32),
+                np.asarray(self.pq_codebooks))
+            flat_sc = self.spill_cells.reshape(-1)
+            pad_pos = np.full(1, flat_sc.shape[0], np.int64)
+            flat_sc = IVFIndex._scatter_payload(
+                flat_sc, pad_pos, np.zeros(1, np.int32), jnp.int32)
+            self.spill_cells = jax.device_put(
+                flat_sc.reshape(self.sval.shape),
+                NamedSharding(self.mesh, P(self.axis)))
 
     def append_rows(self, physical_rows: np.ndarray,
                     vectors: np.ndarray) -> bool:
@@ -585,6 +646,7 @@ class ShardedIVFIndex:
         g_take: list = []
         s_pos_flat: list = []
         s_take: list = []
+        assign_global = np.zeros(m, np.int32)  # residual-PQ encode cells
         for dev in range(ndev):
             sel = np.flatnonzero(dev_of == dev)
             if not len(sel):
@@ -599,6 +661,7 @@ class ShardedIVFIndex:
                   - 2.0 * (sub @ cents[cids].T)
                   + np.einsum("kd,kd->k", cents[cids], cents[cids])[None, :])
             assign = cids[np.argmin(d2, axis=1)]
+            assign_global[sel] = assign
             caps = self.cell_caps[dev]
             fill = int(spill_fill[dev])
             for i, c in zip(sel, assign):
@@ -619,10 +682,14 @@ class ShardedIVFIndex:
         from tpuvdb.index.ivf import commit_append_region
 
         if self.pq:
-            from tpuvdb.kernels.pq import encode_pq_chunked
+            # residual encode against each row's assigned cell on its
+            # owning device (per-row centroid mode: tables differ per
+            # device); assign_global was recorded in the plan loop
+            from tpuvdb.kernels.pq import encode_pq_residual_chunked
 
-            payload, sq = encode_pq_chunked(
-                vecs, np.asarray(self.pq_codebooks))
+            crows = cents_all[dev_of, assign_global]
+            payload, sq = encode_pq_residual_chunked(
+                vecs, None, crows, np.asarray(self.pq_codebooks))
         else:
             payload = vecs
             sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
@@ -671,6 +738,13 @@ class ShardedIVFIndex:
             self.sval = reshard(val_a, (sdev, spill_rows))
             if self.quantized:
                 self.spill_scales = reshard(scale_a, (sdev, spill_rows))
+            if self.pq:  # residual cell ids for the new spill rows
+                from tpuvdb.index.ivf import IVFIndex
+
+                flat_sc = IVFIndex._scatter_payload(
+                    self.spill_cells.reshape(-1), sp,
+                    assign_global[st].astype(np.int32), jnp.int32)
+                self.spill_cells = reshard(flat_sc, (sdev, spill_rows))
         return True
 
     def masked_valid(self, cand_phys: np.ndarray):
@@ -726,10 +800,11 @@ class ShardedIVFIndex:
                                                   q.dtype)])
         cbs = (self.pq_codebooks if self.pq
                else jnp.zeros((1, 1, 1), jnp.float32))  # rides the P() spec
+        scells = (self.spill_cells if self.pq else self.sval)  # placeholder
         dist, gids = fn(q, self.centroids,
                         self.cell_offsets, self.cell_lens,
                         self.grouped, gscale, self.gsq, gval,
-                        self.spill, sscale, self.ssq, sval, cbs)
+                        self.spill, sscale, self.ssq, sval, cbs, scells)
         if pad:
             dist, gids = dist[:qn], gids[:qn]
         gids = np.asarray(gids)
