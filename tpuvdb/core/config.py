@@ -124,6 +124,11 @@ class DBConfig:
     # Must divide vector_dim. ADC distances rank reconstructions, so pair
     # with rescore_overfetch (exact host re-rank restores true ordering).
     ivf_pq_subq: int = 0
+    # OPQ: learn an orthogonal rotation of the residual space alongside
+    # the PQ codebooks (Ge et al.) — better recall per code byte on
+    # correlated embeddings (CLIP-like) at the cost of one extra (d, d)
+    # GEMM per query batch. Requires ivf_pq_subq > 0.
+    ivf_opq: bool = False
 
     # -- mesh --
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis
@@ -180,6 +185,10 @@ class DBConfig:
                 "ivf_pq_subq and storage_dtype='int8' are exclusive: PQ "
                 "cells already compress below int8 (host mirrors may still "
                 "be int8 via mirror_dtype)")
+        if self.ivf_opq and not self.ivf_pq_subq:
+            raise ValueError(
+                "ivf_opq=True requires ivf_pq_subq > 0 (OPQ rotates the "
+                "PQ residual space; there is nothing to rotate without PQ)")
 
     # -- serialization (stored inside checkpoints so restores validate shape) --
     def to_json(self) -> str:

@@ -229,6 +229,10 @@ class VectorDBEngine:
                     # skips codebook training like centroid training)
                     self._ivf_pq_warm = self._ivf_warm[4]
                     self._ivf_pq_state = self._ivf_warm[4]
+                if len(self._ivf_warm) > 5:
+                    # OPQ rotation pairs with the codebooks it trained with
+                    self._ivf_opq_warm = self._ivf_warm[5]
+                    self._ivf_opq_state = self._ivf_warm[5]
                 # WAL tail replay re-increments on top of the checkpoint
                 self._mut_count = mut_ckpt
                 # carry forward NOW: a cadence checkpoint taken before the
@@ -683,6 +687,8 @@ class VectorDBEngine:
                     else min(cfg.ivf_nprobe, nlist)
                 warm_cb = getattr(self, "_ivf_pq_warm", None)
                 self._ivf_pq_warm = None
+                warm_rot = getattr(self, "_ivf_opq_warm", None)
+                self._ivf_opq_warm = None
                 self._ivf = ShardedIVFIndex.build(
                     vecs, valid, self.mesh, axis=cfg.mesh_axis,
                     nlist=nlist, nprobe=nprobe,
@@ -693,6 +699,8 @@ class VectorDBEngine:
                     repl_axis=repl_axis,
                     pq_subq=cfg.ivf_pq_subq,
                     pq_codebooks=warm_cb,
+                    opq=cfg.ivf_opq,
+                    pq_rotation=warm_rot,
                 )
                 # compile the append-path programs on the slow path (see
                 # IVFIndex.warm_append — same stall on the mesh branch)
@@ -702,6 +710,9 @@ class VectorDBEngine:
                 self._ivf_pq_state = (
                     np.asarray(self._ivf.pq_codebooks)
                     if self._ivf.pq else None)
+                self._ivf_opq_state = (
+                    np.asarray(self._ivf.pq_rotation)
+                    if self._ivf.pq_rotation is not None else None)
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
@@ -714,6 +725,8 @@ class VectorDBEngine:
                 # (consumed once; stale shapes retrain inside build)
                 warm_cb = getattr(self, "_ivf_pq_warm", None)
                 self._ivf_pq_warm = None
+                warm_rot = getattr(self, "_ivf_opq_warm", None)
+                self._ivf_opq_warm = None
                 # streaming build: reads rows through the mirrors (int8
                 # codes bit-exact) — no full f32 stack on host or device,
                 # which is what allows IVF at the 8M x 768 capacity scale
@@ -722,6 +735,8 @@ class VectorDBEngine:
                     nlist=nlist,
                     pq_subq=cfg.ivf_pq_subq,
                     pq_codebooks=warm_cb,
+                    opq=cfg.ivf_opq,
+                    pq_rotation=warm_rot,
                     # nprobe must follow the ACTUAL cell count: warm
                     # centroids override nlist inside build, and probing
                     # an engine-side nlist fraction of a much larger warm
@@ -743,6 +758,9 @@ class VectorDBEngine:
                 self._ivf_pq_state = (
                     np.asarray(self._ivf.pq_codebooks)
                     if self._ivf.pq else None)
+                self._ivf_opq_state = (
+                    np.asarray(self._ivf.pq_rotation)
+                    if self._ivf.pq_rotation is not None else None)
                 # compile the append-path programs NOW (rebuilds are the
                 # expected slow path) so the first serving-path append
                 # doesn't stall puts/searches on fresh XLA compiles
@@ -1497,7 +1515,8 @@ class VectorDBEngine:
                 shard_snaps = [m.checkpoint_snapshot() for m in self.mirrors]
                 ts_ = getattr(self, "_ivf_train_state", None)
                 ivf_warm = ((*ts_, self._mut_count,
-                             getattr(self, "_ivf_pq_state", None))
+                             getattr(self, "_ivf_pq_state", None),
+                             getattr(self, "_ivf_opq_state", None))
                             if ts_ is not None else None)
                 self._puts_since_ckpt = 0
             if doc_blob is not None:

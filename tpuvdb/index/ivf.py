@@ -589,7 +589,7 @@ def _ivf_search_pq(
     queries, centroids, cell_offsets, cell_lens, grouped_codes, codebooks,
     grouped_sq, grouped_valid, spill_codes, spill_cells, spill_sq,
     spill_valid, nprobe: int, k: int, cell_pad: int,
-    recall_target: float = 0.95,
+    recall_target: float = 0.95, rotation=None,
 ):
     """PQ-cell variant (IVF-PQ): cells hold M-byte RESIDUAL codes.
 
@@ -625,7 +625,9 @@ def _ivf_search_pq(
     in_cell = (offs < jnp.take(cell_lens, cells, axis=0)[:, :, None]
                ).reshape(queries.shape[0], -1)
 
-    lut = pqk._pq_lut(qf, codebooks)                      # (Q, M, 256)
+    # OPQ: the rotation folds entirely into the LUT build (q @ R); the
+    # coarse GEMM, stored norms, and code stream are rotation-agnostic
+    lut = pqk._pq_lut(qf, codebooks, rotation)            # (Q, M, 256)
     codes_g = jnp.take(grouped_codes, cand, axis=0)       # (Q, R, M) u8
     csq = jnp.take(grouped_sq, cand, axis=0)
     cval = jnp.take(grouped_valid, cand, axis=0)
@@ -700,6 +702,7 @@ class IVFIndex:
         spill_scales: Optional[jax.Array] = None,  # (S,)
         pq_codebooks: Optional[jax.Array] = None,  # (M, 256, d/M) f32
         spill_cells: Optional[np.ndarray] = None,  # (S,) i32 residual cells
+        pq_rotation: Optional[jax.Array] = None,   # (d, d) OPQ rotation
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.cell_offsets = jnp.asarray(cell_offsets, jnp.int32)
@@ -725,6 +728,8 @@ class IVFIndex:
         self.pq_codebooks = (jnp.asarray(pq_codebooks, jnp.float32)
                              if pq_codebooks is not None else None)
         self.pq = pq_codebooks is not None
+        self.pq_rotation = (jnp.asarray(pq_rotation, jnp.float32)
+                            if pq_rotation is not None else None)
         if self.pq:
             if spill_cells is None:
                 spill_cells = np.zeros(int(spill.shape[0]), np.int32)
@@ -751,6 +756,8 @@ class IVFIndex:
         centroids: Optional[np.ndarray] = None,  # skip k-means training
         pq_subq: int = 0,
         pq_codebooks: Optional[np.ndarray] = None,
+        opq: bool = False,
+        pq_rotation: Optional[np.ndarray] = None,
     ) -> "IVFIndex":
         """With split_oversized (default), cell_pad tracks the MEDIAN cell
         and hot cells are subdivided into real child centroids, so fill
@@ -764,7 +771,8 @@ class IVFIndex:
             kmeans_iters=kmeans_iters, train_sample=train_sample,
             cell_cap_quantile=cell_cap_quantile, dtype=dtype, seed=seed,
             recall_target=recall_target, split_oversized=split_oversized,
-            centroids=centroids, pq_subq=pq_subq, pq_codebooks=pq_codebooks)
+            centroids=centroids, pq_subq=pq_subq, pq_codebooks=pq_codebooks,
+            opq=opq, pq_rotation=pq_rotation)
 
     @classmethod
     def build_streaming(
@@ -784,6 +792,8 @@ class IVFIndex:
         pq_subq: int = 0,                          # 0 = off; else IVF-PQ
         pq_codebooks: Optional[np.ndarray] = None,  # warm-start codebooks
         pq_max_cell: int = 2048,                   # PQ scan-window clamp
+        opq: bool = False,                         # learned OPQ rotation
+        pq_rotation: Optional[np.ndarray] = None,  # warm-start rotation
     ) -> "IVFIndex":
         """Memory-bounded build: the corpus is read through `source` —
         k-means sample and cell members by gather, the assignment pass in
@@ -807,6 +817,17 @@ class IVFIndex:
             if (pq_codebooks is not None
                     and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
                 pq_codebooks = None  # stale warm shape: retrain
+            if pq_rotation is not None and pq_rotation.shape != (d, d):
+                pq_rotation = None
+                pq_codebooks = None  # codebooks are tied to their rotation
+            if opq and pq_codebooks is not None and pq_rotation is None:
+                # warm codebooks trained WITHOUT a rotation can't pair
+                # with OPQ coding: retrain the pair together
+                pq_codebooks = None
+            if not opq:
+                pq_rotation = None  # rotation only meaningful under OPQ
+        else:
+            pq_rotation = None
         rng = np.random.default_rng(seed)
 
         # 1. train the coarse quantizer on a sample (TPU k-means) — or
@@ -830,7 +851,7 @@ class IVFIndex:
             centroids, _ = kmeans(sample, np.ones(sample.shape[0], bool),
                                   nlist=nlist, iters=kmeans_iters, seed=seed)
         if need_cb:
-            from tpuvdb.kernels.pq import train_pq
+            from tpuvdb.kernels.pq import train_opq, train_pq
 
             # RESIDUAL codebooks: train on (x - c_assign) so the 256
             # entries per subspace model LOCAL structure — the coarse
@@ -843,8 +864,15 @@ class IVFIndex:
 
             sa = np.asarray(_ab(jnp.asarray(spad), jnp.asarray(centroids),
                                 block_size=4096))[: len(sample)]
-            pq_codebooks = train_pq(sample - centroids[sa],
-                                    m_subq=pq_subq, seed=seed)
+            if opq:
+                # OPQ: learn a rotation of the RESIDUAL space alongside
+                # the codebooks (coarse quantizer stays in original
+                # space — only the residual coding rotates)
+                pq_codebooks, pq_rotation = train_opq(
+                    sample - centroids[sa], m_subq=pq_subq, seed=seed)
+            else:
+                pq_codebooks = train_pq(sample - centroids[sa],
+                                        m_subq=pq_subq, seed=seed)
         del sample
 
         # 2. assign every row, streamed in ONE fixed block shape (pad the
@@ -860,6 +888,8 @@ class IVFIndex:
         # double the build's transfer volume) — packing then copies the
         # precomputed codes host-side instead of gathering f32 rows again
         pq_codes = pq_rsq = None
+        rot_j = (jnp.asarray(pq_rotation, jnp.float32)
+                 if pq_rotation is not None else None)
         if pq_codebooks is not None:
             from tpuvdb.kernels.pq import _encode_residual_scan
 
@@ -872,7 +902,7 @@ class IVFIndex:
             assign[g0 : g0 + m] = a
             if pq_codes is not None:
                 codes, rsq = _encode_residual_scan(
-                    dev, a_dev, cents_j, cb_j, block=16384)
+                    dev, a_dev, cents_j, cb_j, block=16384, rotation=rot_j)
                 pq_codes[g0 : g0 + m] = np.asarray(codes)[:m]
                 pq_rsq[g0 : g0 + m] = np.asarray(rsq)[:m]
         assign = np.where(valid, assign, -1)
@@ -911,7 +941,7 @@ class IVFIndex:
                     rr = rows_re[lo : lo + 1_000_000]
                     codes, rsq = encode_pq_residual_chunked(
                         source.gather_f32(rr), assign[rr], centroids,
-                        pq_codebooks)
+                        pq_codebooks, rotation=pq_rotation)
                     pq_codes[rr] = codes
                     pq_rsq[rr] = rsq
         else:
@@ -985,6 +1015,7 @@ class IVFIndex:
             spill_scales=spill_scales,
             pq_codebooks=pq_codebooks,
             spill_cells=scell if pq_codebooks is not None else None,
+            pq_rotation=pq_rotation,
         )
 
     # ----------------------------------------------------------------- search
@@ -1031,6 +1062,7 @@ class IVFIndex:
                     self.spill_sq, sval, nprobe=nprobe, k=k,
                     cell_pad=self.cell_pad,
                     recall_target=self.recall_target,
+                    rotation=self.pq_rotation,
                 )
             elif use_pallas:
                 from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
@@ -1178,7 +1210,9 @@ class IVFIndex:
 
             payload, sq = encode_pq_residual_chunked(
                 vecs, assign, np.asarray(self.centroids),
-                np.asarray(self.pq_codebooks), chunk=_ASSIGN_CHUNK)
+                np.asarray(self.pq_codebooks), chunk=_ASSIGN_CHUNK,
+                rotation=(np.asarray(self.pq_rotation)
+                          if self.pq_rotation is not None else None))
         else:
             payload = vecs
             sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
@@ -1233,7 +1267,9 @@ class IVFIndex:
             encode_pq_residual_chunked(
                 np.zeros((1, d), np.float32), np.zeros(1, np.int64),
                 np.asarray(self.centroids), np.asarray(self.pq_codebooks),
-                chunk=_ASSIGN_CHUNK)
+                chunk=_ASSIGN_CHUNK,
+                rotation=(np.asarray(self.pq_rotation)
+                          if self.pq_rotation is not None else None))
             pad_pos = np.full(1, self.spill_cells.shape[0], np.int64)
             self.spill_cells = self._scatter_payload(
                 self.spill_cells, pad_pos, np.zeros(1, np.int32), jnp.int32)

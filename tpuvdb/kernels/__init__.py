@@ -27,6 +27,11 @@ def __getattr__(name):
         from tpuvdb.kernels.kmeans import kmeans
 
         return kmeans
+    if name in ("train_pq", "train_opq", "encode_pq", "decode_pq",
+                "pq_topk"):
+        from tpuvdb.kernels import pq
+
+        return getattr(pq, name)
     raise AttributeError(f"module 'tpuvdb.kernels' has no attribute {name!r}")
 
 __all__ = [

@@ -113,12 +113,14 @@ def train_pq(
     iters: int = 15,
     block: int = 4096,
     seed: int = 0,
+    init: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Train per-subspace codebooks on a sample. Returns (M, 256, dsub) f32.
 
     The sample should be a few hundred rows per codeword (e.g. 100-300k
     rows); training streams in `block`-row chunks so device memory stays
-    O(block * M * 256)."""
+    O(block * M * 256). `init` warm-starts Lloyd from existing codebooks
+    (the OPQ alternation refines rather than retrains each round)."""
     sample = np.asarray(sample, np.float32)
     n, d = sample.shape
     dsub = _check_dims(d, m_subq)
@@ -126,12 +128,16 @@ def train_pq(
         raise ValueError("train_pq on empty sample")
 
     rng = np.random.default_rng(seed)
-    # init: random sample rows per subspace (independent draws decorrelate
-    # the subspace codebooks even when n < 256)
-    take = rng.integers(0, n, size=(m_subq, 256))
-    cents = sample.reshape(n, m_subq, dsub)[take, np.arange(m_subq)[:, None], :]
-    # jitter duplicates so Lloyd can separate them
-    cents = cents + rng.standard_normal(cents.shape).astype(np.float32) * 1e-5
+    if init is not None and init.shape == (m_subq, 256, dsub):
+        cents = np.asarray(init, np.float32)
+    else:
+        # init: random sample rows per subspace (independent draws
+        # decorrelate the subspace codebooks even when n < 256)
+        take = rng.integers(0, n, size=(m_subq, 256))
+        cents = sample.reshape(n, m_subq, dsub)[take,
+                                                np.arange(m_subq)[:, None], :]
+        # jitter duplicates so Lloyd can separate them
+        cents = cents + rng.standard_normal(cents.shape).astype(np.float32) * 1e-5
 
     pad = (-n) % block
     if pad:
@@ -150,18 +156,85 @@ def train_pq(
     return np.asarray(codebooks)
 
 
+@jax.jit
+def _opq_cross_cov(x: jax.Array, y_hat: jax.Array) -> jax.Array:
+    """(d, d) cross-covariance X^T Y_hat for the Procrustes step — one
+    MXU GEMM over the training sample."""
+    return jnp.dot(x.T, y_hat, preferred_element_type=jnp.float32)
+
+
+def train_opq(
+    sample: np.ndarray,
+    m_subq: int,
+    iters: int = 15,
+    opq_iters: int = 8,
+    block: int = 4096,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """OPQ (optimized PQ): learn an orthogonal rotation R that aligns the
+    data with the PQ subspace grid before coding. Returns
+    (codebooks (M, 256, dsub), rotation (d, d)) — codebooks live in the
+    ROTATED space; encode rows as (x @ R), build query LUTs from (q @ R).
+
+    Non-parametric OPQ alternation (Ge et al., CVPR'13 — reimplemented
+    from the paper's two-step structure, no reference-code lineage):
+      1. fix R: refine codebooks on Y = X @ R (warm-started Lloyd);
+      2. fix codebooks: encode Y -> Y_hat, solve the orthogonal
+         Procrustes problem min_R ||X R - Y_hat||_F via SVD of
+         X^T Y_hat = U S V^T, giving R = U V^T.
+    Every GEMM (rotation, assignment, cross-covariance) runs on device;
+    only the (d, d) SVD runs host-side (sub-ms at 768-d). Plain PQ is the
+    R = I special case, so OPQ can only match or reduce quantization
+    error on the training sample; the win on real embeddings comes from
+    decorrelating dimensions so per-subspace variance equalizes —
+    iid-gaussian data shows ~no gain (already isotropic), CLIP-like
+    correlated data shows the recall-per-byte gain.
+
+    No reference analog: the reference has no quantization at all
+    (f32 hnswlib, src/datanode/handler.py:46)."""
+    x = np.asarray(sample, np.float32)
+    n, d = x.shape
+    _check_dims(d, m_subq)
+    if n == 0:
+        raise ValueError("train_opq on empty sample")
+    x_j = jnp.asarray(x)
+    rot = np.eye(d, dtype=np.float32)
+    codebooks = None
+    for it in range(max(1, opq_iters)):
+        y = np.asarray(jnp.dot(x_j, jnp.asarray(rot),
+                               preferred_element_type=jnp.float32))
+        # first round trains from scratch; later rounds take few-step
+        # refinements from the previous codebooks (standard OPQ schedule)
+        codebooks = train_pq(y, m_subq, iters=(iters if it == 0 else 4),
+                             block=block, seed=seed, init=codebooks)
+        if it == max(1, opq_iters) - 1:
+            break
+        codes, _ = encode_pq(y, codebooks)
+        y_hat = decode_pq(codes, codebooks)
+        cov = np.asarray(_opq_cross_cov(x_j, jnp.asarray(y_hat)))
+        u, _, vt = np.linalg.svd(cov)
+        rot = (u @ vt).astype(np.float32)
+    return np.asarray(codebooks), rot
+
+
 # --------------------------------------------------------------------------
 # encoding
 # --------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def _encode_scan(data_sub: jax.Array, codebooks: jax.Array, block: int):
-    n = data_sub.shape[0]
+def _encode_scan(data: jax.Array, codebooks: jax.Array, block: int,
+                 rotation: Optional[jax.Array] = None):
+    n, d = data.shape
+    m_subq = codebooks.shape[0]
     c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, 256)
 
     def body(_, i):
-        chunk = jax.lax.dynamic_slice_in_dim(data_sub, i * block, block)
+        chunk = jax.lax.dynamic_slice_in_dim(data, i * block, block)
+        if rotation is not None:  # OPQ: code the rotated row (x @ R)
+            chunk = jnp.dot(chunk, rotation,
+                            preferred_element_type=jnp.float32)
+        chunk = chunk.reshape(block, m_subq, -1)
         assign = _pq_assign_block_scores(chunk, codebooks, block)  # (B, M)
         csq_b = jnp.broadcast_to(c_sq[None], (block,) + c_sq.shape)
         rsq = jnp.sum(jnp.take_along_axis(csq_b, assign[:, :, None],
@@ -177,37 +250,46 @@ def encode_pq(
     data: np.ndarray,
     codebooks: np.ndarray,
     block: int = 16384,
+    rotation: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode rows -> (codes (n, M) uint8, recon_sq (n,) f32).
 
     recon_sq is ||x_hat||^2 of the reconstruction (exact: subspaces are
     orthogonal coordinate blocks), the norm the ADC scan ranks against —
-    the PQ twin of layout.quantize_block's dequantized-row norms."""
+    the PQ twin of layout.quantize_block's dequantized-row norms. With an
+    OPQ `rotation`, codes quantize (x @ R); recon_sq needs no correction
+    (rotations preserve norms, so ||x_hat_rot|| = ||x_hat||)."""
     data = np.asarray(data, np.float32)
     n, d = data.shape
     m_subq = codebooks.shape[0]
-    dsub = _check_dims(d, m_subq)
+    _check_dims(d, m_subq)
     if n == 0:
         return (np.zeros((0, m_subq), np.uint8), np.zeros((0,), np.float32))
     pad = (-n) % block
     if pad:
         data = np.concatenate([data, np.zeros((pad, d), np.float32)])
+    rot_j = (jnp.asarray(rotation, jnp.float32)
+             if rotation is not None else None)
     codes, rsq = _encode_scan(
-        jnp.asarray(data.reshape(-1, m_subq, dsub)),
-        jnp.asarray(codebooks, jnp.float32), block=min(block, len(data)))
+        jnp.asarray(data), jnp.asarray(codebooks, jnp.float32),
+        block=min(block, len(data)), rotation=rot_j)
     return np.asarray(codes)[:n], np.asarray(rsq)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _encode_residual_scan(data: jax.Array, assign: jax.Array,
                           centroids: jax.Array, codebooks: jax.Array,
-                          block: int):
+                          block: int,
+                          rotation: Optional[jax.Array] = None):
     """Residual encode for IVF-PQ: codes quantize (x - c_assign), and the
     stored norm is the FULL reconstruction's ||c + r_hat||^2 (so the
     probe's distance d^2 = ||q||^2 - 2 q.c - 2 q.r_hat + norm is exact to
     the reconstruction; 2 q.c comes from the coarse GEMM the probe
     already runs — residual coding changes NOTHING about the query-side
-    LUT). Returns (codes (n, M) u8, recon_sq (n,) f32)."""
+    LUT). With an OPQ `rotation`, codes quantize the ROTATED residual
+    (x - c) @ R and the stored norm unrotates the decoded residual first:
+    ||c + r_hat_rot @ R^T||^2. Query side pairs via (q @ R) . r_hat_rot
+    = q . r_hat. Returns (codes (n, M) u8, recon_sq (n,) f32)."""
     n, d = data.shape
     m_subq, _, dsub = codebooks.shape
 
@@ -215,13 +297,20 @@ def _encode_residual_scan(data: jax.Array, assign: jax.Array,
         chunk = jax.lax.dynamic_slice_in_dim(data, i * block, block)
         a = jax.lax.dynamic_slice_in_dim(assign, i * block, block)
         cents = jnp.take(centroids, a, axis=0)          # (B, d)
-        res = (chunk - cents).reshape(block, m_subq, dsub)
+        res = chunk - cents
+        if rotation is not None:
+            res = jnp.dot(res, rotation, preferred_element_type=jnp.float32)
+        res = res.reshape(block, m_subq, dsub)
         codes = _pq_assign_block_scores(res, codebooks, block)  # (B, M)
         onehot = (codes[:, :, None]
                   == jnp.arange(256, dtype=jnp.int32)).astype(codebooks.dtype)
         r_hat = jnp.einsum("bmj,mjs->bms", onehot, codebooks,
                            preferred_element_type=jnp.float32)
-        recon = cents + r_hat.reshape(block, d)
+        r_flat = r_hat.reshape(block, d)
+        if rotation is not None:  # back to original space for the norm
+            r_flat = jnp.dot(r_flat, rotation.T,
+                             preferred_element_type=jnp.float32)
+        recon = cents + r_flat
         rsq = jnp.sum(recon * recon, axis=-1)
         return 0, (codes.astype(jnp.uint8), rsq)
 
@@ -236,6 +325,7 @@ def encode_pq_residual_chunked(
     centroids,
     codebooks,
     chunk: int = 16384,
+    rotation: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fixed-chunk residual encode (the append-path twin of
     encode_pq_chunked; one compiled shape serves every batch size).
@@ -247,6 +337,8 @@ def encode_pq_residual_chunked(
     vecs = np.asarray(vecs, np.float32)
     m, d = vecs.shape
     cb = jnp.asarray(codebooks, jnp.float32)
+    rot = (jnp.asarray(rotation, jnp.float32)
+           if rotation is not None else None)
     per_row = assign is None
     if not per_row:
         cents = jnp.asarray(centroids, jnp.float32)
@@ -262,12 +354,14 @@ def encode_pq_residual_chunked(
             cp[: len(part)] = centroids[lo : lo + chunk]
             c, r = _encode_residual_scan(jnp.asarray(vp),
                                          jnp.asarray(ident),
-                                         jnp.asarray(cp), cb, block=chunk)
+                                         jnp.asarray(cp), cb, block=chunk,
+                                         rotation=rot)
         else:
             ap = np.zeros(chunk, np.int32)
             ap[: len(part)] = assign[lo : lo + chunk]
             c, r = _encode_residual_scan(jnp.asarray(vp), jnp.asarray(ap),
-                                         cents, cb, block=chunk)
+                                         cents, cb, block=chunk,
+                                         rotation=rot)
         codes[lo : lo + len(part)] = np.asarray(c)[: len(part)]
         rsq[lo : lo + len(part)] = np.asarray(r)[: len(part)]
     return codes, rsq
@@ -296,13 +390,18 @@ def encode_pq_chunked(
     return codes, rsq
 
 
-def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+def decode_pq(codes: np.ndarray, codebooks: np.ndarray,
+              rotation: Optional[np.ndarray] = None) -> np.ndarray:
     """Reconstruct (n, d) f32 rows from codes — host-side helper for
-    rescoring/tests (the hot path never decodes)."""
+    rescoring/tests (the hot path never decodes). With an OPQ rotation,
+    the decoded rotated-space row unrotates back to original space."""
     codes = np.asarray(codes)
     n, m_subq = codes.shape
     recon = codebooks[np.arange(m_subq)[None, :], codes.astype(np.int64), :]
-    return recon.reshape(n, -1).astype(np.float32)
+    out = recon.reshape(n, -1).astype(np.float32)
+    if rotation is not None:
+        out = out @ np.asarray(rotation, np.float32).T
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -310,9 +409,16 @@ def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _pq_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
-    """(Q, M, 256) f32: LUT[q, m, j] = 2 * q_m . codebook[m, j]."""
+def _pq_lut(queries: jax.Array, codebooks: jax.Array,
+            rotation: Optional[jax.Array] = None) -> jax.Array:
+    """(Q, M, 256) f32: LUT[q, m, j] = 2 * q_m . codebook[m, j].
+
+    With an OPQ rotation the query rotates first (q @ R, one small GEMM)
+    so LUT sums recover 2 q . x_hat in ORIGINAL space — the entire
+    query-side cost of OPQ."""
     q = queries.astype(jnp.float32)
+    if rotation is not None:
+        q = jnp.dot(q, rotation, preferred_element_type=jnp.float32)
     m_subq, _, dsub = codebooks.shape
     q_sub = q.reshape(q.shape[0], m_subq, dsub)
     return 2.0 * jnp.einsum("qms,mjs->qmj", q_sub, codebooks,
@@ -328,16 +434,19 @@ def pq_topk(
     valid: jax.Array,       # (N,) bool
     k: int,
     block: int = 8192,
+    rotation: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ADC top-k over the full code array. Same contract as
     distance.l2sq_topk_blockwise: returns (dist, idx) with dist the
-    squared-L2 to the RECONSTRUCTION, ascending; empty slots +inf / -1."""
+    squared-L2 to the RECONSTRUCTION, ascending; empty slots +inf / -1.
+    `rotation` pairs with codes produced by encode_pq(..., rotation=R):
+    only the LUT build changes (||q||, recon_sq are rotation-invariant)."""
     n, m_subq = codes.shape
     if n % block != 0:
         raise ValueError(f"codes rows {n} not a multiple of block {block}")
     q_sq = jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=-1,
                    keepdims=True)
-    lut = _pq_lut(queries, codebooks)                       # (Q, M, 256)
+    lut = _pq_lut(queries, codebooks, rotation)             # (Q, M, 256)
     lut_flat = lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16)
     codes_i32 = codes.astype(jnp.int32)
     jota = jnp.arange(256, dtype=jnp.int32)
@@ -480,11 +589,13 @@ def adc_scores_gathered_onehot(
 # --------------------------------------------------------------------------
 
 
-def numpy_adc_oracle(queries, codes, codebooks, recon_sq, valid, k):
+def numpy_adc_oracle(queries, codes, codebooks, recon_sq, valid, k,
+                     rotation=None):
     """Exact ADC in float64 numpy: the correctness bar for pq_topk."""
     queries = np.asarray(queries, np.float64)
     n, m_subq = codes.shape
-    recon = decode_pq(codes, np.asarray(codebooks)).astype(np.float64)
+    recon = decode_pq(codes, np.asarray(codebooks),
+                      rotation=rotation).astype(np.float64)
     d2 = (
         np.sum(queries**2, axis=1)[:, None]
         - 2.0 * queries @ recon.T

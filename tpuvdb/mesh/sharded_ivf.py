@@ -45,7 +45,8 @@ def _round_up_arr_np(x: np.ndarray, m: int) -> np.ndarray:
 def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                    recall_target: float, local_rows: int, spill_rows: int,
                    use_pallas: bool = False, quantized: bool = False,
-                   repl_axis: Optional[str] = None, pq: bool = False):
+                   repl_axis: Optional[str] = None, pq: bool = False,
+                   opq: bool = False):
     """One shard_map program per (mesh, shape) signature. With `repl_axis`
     (a 2-D (repl, shards) mesh) the query batch SPLITS over the replica
     axis — each replica group serves its slice against its full copy of
@@ -55,7 +56,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     ndev = mesh.shape[axis]
 
     def local_gather(q, cents, offsets, lens, grouped, gscale, gsq, gval,
-                     spill, sscale, ssq, sval, cbs, scells):
+                     spill, sscale, ssq, sval, cbs, scells, rot):
         """XLA row-gather probe (CPU path / fallback). Cells are PACKED at
         offsets with lens live rows; window over-scan is masked so a row
         probed via two cells cannot occupy two top-k slots."""
@@ -82,7 +83,8 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
             # norms in csq (see index/ivf.py _ivf_search_pq)
             from tpuvdb.kernels import pq as pqk
 
-            lut = pqk._pq_lut(qf, cbs)
+            # OPQ (static flag): the rotation folds into the LUT build
+            lut = pqk._pq_lut(qf, cbs, rot if opq else None)
             codes_g = jnp.take(grouped, cand, axis=0)       # (Q, R, M)
             dots_half = pqk.adc_scores_grouped(lut, codes_g)  # = 2 q.r
             qc_cand = jnp.repeat(jnp.take_along_axis(qc2, cells, axis=1),
@@ -154,7 +156,7 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         return ldist, lids, kk
 
     def local(q, cents, offsets, lens, grouped, gscale, gsq, gval,
-              spill, sscale, ssq, sval, cbs, scells):
+              spill, sscale, ssq, sval, cbs, scells, rot):
         # leading device axis arrives as size-1 blocks
         cents, grouped = cents[0], grouped[0]
         offsets, lens = offsets[0], lens[0]
@@ -181,7 +183,8 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
         else:
             ldist, lids, kk = local_gather(q, cents, offsets, lens, grouped,
                                            gscale, gsq, gval, spill,
-                                           sscale, ssq, sval, cbs, scells)
+                                           sscale, ssq, sval, cbs, scells,
+                                           rot)
 
         # encode device ownership, merge across the mesh on TRUE distances
         # (the per-query ||q||^2 shift is constant, so ordering is global)
@@ -203,11 +206,11 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
     fn = shard_map(
         local,
         mesh=mesh,
-        # codebooks replicate to every device (P()); spill cell ids ride
-        # the device axis like the other spill arrays
+        # codebooks + OPQ rotation replicate to every device (P()); spill
+        # cell ids ride the device axis like the other spill arrays
         in_specs=(q_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis)),
+                  P(), P(axis), P()),
         out_specs=(q_spec, q_spec),
         check_vma=False,
     )
@@ -220,7 +223,7 @@ class ShardedIVFIndex:
                  cell_pad, nprobe, recall_target,
                  cell_scales=None, spill_scales=None, rows_per_dev=0,
                  cell_caps=None, repl_axis=None, pq_codebooks=None,
-                 spill_cells=None):
+                 spill_cells=None, pq_rotation=None):
         self.mesh = mesh
         self.axis = axis
         # 2-D (repl, shards) mesh: cell structures replicate across this
@@ -256,6 +259,9 @@ class ShardedIVFIndex:
         self.pq_codebooks = (jnp.asarray(pq_codebooks, jnp.float32)
                              if pq_codebooks is not None else None)
         self.pq = pq_codebooks is not None
+        # OPQ rotation of the residual space (replicated, like codebooks)
+        self.pq_rotation = (jnp.asarray(pq_rotation, jnp.float32)
+                            if pq_rotation is not None else None)
         if self.pq and spill_cells is None:
             spill_cells = jax.device_put(
                 jnp.zeros(self.sval.shape, jnp.int32),
@@ -280,6 +286,8 @@ class ShardedIVFIndex:
         repl_axis: Optional[str] = None,  # 2-D mesh: the replica axis
         pq_subq: int = 0,                 # >0: PQ code cells (IVF-PQ)
         pq_codebooks: Optional[np.ndarray] = None,  # warm-start codebooks
+        opq: bool = False,                # learned OPQ residual rotation
+        pq_rotation: Optional[np.ndarray] = None,   # warm-start rotation
     ) -> "ShardedIVFIndex":
         ndev = mesh.shape[axis]
         n, d = vectors.shape
@@ -296,6 +304,13 @@ class ShardedIVFIndex:
             if (pq_codebooks is not None
                     and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
                 pq_codebooks = None  # stale warm shape: retrain
+            if pq_rotation is not None and pq_rotation.shape != (d, d):
+                pq_rotation = None
+                pq_codebooks = None  # codebooks are tied to their rotation
+            if opq and pq_codebooks is not None and pq_rotation is None:
+                pq_codebooks = None  # un-rotated warm codebooks: retrain
+            if not opq:
+                pq_rotation = None
             # (codebooks train AFTER the per-device assignment below:
             # residual coding needs (x - c_assign) samples)
         warm = centroids
@@ -349,7 +364,7 @@ class ShardedIVFIndex:
             # devices (global codebooks over per-device coarse structures;
             # pre-split assignments — the residual DISTRIBUTION barely
             # moves under bisection, and encoding below uses final cells)
-            from tpuvdb.kernels.pq import train_pq
+            from tpuvdb.kernels.pq import train_opq, train_pq
 
             rng_ = np.random.default_rng(seed)
             res_parts = []
@@ -364,9 +379,15 @@ class ShardedIVFIndex:
                         if len(live) > budget // max(len(parts), 1)
                         else live)
                 res_parts.append(part_vec[take] - cents[assign[take]])
-            pq_codebooks = train_pq(
-                np.concatenate(res_parts).astype(np.float32),
-                m_subq=pq_subq, seed=seed)
+            pooled_res = np.concatenate(res_parts).astype(np.float32)
+            if opq:
+                # one GLOBAL rotation over the pooled residuals (the
+                # codebooks are global too, so the rotation must be)
+                pq_codebooks, pq_rotation = train_opq(
+                    pooled_res, m_subq=pq_subq, seed=seed)
+            else:
+                pq_codebooks = train_pq(pooled_res, m_subq=pq_subq,
+                                        seed=seed)
 
         # common scan window across devices: pooled median * 1.25, then
         # per-device bisection of oversized cells + PACKED layout (see
@@ -463,11 +484,12 @@ class ShardedIVFIndex:
                     np.searchsorted(offs, np.arange(local_rows),
                                     side="right") - 1, 0, len(offs) - 1)
                 gq[dev], gsq[dev] = encode_pq_residual_chunked(
-                    grouped[dev], None, safe[pos_cell], pq_codebooks)
+                    grouped[dev], None, safe[pos_cell], pq_codebooks,
+                    rotation=pq_rotation)
                 sq8[dev], ssq[dev] = encode_pq_residual_chunked(
                     spill[dev], None,
                     safe[np.clip(scell[dev], 0, len(safe) - 1)],
-                    pq_codebooks)
+                    pq_codebooks, rotation=pq_rotation)
             grouped, spill = gq, sq8
         if dtype == jnp.int8:
             # scaled int8 cells: per-row quantization, exact f32 norms —
@@ -514,6 +536,7 @@ class ShardedIVFIndex:
             repl_axis=repl_axis,
             pq_codebooks=pq_codebooks,
             spill_cells=put(scell, Pax) if pq_subq else None,
+            pq_rotation=pq_rotation,
         )
 
     def stats(self):
@@ -601,7 +624,9 @@ class ShardedIVFIndex:
             encode_pq_residual_chunked(
                 np.zeros((1, dim), np.float32), None,
                 np.zeros((1, dim), np.float32),
-                np.asarray(self.pq_codebooks))
+                np.asarray(self.pq_codebooks),
+                rotation=(np.asarray(self.pq_rotation)
+                          if self.pq_rotation is not None else None))
             flat_sc = self.spill_cells.reshape(-1)
             pad_pos = np.full(1, flat_sc.shape[0], np.int64)
             flat_sc = IVFIndex._scatter_payload(
@@ -689,7 +714,9 @@ class ShardedIVFIndex:
 
             crows = cents_all[dev_of, assign_global]
             payload, sq = encode_pq_residual_chunked(
-                vecs, None, crows, np.asarray(self.pq_codebooks))
+                vecs, None, crows, np.asarray(self.pq_codebooks),
+                rotation=(np.asarray(self.pq_rotation)
+                          if self.pq_rotation is not None else None))
         else:
             payload = vecs
             sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
@@ -778,10 +805,11 @@ class ShardedIVFIndex:
         spill_rows = self.spill.shape[1]
         # PQ cells take the XLA ADC path everywhere (no pallas PQ probe)
         use_pallas = jax.default_backend() == "tpu" and not self.pq
+        opq = self.pq and self.pq_rotation is not None
         fn = _build_program(self.mesh, self.axis, k, nprobe, self.cell_pad,
                             self.recall_target, local_rows, spill_rows,
                             use_pallas, quantized=self.quantized,
-                            repl_axis=self.repl_axis, pq=self.pq)
+                            repl_axis=self.repl_axis, pq=self.pq, opq=opq)
         if self.quantized:
             gscale, sscale = self.cell_scales, self.spill_scales
         else:  # placeholder rides the same specs; the f32 branch ignores it
@@ -801,10 +829,13 @@ class ShardedIVFIndex:
         cbs = (self.pq_codebooks if self.pq
                else jnp.zeros((1, 1, 1), jnp.float32))  # rides the P() spec
         scells = (self.spill_cells if self.pq else self.sval)  # placeholder
+        rot = (self.pq_rotation if opq
+               else jnp.zeros((1, 1), jnp.float32))  # ignored when not opq
         dist, gids = fn(q, self.centroids,
                         self.cell_offsets, self.cell_lens,
                         self.grouped, gscale, self.gsq, gval,
-                        self.spill, sscale, self.ssq, sval, cbs, scells)
+                        self.spill, sscale, self.ssq, sval, cbs, scells,
+                        rot)
         if pad:
             dist, gids = dist[:qn], gids[:qn]
         gids = np.asarray(gids)

@@ -173,9 +173,12 @@ class CheckpointManager:
             cents, trained_live, mut_at_train, mut_now = ivf_warm[:4]
             extra = {}
             # 5-element warm state carries trained PQ codebooks (IVF-PQ
-            # engines skip codebook retraining on restart, like centroids)
+            # engines skip codebook retraining on restart, like centroids);
+            # a 6th element carries the OPQ rotation that pairs with them
             if len(ivf_warm) > 4 and ivf_warm[4] is not None:
                 extra["pq_codebooks"] = np.asarray(ivf_warm[4], np.float32)
+            if len(ivf_warm) > 5 and ivf_warm[5] is not None:
+                extra["pq_rotation"] = np.asarray(ivf_warm[5], np.float32)
             np.savez(os.path.join(tmp, "ivf_warm.npz"),
                      centroids=np.asarray(cents, np.float32),
                      trained_live=np.int64(trained_live),
@@ -298,8 +301,8 @@ class CheckpointManager:
 
     def load_ivf_warm(self):
         """(centroids, trained_live, mut_at_train, mut_at_ckpt,
-        pq_codebooks|None) of the newest checkpoint, or None (older
-        checkpoints / flat engines)."""
+        pq_codebooks|None, pq_rotation|None) of the newest checkpoint, or
+        None (older checkpoints / flat engines)."""
         path = self.latest()
         if path is None:
             return None
@@ -315,6 +318,7 @@ class CheckpointManager:
             mt = int(z["mut_at_train"]) if "mut_at_train" in z else 0
             mc = int(z["mut_at_ckpt"]) if "mut_at_ckpt" in z else 0
             cb = z["pq_codebooks"] if "pq_codebooks" in z else None
-            return z["centroids"], int(z["trained_live"]), mt, mc, cb
+            rot = z["pq_rotation"] if "pq_rotation" in z else None
+            return z["centroids"], int(z["trained_live"]), mt, mc, cb, rot
         except Exception:
             return None  # torn/corrupt extras never block recovery
