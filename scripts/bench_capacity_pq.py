@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--rows", type=int, default=32_000_000)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--subq", type=int, default=96)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="4 = fast-scan tier: same bytes/row, 2*subq "
+                         "16-code subspaces, ~8x less ADC compute")
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--data-dir", default=None)
@@ -83,7 +86,7 @@ def main():
         vector_dim=DIM, shard_count=shards, shard_capacity=per_shard,
         mirror_init_cap=per_shard, mirror_dtype="int8",
         mirror_backend="mmap",
-        index_type="ivf", ivf_pq_subq=args.subq,
+        index_type="ivf", ivf_pq_subq=args.subq, ivf_pq_bits=args.bits,
         ivf_nlist=args.nlist, ivf_nprobe=args.nprobe,
         ivf_kmeans_iters=8, ivf_train_sample=262_144,
         rescore_mode="exact", rescore_overfetch=10,  # fetch 100 at k=10
@@ -94,7 +97,8 @@ def main():
     import jax
 
     log(f"device: {jax.devices()[0].platform}, rows={N}, dim={DIM}, "
-        f"subq={args.subq}, nlist={args.nlist}, data_dir={data_dir}, "
+        f"subq={args.subq}, bits={args.bits}, nlist={args.nlist}, "
+        f"data_dir={data_dir}, "
         f"base rss {rss_gb():.2f} GB")
     eng = VectorDBEngine(cfg, data_dir=data_dir)
 
@@ -216,8 +220,9 @@ def main():
             f" recall {r2:.4f}), rss {rss_gb():.2f} GB")
 
     out = {
-        "metric": f"engine_capacity_pq_{N//10**6}m{DIM}",
-        "rows": N, "dim": DIM, "pq_subq": args.subq,
+        "metric": (f"engine_capacity_pq_{N//10**6}m{DIM}"
+                   + ("" if args.bits == 8 else f"_b{args.bits}")),
+        "rows": N, "dim": DIM, "pq_subq": args.subq, "pq_bits": args.bits,
         "ingest_rows_per_s": round(N / ingest_s, 1),
         "build_s": round(build_s, 1),
         "codes_gib_hbm": round(code_gib, 2),

@@ -129,6 +129,11 @@ class DBConfig:
     # correlated embeddings (CLIP-like) at the cost of one extra (d, d)
     # GEMM per query batch. Requires ivf_pq_subq > 0.
     ivf_opq: bool = False
+    # 8 (default) or 4: the fast-scan tier packs TWO 4-bit codes per
+    # stored byte (2*subq half-width subspaces, 16-entry codebooks) —
+    # same bytes/row, ~8x less ADC compute (the probe's bottleneck),
+    # slightly coarser codes (the exact re-rank recovers ordering).
+    ivf_pq_bits: int = 8
 
     # -- mesh --
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis
@@ -189,6 +194,14 @@ class DBConfig:
             raise ValueError(
                 "ivf_opq=True requires ivf_pq_subq > 0 (OPQ rotates the "
                 "PQ residual space; there is nothing to rotate without PQ)")
+        if self.ivf_pq_bits not in (8, 4):
+            raise ValueError(
+                f"ivf_pq_bits={self.ivf_pq_bits} must be 8 or 4")
+        if (self.ivf_pq_subq and self.ivf_pq_bits == 4
+                and self.vector_dim % (2 * self.ivf_pq_subq)):
+            raise ValueError(
+                f"ivf_pq_bits=4 needs 2*ivf_pq_subq={2 * self.ivf_pq_subq} "
+                f"subspaces to divide vector_dim={self.vector_dim}")
 
     # -- serialization (stored inside checkpoints so restores validate shape) --
     def to_json(self) -> str:

@@ -701,6 +701,7 @@ class VectorDBEngine:
                     pq_codebooks=warm_cb,
                     opq=cfg.ivf_opq,
                     pq_rotation=warm_rot,
+                    pq_bits=cfg.ivf_pq_bits,
                 )
                 # compile the append-path programs on the slow path (see
                 # IVFIndex.warm_append — same stall on the mesh branch)
@@ -737,6 +738,7 @@ class VectorDBEngine:
                     pq_codebooks=warm_cb,
                     opq=cfg.ivf_opq,
                     pq_rotation=warm_rot,
+                    pq_bits=cfg.ivf_pq_bits,
                     # nprobe must follow the ACTUAL cell count: warm
                     # centroids override nlist inside build, and probing
                     # an engine-side nlist fraction of a much larger warm

@@ -388,9 +388,12 @@ def _pack_cells_from_source(source, rows, assign_live, nlist, window,
     PQ cells in M bytes/row). Returns (gvec, gscales|None, gsq, gval,
     grow, offsets, sizes, spill_rows)."""
     d = source.dim
-    width, cell_dtype = ((pq_codebooks.shape[0], np.uint8)
-                         if pq_codebooks is not None
-                         else (d, np.int8 if int8_out else np.float32))
+    if pq_codebooks is not None:
+        from tpuvdb.kernels.pq import pq_code_bytes
+
+        width, cell_dtype = pq_code_bytes(pq_codebooks), np.uint8
+    else:
+        width, cell_dtype = d, (np.int8 if int8_out else np.float32)
     order = np.argsort(assign_live, kind="stable")
     rows_sorted = rows[order]
     cells_sorted = assign_live[order]
@@ -640,14 +643,16 @@ def _ivf_search_pq(
     neg = jnp.where(cval & in_cell, qc_cand + dots - csq, -jnp.inf)
 
     # spill: dense one-hot GEMM over the whole (small) region; centroid
-    # term gathered per spill row via its stored cell id
-    s_n, m_subq = spill_codes.shape
-    jota = jnp.arange(256, dtype=jnp.int32)
-    onehot = (spill_codes.astype(jnp.int32)[:, :, None] == jota
-              ).astype(jnp.bfloat16)
+    # term gathered per spill row via its stored cell id. J comes from
+    # the codebooks (16 for the packed 4-bit tier, 256 for 8-bit).
+    s_n = spill_codes.shape[0]
+    m_subq, n_codes = codebooks.shape[0], codebooks.shape[1]
+    sc = pqk._maybe_unpack(spill_codes, n_codes)          # (S, M2)
+    jota = jnp.arange(n_codes, dtype=jnp.int32)
+    onehot = (sc[:, :, None] == jota).astype(jnp.bfloat16)
     sdots = jax.lax.dot_general(
         lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16),
-        onehot.reshape(s_n, m_subq * 256),
+        onehot.reshape(s_n, m_subq * n_codes),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     qc_spill = jnp.take(qc2, jnp.clip(spill_cells, 0, qc2.shape[1] - 1),
                         axis=1)                            # (Q, S)
@@ -758,6 +763,7 @@ class IVFIndex:
         pq_codebooks: Optional[np.ndarray] = None,
         opq: bool = False,
         pq_rotation: Optional[np.ndarray] = None,
+        pq_bits: int = 8,
     ) -> "IVFIndex":
         """With split_oversized (default), cell_pad tracks the MEDIAN cell
         and hot cells are subdivided into real child centroids, so fill
@@ -772,7 +778,7 @@ class IVFIndex:
             cell_cap_quantile=cell_cap_quantile, dtype=dtype, seed=seed,
             recall_target=recall_target, split_oversized=split_oversized,
             centroids=centroids, pq_subq=pq_subq, pq_codebooks=pq_codebooks,
-            opq=opq, pq_rotation=pq_rotation)
+            opq=opq, pq_rotation=pq_rotation, pq_bits=pq_bits)
 
     @classmethod
     def build_streaming(
@@ -794,6 +800,7 @@ class IVFIndex:
         pq_max_cell: int = 2048,                   # PQ scan-window clamp
         opq: bool = False,                         # learned OPQ rotation
         pq_rotation: Optional[np.ndarray] = None,  # warm-start rotation
+        pq_bits: int = 8,                          # 8 | 4 (fast-scan)
     ) -> "IVFIndex":
         """Memory-bounded build: the corpus is read through `source` —
         k-means sample and cell members by gather, the assignment pass in
@@ -807,16 +814,26 @@ class IVFIndex:
         if len(live_idx) == 0:
             raise ValueError("cannot build IVF over empty corpus")
         if pq_codebooks is not None and not pq_subq:
-            pq_subq = int(pq_codebooks.shape[0])
+            from tpuvdb.kernels.pq import pq_code_bytes
+
+            pq_subq = pq_code_bytes(pq_codebooks)
         if pq_subq:
-            if d % pq_subq != 0:
-                raise ValueError(f"pq_subq={pq_subq} must divide dim={d}")
+            if pq_bits not in (8, 4):
+                raise ValueError(f"pq_bits={pq_bits} must be 8 or 4")
+            # pq_subq stays BYTES/row in both tiers; 4-bit runs 2*subq
+            # half-width subspaces of 16 codes packed two per byte
+            pq_m = pq_subq if pq_bits == 8 else 2 * pq_subq
+            pq_j = 256 if pq_bits == 8 else 16
+            if d % pq_m != 0:
+                raise ValueError(
+                    f"pq_subq={pq_subq} at pq_bits={pq_bits} needs "
+                    f"{pq_m} subspaces to divide dim={d}")
             if dtype == jnp.int8:
                 raise ValueError("pq_subq and int8 cells are exclusive — "
                                  "PQ already compresses below int8")
             if (pq_codebooks is not None
-                    and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
-                pq_codebooks = None  # stale warm shape: retrain
+                    and pq_codebooks.shape != (pq_m, pq_j, d // pq_m)):
+                pq_codebooks = None  # stale warm shape/tier: retrain
             if pq_rotation is not None and pq_rotation.shape != (d, d):
                 pq_rotation = None
                 pq_codebooks = None  # codebooks are tied to their rotation
@@ -869,10 +886,12 @@ class IVFIndex:
                 # the codebooks (coarse quantizer stays in original
                 # space — only the residual coding rotates)
                 pq_codebooks, pq_rotation = train_opq(
-                    sample - centroids[sa], m_subq=pq_subq, seed=seed)
+                    sample - centroids[sa], m_subq=pq_m, seed=seed,
+                    n_codes=pq_j)
             else:
                 pq_codebooks = train_pq(sample - centroids[sa],
-                                        m_subq=pq_subq, seed=seed)
+                                        m_subq=pq_m, seed=seed,
+                                        n_codes=pq_j)
         del sample
 
         # 2. assign every row, streamed in ONE fixed block shape (pad the

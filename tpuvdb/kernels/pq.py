@@ -55,6 +55,74 @@ def _check_dims(d: int, m_subq: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# 4-bit nibble packing (fast-scan tier)
+#
+# Same storage bytes as 8-bit PQ — each byte packs TWO 4-bit codes over
+# TWO half-width subspaces (even subspace = low nibble) — but the ADC
+# one-hot is 16 wide instead of 256: 8x fewer VPU compares and an 8x
+# narrower MXU contraction. The probe is compute-bound on exactly those
+# two costs (the code stream is tiny), so 4-bit trades a little
+# quantization fidelity (recovered by the exact re-rank) for large scan
+# throughput. Codebook shape disambiguates the mode everywhere:
+# (M2, 16, d/M2) is 4-bit with M2 = 2 * bytes/row; (M, 256, d/M) is 8-bit.
+# --------------------------------------------------------------------------
+
+
+def pq_n_codes(codebooks) -> int:
+    return int(codebooks.shape[1])
+
+
+def pq_code_bytes(codebooks) -> int:
+    """Stored bytes per row for this codebook shape."""
+    m2, j = int(codebooks.shape[0]), int(codebooks.shape[1])
+    if j == 16:
+        if m2 % 2:
+            raise ValueError("4-bit codebooks need an even subspace count")
+        return m2 // 2
+    return m2
+
+
+def pack_nibbles_np(codes: np.ndarray) -> np.ndarray:
+    """(n, 2M) per-subspace 4-bit codes -> (n, M) packed bytes."""
+    lo = codes[:, 0::2].astype(np.uint8)
+    hi = codes[:, 1::2].astype(np.uint8)
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def unpack_nibbles_np(packed: np.ndarray) -> np.ndarray:
+    """(n, M) packed bytes -> (n, 2M) per-subspace codes."""
+    p = np.asarray(packed, np.uint8)
+    out = np.empty(p.shape[:-1] + (2 * p.shape[-1],), np.uint8)
+    out[..., 0::2] = p & 15
+    out[..., 1::2] = p >> 4
+    return out
+
+
+def _pack_nibbles(codes: jax.Array) -> jax.Array:
+    """jnp twin of pack_nibbles_np; codes (..., 2M) int -> (..., M) u8."""
+    lo = codes[..., 0::2].astype(jnp.uint8)
+    hi = codes[..., 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def _unpack_nibbles(packed: jax.Array) -> jax.Array:
+    """(..., M) u8/i32 -> (..., 2M) i32 in subspace order."""
+    p = packed.astype(jnp.int32)
+    lo = p & 15
+    hi = p >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1]
+                                                + (2 * p.shape[-1],))
+
+
+def _maybe_pack(codes: jax.Array, n_codes: int) -> jax.Array:
+    return _pack_nibbles(codes) if n_codes == 16 else codes.astype(jnp.uint8)
+
+
+def _maybe_unpack(codes: jax.Array, n_codes: int) -> jax.Array:
+    return _unpack_nibbles(codes) if n_codes == 16 else codes.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
 # training: batched Lloyd over all M subspaces in one program
 # --------------------------------------------------------------------------
 
@@ -62,8 +130,9 @@ def _check_dims(d: int, m_subq: int) -> int:
 @functools.partial(jax.jit, static_argnames=("block",))
 def _pq_assign_block_scores(chunk_sub: jax.Array, codebooks: jax.Array,
                             block: int) -> jax.Array:
-    """(B, M) nearest-codeword ids for chunk_sub (B, M, dsub)."""
-    c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, 256)
+    """(B, M) nearest-codeword ids for chunk_sub (B, M, dsub). Generic in
+    the codebook width J (256 for 8-bit, 16 for the 4-bit tier)."""
+    c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, J)
     scores = (
         2.0
         * jnp.einsum("bms,mjs->bmj", chunk_sub, codebooks,
@@ -79,8 +148,9 @@ def _pq_lloyd_step(data_sub: jax.Array, valid: jax.Array,
     """One Lloyd iteration over all subspaces. data_sub: (n, M, dsub),
     n % block == 0. Returns (new_codebooks, mean_shift)."""
     n, m_subq, dsub = data_sub.shape
-    nseg = m_subq * 256
-    seg_base = jnp.arange(m_subq, dtype=jnp.int32) * 256  # (M,)
+    n_codes = codebooks.shape[1]
+    nseg = m_subq * n_codes
+    seg_base = jnp.arange(m_subq, dtype=jnp.int32) * n_codes  # (M,)
 
     def body(carry, i):
         sums, counts = carry
@@ -99,8 +169,8 @@ def _pq_lloyd_step(data_sub: jax.Array, valid: jax.Array,
     init = (jnp.zeros((nseg, dsub), jnp.float32), jnp.zeros((nseg,), jnp.float32))
     (sums, counts), _ = jax.lax.scan(
         body, init, jnp.arange(n // block, dtype=jnp.int32))
-    sums = sums.reshape(m_subq, 256, dsub)
-    counts = counts.reshape(m_subq, 256)
+    sums = sums.reshape(m_subq, n_codes, dsub)
+    counts = counts.reshape(m_subq, n_codes)
     new = jnp.where(counts[:, :, None] > 0,
                     sums / jnp.maximum(counts, 1.0)[:, :, None], codebooks)
     shift = jnp.mean(jnp.linalg.norm(new - codebooks, axis=-1))
@@ -114,13 +184,16 @@ def train_pq(
     block: int = 4096,
     seed: int = 0,
     init: Optional[np.ndarray] = None,
+    n_codes: int = 256,
 ) -> np.ndarray:
-    """Train per-subspace codebooks on a sample. Returns (M, 256, dsub) f32.
+    """Train per-subspace codebooks on a sample. Returns
+    (M, n_codes, dsub) f32 — n_codes 256 for the 8-bit tier, 16 for the
+    4-bit fast-scan tier (where m_subq = 2 * bytes/row).
 
     The sample should be a few hundred rows per codeword (e.g. 100-300k
     rows); training streams in `block`-row chunks so device memory stays
-    O(block * M * 256). `init` warm-starts Lloyd from existing codebooks
-    (the OPQ alternation refines rather than retrains each round)."""
+    O(block * M * n_codes). `init` warm-starts Lloyd from existing
+    codebooks (the OPQ alternation refines rather than retrains)."""
     sample = np.asarray(sample, np.float32)
     n, d = sample.shape
     dsub = _check_dims(d, m_subq)
@@ -128,12 +201,12 @@ def train_pq(
         raise ValueError("train_pq on empty sample")
 
     rng = np.random.default_rng(seed)
-    if init is not None and init.shape == (m_subq, 256, dsub):
+    if init is not None and init.shape == (m_subq, n_codes, dsub):
         cents = np.asarray(init, np.float32)
     else:
         # init: random sample rows per subspace (independent draws
-        # decorrelate the subspace codebooks even when n < 256)
-        take = rng.integers(0, n, size=(m_subq, 256))
+        # decorrelate the subspace codebooks even when n < n_codes)
+        take = rng.integers(0, n, size=(m_subq, n_codes))
         cents = sample.reshape(n, m_subq, dsub)[take,
                                                 np.arange(m_subq)[:, None], :]
         # jitter duplicates so Lloyd can separate them
@@ -170,11 +243,13 @@ def train_opq(
     opq_iters: int = 8,
     block: int = 4096,
     seed: int = 0,
+    n_codes: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """OPQ (optimized PQ): learn an orthogonal rotation R that aligns the
     data with the PQ subspace grid before coding. Returns
-    (codebooks (M, 256, dsub), rotation (d, d)) — codebooks live in the
-    ROTATED space; encode rows as (x @ R), build query LUTs from (q @ R).
+    (codebooks (M, n_codes, dsub), rotation (d, d)) — codebooks live in
+    the ROTATED space; encode rows as (x @ R), build query LUTs from
+    (q @ R).
 
     Non-parametric OPQ alternation (Ge et al., CVPR'13 — reimplemented
     from the paper's two-step structure, no reference-code lineage):
@@ -206,7 +281,8 @@ def train_opq(
         # first round trains from scratch; later rounds take few-step
         # refinements from the previous codebooks (standard OPQ schedule)
         codebooks = train_pq(y, m_subq, iters=(iters if it == 0 else 4),
-                             block=block, seed=seed, init=codebooks)
+                             block=block, seed=seed, init=codebooks,
+                             n_codes=n_codes)
         if it == max(1, opq_iters) - 1:
             break
         codes, _ = encode_pq(y, codebooks)
@@ -226,8 +302,8 @@ def train_opq(
 def _encode_scan(data: jax.Array, codebooks: jax.Array, block: int,
                  rotation: Optional[jax.Array] = None):
     n, d = data.shape
-    m_subq = codebooks.shape[0]
-    c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, 256)
+    m_subq, n_codes = codebooks.shape[0], codebooks.shape[1]
+    c_sq = jnp.sum(codebooks * codebooks, axis=-1)  # (M, J)
 
     def body(_, i):
         chunk = jax.lax.dynamic_slice_in_dim(data, i * block, block)
@@ -239,7 +315,7 @@ def _encode_scan(data: jax.Array, codebooks: jax.Array, block: int,
         csq_b = jnp.broadcast_to(c_sq[None], (block,) + c_sq.shape)
         rsq = jnp.sum(jnp.take_along_axis(csq_b, assign[:, :, None],
                                           axis=-1)[..., 0], axis=-1)  # (B,)
-        return 0, (assign.astype(jnp.uint8), rsq)
+        return 0, (_maybe_pack(assign, n_codes), rsq)
 
     _, (codes, rsq) = jax.lax.scan(
         body, 0, jnp.arange(n // block, dtype=jnp.int32))
@@ -263,8 +339,9 @@ def encode_pq(
     n, d = data.shape
     m_subq = codebooks.shape[0]
     _check_dims(d, m_subq)
+    width = pq_code_bytes(codebooks)
     if n == 0:
-        return (np.zeros((0, m_subq), np.uint8), np.zeros((0,), np.float32))
+        return (np.zeros((0, width), np.uint8), np.zeros((0,), np.float32))
     pad = (-n) % block
     if pad:
         data = np.concatenate([data, np.zeros((pad, d), np.float32)])
@@ -291,7 +368,7 @@ def _encode_residual_scan(data: jax.Array, assign: jax.Array,
     ||c + r_hat_rot @ R^T||^2. Query side pairs via (q @ R) . r_hat_rot
     = q . r_hat. Returns (codes (n, M) u8, recon_sq (n,) f32)."""
     n, d = data.shape
-    m_subq, _, dsub = codebooks.shape
+    m_subq, n_codes, dsub = codebooks.shape
 
     def body(_, i):
         chunk = jax.lax.dynamic_slice_in_dim(data, i * block, block)
@@ -303,7 +380,8 @@ def _encode_residual_scan(data: jax.Array, assign: jax.Array,
         res = res.reshape(block, m_subq, dsub)
         codes = _pq_assign_block_scores(res, codebooks, block)  # (B, M)
         onehot = (codes[:, :, None]
-                  == jnp.arange(256, dtype=jnp.int32)).astype(codebooks.dtype)
+                  == jnp.arange(n_codes, dtype=jnp.int32)
+                  ).astype(codebooks.dtype)
         r_hat = jnp.einsum("bmj,mjs->bms", onehot, codebooks,
                            preferred_element_type=jnp.float32)
         r_flat = r_hat.reshape(block, d)
@@ -312,7 +390,7 @@ def _encode_residual_scan(data: jax.Array, assign: jax.Array,
                              preferred_element_type=jnp.float32)
         recon = cents + r_flat
         rsq = jnp.sum(recon * recon, axis=-1)
-        return 0, (codes.astype(jnp.uint8), rsq)
+        return 0, (_maybe_pack(codes, n_codes), rsq)
 
     _, (codes, rsq) = jax.lax.scan(
         body, 0, jnp.arange(n // block, dtype=jnp.int32))
@@ -342,7 +420,7 @@ def encode_pq_residual_chunked(
     per_row = assign is None
     if not per_row:
         cents = jnp.asarray(centroids, jnp.float32)
-    codes = np.empty((m, cb.shape[0]), np.uint8)
+    codes = np.empty((m, pq_code_bytes(cb)), np.uint8)
     rsq = np.empty(m, np.float32)
     ident = np.arange(chunk, dtype=np.int32)
     for lo in range(0, m, chunk):
@@ -378,7 +456,7 @@ def encode_pq_chunked(
     assignment GEMM's fixed chunks in index/ivf.py)."""
     vecs = np.asarray(vecs, np.float32)
     m, d = vecs.shape
-    codes = np.empty((m, codebooks.shape[0]), np.uint8)
+    codes = np.empty((m, pq_code_bytes(codebooks)), np.uint8)
     rsq = np.empty(m, np.float32)
     for lo in range(0, m, chunk):
         part = vecs[lo : lo + chunk]
@@ -394,8 +472,11 @@ def decode_pq(codes: np.ndarray, codebooks: np.ndarray,
               rotation: Optional[np.ndarray] = None) -> np.ndarray:
     """Reconstruct (n, d) f32 rows from codes — host-side helper for
     rescoring/tests (the hot path never decodes). With an OPQ rotation,
-    the decoded rotated-space row unrotates back to original space."""
+    the decoded rotated-space row unrotates back to original space.
+    4-bit codebooks take packed byte codes (pack_nibbles_np layout)."""
     codes = np.asarray(codes)
+    if pq_n_codes(codebooks) == 16:
+        codes = unpack_nibbles_np(codes)
     n, m_subq = codes.shape
     recon = codebooks[np.arange(m_subq)[None, :], codes.astype(np.int64), :]
     out = recon.reshape(n, -1).astype(np.float32)
@@ -441,25 +522,27 @@ def pq_topk(
     squared-L2 to the RECONSTRUCTION, ascending; empty slots +inf / -1.
     `rotation` pairs with codes produced by encode_pq(..., rotation=R):
     only the LUT build changes (||q||, recon_sq are rotation-invariant)."""
-    n, m_subq = codes.shape
+    n = codes.shape[0]
+    m_subq, n_codes = codebooks.shape[0], codebooks.shape[1]
     if n % block != 0:
         raise ValueError(f"codes rows {n} not a multiple of block {block}")
     q_sq = jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=-1,
                    keepdims=True)
-    lut = _pq_lut(queries, codebooks, rotation)             # (Q, M, 256)
+    lut = _pq_lut(queries, codebooks, rotation)             # (Q, M, J)
     lut_flat = lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16)
     codes_i32 = codes.astype(jnp.int32)
-    jota = jnp.arange(256, dtype=jnp.int32)
+    jota = jnp.arange(n_codes, dtype=jnp.int32)
 
     def body(carry, i):
         neg, idx = carry
         start = i * block
         cblk = jax.lax.dynamic_slice_in_dim(codes_i32, start, block)
+        cblk = _maybe_unpack(cblk, n_codes)
         rsq = jax.lax.dynamic_slice_in_dim(recon_sq, start, block)
         v = jax.lax.dynamic_slice_in_dim(valid, start, block)
         onehot = (cblk[:, :, None] == jota[None, None, :]).astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
-            lut_flat, onehot.reshape(block, m_subq * 256),
+            lut_flat, onehot.reshape(block, m_subq * n_codes),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (Q, B)
         scores = dots - rsq[None, :]
@@ -487,12 +570,14 @@ def adc_scores_gathered(
 ) -> jax.Array:
     """(Q, R) dot scores 2 q.x_hat for per-query gathered candidates.
 
-    Per-element 256-entry table lookups: expressed as take_along_axis so
-    XLA lowers one gather per query over the (256, M) transposed LUT —
+    Per-element J-entry table lookups: expressed as take_along_axis so
+    XLA lowers one gather per query over the (J, M) transposed LUT —
     candidate code rows were already fetched at row granularity (cheap
     DMA); this step is VPU/gather work proportional to Q*R*M elements.
     """
-    lut_t = jnp.swapaxes(lut, 1, 2)  # (Q, 256, M)
+    if lut.shape[2] == 16:  # 4-bit tier: packed byte codes
+        codes_g = _unpack_nibbles(codes_g)
+    lut_t = jnp.swapaxes(lut, 1, 2)  # (Q, J, M)
 
     def per_q(lut_q, codes_q):
         # out[r, m] = lut_q[codes_q[r, m], m]
@@ -519,8 +604,11 @@ def adc_scores_grouped(
     with a large N dimension. The G x flop overcount (each query scores
     the whole group's candidates, the diagonal block is kept) is the
     price of avoiding gathers; G=8 keeps it far below the gather cost.
-    """
-    q_n, r_n, m_subq = codes_g.shape
+    4-bit codebooks: codes stay PACKED through the (cheap) per-chunk
+    slice and unpack right before the 16-wide one-hot — 8x fewer VPU
+    compares and an 8x narrower contraction than the 8-bit tier."""
+    q_n, r_n, byte_w = codes_g.shape
+    m_subq, n_codes = lut.shape[1], lut.shape[2]
     g = min(q_group, q_n)
     if q_n % g != 0:  # pad query groups to a common size
         pad = g - q_n % g
@@ -533,16 +621,17 @@ def adc_scores_grouped(
     flat_r = g * r_n
     if flat_r % chunk != 0:
         chunk = math.gcd(flat_r, chunk) or flat_r
-    jota = jnp.arange(256, dtype=jnp.int32)
-    lut_g = lut.reshape(n_groups, g, m_subq * 256).astype(jnp.bfloat16)
-    codes_f = codes_g.reshape(n_groups, flat_r, m_subq).astype(jnp.int32)
+    jota = jnp.arange(n_codes, dtype=jnp.int32)
+    lut_g = lut.reshape(n_groups, g, m_subq * n_codes).astype(jnp.bfloat16)
+    codes_f = codes_g.reshape(n_groups, flat_r, byte_w).astype(jnp.int32)
 
     def per_group(lut_1, codes_1):
         def body(_, i):
             cg = jax.lax.dynamic_slice_in_dim(codes_1, i * chunk, chunk)
+            cg = _maybe_unpack(cg, n_codes)
             onehot = (cg[:, :, None] == jota).astype(jnp.bfloat16)
             out = jax.lax.dot_general(
-                lut_1, onehot.reshape(chunk, m_subq * 256),
+                lut_1, onehot.reshape(chunk, m_subq * n_codes),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (g, C)
             return 0, out
@@ -563,19 +652,21 @@ def adc_scores_gathered_onehot(
 ) -> jax.Array:
     """Gather-free variant: per-R-chunk one-hot einsum on the MXU.
 
-    FLOPs are Q*R*M*256 (vs Q*R*M adds for the gather variant) but every
+    FLOPs are Q*R*M*J (vs Q*R*M adds for the gather variant) but every
     op is an MXU contraction; wins when XLA's gather lowering is the
-    bottleneck. Memory: Q*chunk*M*256 bf16 transient per step."""
-    q_n, r_n, m_subq = codes_g.shape
+    bottleneck. Memory: Q*chunk*M*J bf16 transient per step."""
+    q_n, r_n = codes_g.shape[:2]
+    n_codes = lut.shape[2]
     if r_n % chunk != 0:
         chunk = r_n  # small candidate sets: single step
-    jota = jnp.arange(256, dtype=jnp.int32)
+    jota = jnp.arange(n_codes, dtype=jnp.int32)
     lut_b = lut.astype(jnp.bfloat16)
     codes_i = codes_g.astype(jnp.int32)
 
     def body(_, i):
         cg = jax.lax.dynamic_slice_in_dim(codes_i, i * chunk, chunk, axis=1)
-        onehot = (cg[..., None] == jota).astype(jnp.bfloat16)  # (Q,C,M,256)
+        cg = _maybe_unpack(cg, n_codes)
+        onehot = (cg[..., None] == jota).astype(jnp.bfloat16)  # (Q,C,M,J)
         return 0, jnp.einsum("qcmj,qmj->qc", onehot, lut_b,
                              preferred_element_type=jnp.float32)
 

@@ -91,13 +91,14 @@ def _build_program(mesh, axis: str, k: int, nprobe: int, cell_pad: int,
                                  cell_pad, axis=1)
             neg = jnp.where(cval & in_cell,
                             qc_cand + dots_half - csq, -jnp.inf)
-            s_n, m_subq = spill.shape
-            jota = jnp.arange(256, dtype=jnp.int32)
-            onehot = (spill.astype(jnp.int32)[:, :, None] == jota
-                      ).astype(jnp.bfloat16)
+            s_n = spill.shape[0]
+            m_subq, n_codes = cbs.shape[0], cbs.shape[1]
+            sc = pqk._maybe_unpack(spill, n_codes)
+            jota = jnp.arange(n_codes, dtype=jnp.int32)
+            onehot = (sc[:, :, None] == jota).astype(jnp.bfloat16)
             sdots = jax.lax.dot_general(
                 lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16),
-                onehot.reshape(s_n, m_subq * 256),
+                onehot.reshape(s_n, m_subq * n_codes),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             qc_spill = jnp.take(qc2, jnp.clip(scells, 0, qc2.shape[1] - 1),
@@ -288,6 +289,7 @@ class ShardedIVFIndex:
         pq_codebooks: Optional[np.ndarray] = None,  # warm-start codebooks
         opq: bool = False,                # learned OPQ residual rotation
         pq_rotation: Optional[np.ndarray] = None,   # warm-start rotation
+        pq_bits: int = 8,                 # 8 | 4 (fast-scan)
     ) -> "ShardedIVFIndex":
         ndev = mesh.shape[axis]
         n, d = vectors.shape
@@ -295,15 +297,23 @@ class ShardedIVFIndex:
             raise ValueError(f"rows {n} % devices {ndev} != 0")
         per = n // ndev
         if pq_codebooks is not None and not pq_subq:
-            pq_subq = int(pq_codebooks.shape[0])
+            from tpuvdb.kernels.pq import pq_code_bytes
+
+            pq_subq = pq_code_bytes(pq_codebooks)
         if pq_subq:
-            if d % pq_subq != 0:
-                raise ValueError(f"pq_subq={pq_subq} must divide dim={d}")
+            if pq_bits not in (8, 4):
+                raise ValueError(f"pq_bits={pq_bits} must be 8 or 4")
+            pq_m = pq_subq if pq_bits == 8 else 2 * pq_subq
+            pq_j = 256 if pq_bits == 8 else 16
+            if d % pq_m != 0:
+                raise ValueError(
+                    f"pq_subq={pq_subq} at pq_bits={pq_bits} needs "
+                    f"{pq_m} subspaces to divide dim={d}")
             if dtype == jnp.int8:
                 raise ValueError("pq_subq and int8 cells are exclusive")
             if (pq_codebooks is not None
-                    and pq_codebooks.shape != (pq_subq, 256, d // pq_subq)):
-                pq_codebooks = None  # stale warm shape: retrain
+                    and pq_codebooks.shape != (pq_m, pq_j, d // pq_m)):
+                pq_codebooks = None  # stale warm shape/tier: retrain
             if pq_rotation is not None and pq_rotation.shape != (d, d):
                 pq_rotation = None
                 pq_codebooks = None  # codebooks are tied to their rotation
@@ -384,10 +394,10 @@ class ShardedIVFIndex:
                 # one GLOBAL rotation over the pooled residuals (the
                 # codebooks are global too, so the rotation must be)
                 pq_codebooks, pq_rotation = train_opq(
-                    pooled_res, m_subq=pq_subq, seed=seed)
+                    pooled_res, m_subq=pq_m, seed=seed, n_codes=pq_j)
             else:
-                pq_codebooks = train_pq(pooled_res, m_subq=pq_subq,
-                                        seed=seed)
+                pq_codebooks = train_pq(pooled_res, m_subq=pq_m,
+                                        seed=seed, n_codes=pq_j)
 
         # common scan window across devices: pooled median * 1.25, then
         # per-device bisection of oversized cells + PACKED layout (see
