@@ -11,8 +11,10 @@ capacity shapes (the 16-32M x 768 tier of scripts/bench_capacity_pq.py):
   grouped    adc_scores_grouped  — the serving formulation (one-hot built
              once per query group, G x MXU overcount)
   onehot     adc_scores_gathered_onehot — per-query one-hot einsum
-  nib4       simulated 4-bit fast-scan: same code BYTES (M), 2M subspaces
-             of 16 codes — 8x fewer VPU compares and 8x fewer MXU MACs
+  grp16/oneh16  the same two kernels on the 4-bit fast-scan tier (same
+             code BYTES, 2M subspaces of 16 codes — 8x fewer VPU
+             compares and 8x fewer MXU MACs); tier detected from LUT width
+  int8row    scoring the same candidates from int8 ROWS (d-wide gather)
 
 Times are per-batch device-chained (fori_loop) like bench.py.
 Usage: python scripts/bench_adc_micro.py [--q 32] [--r 32768] [--m 96]
@@ -62,92 +64,106 @@ def main():
     lut = pqk._pq_lut(q, cb)
 
     def timeit(name, fn, *xs):
-        f = jax.jit(fn)
-        out = f(*xs)
-        jax.block_until_ready(out)
-        # chain on device via fori_loop to dodge relay dispatch ticks
-        def chained(*xs):
+        # fn takes (i, *xs) with i the ITERATION INDEX and must fold i
+        # into its inputs — a loop-invariant body gets hoisted out of
+        # the fori_loop by XLA and the "chained" run times pure dispatch.
+        # Timing FETCHES THE SCALAR VALUE (float(...)): on the axon relay
+        # block_until_ready returns immediately (async execution), so
+        # only a device_get actually waits for the computation — without
+        # it the bench reports 11 TB/s of fictional gather bandwidth.
+        # Per-iter cost = (chained(1+iters) - chained(1)) / iters, like
+        # bench/scan.py: the subtraction cancels the dispatch+fetch tick.
+        def chained(it, *xs):
             def body(i, acc):
-                r = fn(*xs)
+                r = fn(i, *xs)
                 return acc + (r if r.dtype == jnp.float32
                               else r.astype(jnp.float32)).ravel()[0]
-            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
-        g = jax.jit(chained)
-        jax.block_until_ready(g(*xs))
-        t0 = time.perf_counter()
-        jax.block_until_ready(g(*xs))
-        dt = (time.perf_counter() - t0) / args.iters
+            return jax.lax.fori_loop(0, it, body, jnp.float32(0))
+        g = jax.jit(chained, static_argnums=(0,))
+        float(g(1, *xs))
+        float(g(1 + args.iters, *xs))  # warm both compiles
+        vals = []
+        for _ in range(3):
+            t1 = time.perf_counter(); float(g(1, *xs))
+            t1 = time.perf_counter() - t1
+            t2 = time.perf_counter(); float(g(1 + args.iters, *xs))
+            t2 = time.perf_counter() - t2
+            vals.append((t2 - t1) / args.iters)
+        pos = sorted(v for v in vals if v > 0)
+        if not pos:
+            log(f"{name:>8}: measurement failed (pool noise)")
+            return -1.0
+        dt = pos[len(pos) // 2]
         per_cand = dt / (Q * R) * 1e9
         log(f"{name:>8}: {dt*1e3:8.3f} ms/batch  {per_cand:7.2f} ns/cand  "
             f"({Q*R/dt/1e9:.2f} Gcand/s)")
         return dt
 
+    def perturb_cand(i, c):
+        # iteration-dependent candidate set; cost: Q*R int adds (~1 us)
+        return (c + i) % args.rows
+
+    def perturb_lut(i, l):
+        # iteration-dependent LUT; cost: Q*M*J f32 adds (~1 us)
+        return l + jnp.float32(i) * 1e-12
+
     log(f"device: {jax.devices()[0].platform}, Q={Q} R={R} M={M} D={D}")
 
-    # 1. gather only (the XLA probe's candidate fetch)
-    timeit("gather", lambda c: jnp.take(codes, c, axis=0
-                                        ).astype(jnp.float32).sum(), cand)
+    # 1. gather only (the XLA probe's candidate fetch).  NOTE: every big
+    # array is passed as a jit ARGUMENT, never a closure — closed-over
+    # arrays are baked into the HLO as constants and shipped through the
+    # relay's remote_compile, which rejects multi-GB programs (HTTP 413).
+    timeit("gather",
+           lambda i, cs, c: jnp.take(cs, perturb_cand(i, c), axis=0
+                                     ).astype(jnp.float32).sum(),
+           codes, cand)
 
     codes_g = jnp.take(codes, cand, axis=0)  # pre-gathered for scoring-only
     jax.block_until_ready(codes_g)
 
     # 2. grouped-GEMM ADC (current serving path)
-    timeit("grouped", lambda l, cg: pqk.adc_scores_grouped(l, cg).sum(),
+    timeit("grouped",
+           lambda i, l, cg: pqk.adc_scores_grouped(
+               perturb_lut(i, l), cg).sum(),
            lut, codes_g)
 
     # 3. per-query one-hot einsum
     timeit("onehot",
-           lambda l, cg: pqk.adc_scores_gathered_onehot(l, cg).sum(),
+           lambda i, l, cg: pqk.adc_scores_gathered_onehot(
+               perturb_lut(i, l), cg).sum(),
            lut, codes_g)
 
-    # 4. simulated 4-bit fast-scan: same bytes, 2M subspaces of 16.
-    # Codes reinterpret as nibbles; LUT16 is (Q, 2M, 16).
+    # 4. 4-bit fast-scan via the REAL kernel functions: same code bytes
+    # reinterpreted as packed nibbles, LUT16 is (Q, 2M, 16) — both
+    # formulations detect the tier from the LUT width.
     lut16 = jnp.asarray(rng.standard_normal((Q, 2 * M, 16)), jnp.float32)
-
-    def nib4(l16, cg, chunk=2048, q_group=8):
-        q_n, r_n, m_b = cg.shape
-        g = min(q_group, q_n)
-        n_groups = q_n // g
-        flat_r = g * r_n
-        if flat_r % chunk:
-            chunk = flat_r
-        jota = jnp.arange(16, dtype=jnp.int32)
-        l16g = l16.reshape(n_groups, g, 2 * m_b * 16).astype(jnp.bfloat16)
-        cgf = cg.reshape(n_groups, flat_r, m_b).astype(jnp.int32)
-
-        def per_group(l1, c1):
-            def body(_, i):
-                cgc = jax.lax.dynamic_slice_in_dim(c1, i * chunk, chunk)
-                lo = cgc & 15
-                hi = cgc >> 4
-                nib = jnp.concatenate([lo, hi], axis=-1)  # (C, 2M)
-                onehot = (nib[:, :, None] == jota).astype(jnp.bfloat16)
-                out = jax.lax.dot_general(
-                    l1, onehot.reshape(chunk, 2 * m_b * 16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                return 0, out
-
-            _, blocks = jax.lax.scan(
-                body, 0, jnp.arange(flat_r // chunk, dtype=jnp.int32))
-            big = jnp.moveaxis(blocks, 0, 1).reshape(g, g, r_n)
-            return big[jnp.arange(g), jnp.arange(g)]
-
-        return jax.vmap(per_group)(l16g, cgf).reshape(-1, r_n)
-
-    timeit("nib4", lambda l16, cg: nib4(l16, cg).sum(), lut16, codes_g)
+    timeit("grp16",
+           lambda i, l16, cg: pqk.adc_scores_grouped(
+               perturb_lut(i, l16), cg).sum(),
+           lut16, codes_g)
+    timeit("oneh16",
+           lambda i, l16, cg: pqk.adc_scores_gathered_onehot(
+               perturb_lut(i, l16), cg).sum(),
+           lut16, codes_g)
 
     # 5. int8 row scan reference: what scoring the same candidates from
-    # int8 ROWS costs (d-wide gather + direct MXU dot, no one-hot)
-    rows_i8 = jnp.asarray(
-        rng.integers(-127, 128, (args.rows, D), dtype=np.int8))
+    # int8 ROWS costs (d-wide gather + direct MXU dot, no one-hot).
+    # Rows are generated ON DEVICE (jax.random) — a host ndarray at
+    # rows x 768 int8 is ~3 GB and neither the relay transfer nor a
+    # closure constant survives that size.
+    del codes_np
+    rows_i8 = jax.jit(
+        lambda k: jax.random.randint(
+            k, (args.rows, D), -127, 128, dtype=jnp.int8),
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(rows_i8)
 
-    def int8_ref(qq, c):
-        rv = jnp.take(rows_i8, c, axis=0).astype(jnp.bfloat16)
+    def int8_ref(i, rw, qq, c):
+        rv = jnp.take(rw, perturb_cand(i, c), axis=0).astype(jnp.bfloat16)
         return jnp.einsum("qd,qrd->qr", qq.astype(jnp.bfloat16), rv,
                           preferred_element_type=jnp.float32).sum()
 
-    timeit("int8row", int8_ref, q, cand)
+    timeit("int8row", int8_ref, rows_i8, q, cand)
 
 
 if __name__ == "__main__":
