@@ -93,13 +93,26 @@ def main():
         return _ivf_search_pq(
             q, idx.centroids, idx.cell_offsets, idx.cell_lens, idx.grouped,
             idx.pq_codebooks, idx.grouped_sq, idx.grouped_valid, idx.spill,
-            idx.spill_sq, idx.spill_valid, nprobe=args.nprobe, k=args.k,
-            cell_pad=idx.cell_pad, recall_target=0.95)
+            idx.spill_cells, idx.spill_sq, idx.spill_valid,
+            nprobe=args.nprobe, k=args.k,
+            cell_pad=idx.cell_pad, recall_target=0.95,
+            rotation=idx.pq_rotation)
 
-    for batch in (1, 8, 64):
-        dt = measure(search_fn, batch)
-        log(f"gather epilogue b{batch}: {dt*1000:.2f} ms/batch "
-            f"({dt/batch*1e6:.0f} us/q, {batch/dt:,.0f} QPS)")
+    def pallas_fn(q):
+        from tpuvdb.kernels.pallas_pq import pallas_pq_search
+
+        return pallas_pq_search(
+            q, idx.centroids, idx.grouped, idx.pq_codebooks,
+            idx.grouped_sq, idx.grouped_valid, idx.spill, idx.spill_cells,
+            idx.spill_sq, idx.spill_valid, idx.cell_offsets,
+            cell_pad=idx.cell_pad, k=args.k, nprobe=args.nprobe,
+            rotation=idx.pq_rotation)
+
+    for name, fn in (("xla-adc", search_fn), ("pallas", pallas_fn)):
+        for batch in (1, 8, 64):
+            dt = measure(fn, batch)
+            log(f"{name} b{batch}: {dt*1000:.2f} ms/batch "
+                f"({dt/batch*1e6:.0f} us/q, {batch/dt:,.0f} QPS)")
 
     # quality: candidate recall before re-rank (vs exact top-k)
     qs = queries[:32]

@@ -79,6 +79,12 @@ def main():
     t0 = time.perf_counter()
     eng = VectorDBEngine(cfg, data_dir=args.data_dir)
     log(f"engine open {time.perf_counter()-t0:.0f}s, count={eng.count():,}")
+    # the IVF device index rebuilds lazily (warm codebooks skip training
+    # but assign+encode re-runs over all mirror rows) — trigger it now so
+    # _ivf_layout exists and the sweep times pure searches
+    t0 = time.perf_counter()
+    eng.flush()
+    log(f"ivf rebuild (re-encode): {time.perf_counter()-t0:.0f}s")
 
     # exact oracle over the STORED (dequantized int8) rows
     layout = eng._ivf_layout

@@ -1068,12 +1068,24 @@ class IVFIndex:
                       else (self.grouped_valid, self.spill_valid))
         # on TPU the scalar-prefetch pallas probe (contiguous cell DMA) is
         # ~50x faster than the row-gather XLA path; CPU keeps the XLA path.
-        # PQ cells always take the XLA ADC path (no pallas PQ probe yet).
-        use_pallas = jax.default_backend() == "tpu" and not self.pq
+        # PQ cells get the same treatment: pallas_pq_search keeps the
+        # one-hot ADC operand in VMEM (the XLA formulation writes ~100 GB
+        # of HBM one-hots per batch-32 at the 8M x 768 / M=96 shape).
+        use_pallas = jax.default_backend() == "tpu"
         out_d, out_r = [], []
         for start in range(0, q.shape[0], max_batch):
             qc = q[start : start + max_batch]
-            if self.pq:
+            if self.pq and use_pallas and self.grouped.shape[0] >= 128:
+                from tpuvdb.kernels.pallas_pq import pallas_pq_search
+
+                dist, gid = pallas_pq_search(
+                    jnp.asarray(qc), self.centroids, self.grouped,
+                    self.pq_codebooks, self.grouped_sq, gval,
+                    self.spill, self.spill_cells, self.spill_sq, sval,
+                    self.cell_offsets, cell_pad=self.cell_pad, k=k,
+                    nprobe=nprobe, rotation=self.pq_rotation,
+                )
+            elif self.pq:
                 dist, gid = _ivf_search_pq(
                     jnp.asarray(qc), self.centroids, self.cell_offsets,
                     self.cell_lens, self.grouped, self.pq_codebooks,
