@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--subq", type=int, default=96)
     ap.add_argument("--nlist", type=int, default=4096)
-    ap.add_argument("--nprobes", default="16,32,64,128")
+    ap.add_argument("--nprobes", default="16,64")
+    ap.add_argument("--overfetches", default="10,40,100")
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
     N, DIM, K = args.rows, args.dim, args.k
@@ -117,19 +118,27 @@ def main():
             ks.add(eng.docstore.key_at(sh, sl))
         oracle_keys.append(ks)
 
+    # grid sweep separates the two recall ceilings: recall that rises
+    # with nprobe = under-probing; recall that rises with overfetch at
+    # fixed nprobe = ADC-precision cap (true neighbors present in the
+    # probed cells but ranked outside the re-rank window)
+    overfetches = [int(x) for x in args.overfetches.split(",")]
     for nprobe in nprobes:
         eng._ivf.nprobe = nprobe  # per-call static arg; recompiles per value
-        eng.search_batch(queries, K)  # warm/compile at this nprobe
-        t0 = time.perf_counter()
-        dists, keys = eng.search_batch(queries, K)
-        dt = time.perf_counter() - t0
-        rec = float(np.mean([
-            len(set(keys[i][:K]) & oracle_keys[i]) / K
-            for i in range(len(queries))]))
-        log(f"nprobe={nprobe}: recall@{K} {rec:.4f}, "
-            f"batch-32 search {dt*1000:.0f} ms")
-        results[nprobe] = {"recall_at_10": round(rec, 4),
-                           "batch32_ms": round(dt * 1000, 1)}
+        for ovf in overfetches:
+            object.__setattr__(eng.config, "rescore_overfetch", ovf)
+            eng.search_batch(queries, K)  # warm/compile at this config
+            t0 = time.perf_counter()
+            dists, keys = eng.search_batch(queries, K)
+            dt = time.perf_counter() - t0
+            rec = float(np.mean([
+                len(set(keys[i][:K]) & oracle_keys[i]) / K
+                for i in range(len(queries))]))
+            log(f"nprobe={nprobe} overfetch={ovf}: recall@{K} {rec:.4f}, "
+                f"batch-32 search {dt*1000:.0f} ms")
+            results[f"np{nprobe}_ov{ovf}"] = {
+                "recall_at_10": round(rec, 4),
+                "batch32_ms": round(dt * 1000, 1)}
 
     print(json.dumps({"metric": "pq8m_recall_vs_nprobe",
                       "results": results}))

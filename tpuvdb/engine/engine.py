@@ -706,14 +706,10 @@ class VectorDBEngine:
                 # compile the append-path programs on the slow path (see
                 # IVFIndex.warm_append — same stall on the mesh branch)
                 self._ivf.warm_append()
-                self._ivf_train_state = (np.asarray(self._ivf.centroids),
+                self._ivf_train_state = (self._ivf.centroids_np(),
                                          trained_live, mut_train)
-                self._ivf_pq_state = (
-                    np.asarray(self._ivf.pq_codebooks)
-                    if self._ivf.pq else None)
-                self._ivf_opq_state = (
-                    np.asarray(self._ivf.pq_rotation)
-                    if self._ivf.pq_rotation is not None else None)
+                self._ivf_pq_state = self._ivf.pq_codebooks_np()
+                self._ivf_opq_state = self._ivf.pq_rotation_np()
                 self._ivf_layout = layout
             else:
                 nlist = max(1, min(cfg.ivf_nlist, live // 8 or 1))
@@ -755,14 +751,10 @@ class VectorDBEngine:
                 # cache for checkpoints (survives _ivf=None windows like
                 # compaction; trained_live/mut_train mark TRAINING time,
                 # so warm reuse accumulates drift toward a forced retrain)
-                self._ivf_train_state = (np.asarray(self._ivf.centroids),
+                self._ivf_train_state = (self._ivf.centroids_np(),
                                          trained_live, mut_train)
-                self._ivf_pq_state = (
-                    np.asarray(self._ivf.pq_codebooks)
-                    if self._ivf.pq else None)
-                self._ivf_opq_state = (
-                    np.asarray(self._ivf.pq_rotation)
-                    if self._ivf.pq_rotation is not None else None)
+                self._ivf_pq_state = self._ivf.pq_codebooks_np()
+                self._ivf_opq_state = self._ivf.pq_rotation_np()
                 # compile the append-path programs NOW (rebuilds are the
                 # expected slow path) so the first serving-path append
                 # doesn't stall puts/searches on fresh XLA compiles

@@ -44,6 +44,42 @@ def _dequant_dev(codes_i8: jax.Array, scales: jax.Array) -> jax.Array:
     return codes_i8.astype(jnp.float32) * scales[:, None]
 
 
+# --- device-resident PQ code table -------------------------------------
+# The assign+encode pass produces PQ codes ON DEVICE; they used to come
+# back to host for cell packing and get re-uploaded. Through the axon
+# relay that fetch runs at ~1 MB/s against a 78 MB/s upload — at 8M x 768
+# / M=96 the 768 MB code fetch alone was ~770 s of the measured 778 s
+# restart (BENCH_NOTES "IVF-PQ full-stack run"). These helpers keep the
+# codes device-resident end to end: blocks write into a donated code
+# table, the bisection re-encode scatters into it, and packing becomes a
+# device gather driven by a host-computed permutation (the only arrays
+# that ever cross device->host are the per-block int16 assignments and
+# the handful of spill rows).
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _codes_update_dev(codes_all, rsq_all, part_codes, part_rsq, g0):
+    """Donated block write of freshly encoded codes into the table."""
+    return (jax.lax.dynamic_update_slice(codes_all, part_codes, (g0, 0)),
+            jax.lax.dynamic_update_slice(rsq_all, part_rsq, (g0,)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _codes_scatter_dev(codes_all, rsq_all, idx, part_codes, part_rsq):
+    """Donated row scatter (bisection re-encode); idx=-1 pads drop."""
+    return (codes_all.at[idx].set(part_codes, mode="drop"),
+            rsq_all.at[idx].set(part_rsq, mode="drop"))
+
+
+@jax.jit
+def _pack_gather_dev(codes_all, rsq_all, perm, gval):
+    """Device-side cell packing: grouped[i] = codes[perm[i]], with the
+    reconstruction norms zeroed on pad slots (their validity mask already
+    excludes them from scoring)."""
+    g = jnp.take(codes_all, perm, axis=0)
+    sq = jnp.where(gval, jnp.take(rsq_all, perm, axis=0), 0.0)
+    return g, sq
+
+
 _DELETE_BUCKET = 1024
 
 
@@ -336,6 +372,41 @@ def pack_cells(
     return gvec, gval, grow, offsets.astype(np.int32), kept, spill_rows
 
 
+def _encode_rows_dev(source, rows, assign_rows, cents_j, cb_j, rot_j,
+                     chunk: int = 262_144):
+    """Residual-encode specific physical rows; returns DEVICE
+    (codes (m, Mb) u8, recon_sq (m,) f32) — nothing fetched to host.
+    int8 sources upload raw codes + scales (1 byte/dim) and dequantize on
+    device, mirroring iter_blocks_dev's transfer discipline."""
+    from tpuvdb.kernels.pq import _encode_residual_scan
+
+    parts_c, parts_r = [], []
+    d = source.dim
+    raw_ok = getattr(source, "all_int8", False)
+    for lo in range(0, len(rows), chunk):
+        r = rows[lo : lo + chunk]
+        m = len(r)
+        rows_pad = _round_up(max(m, 1), 65536)
+        if raw_ok:
+            raw, scales, _ = source.gather_raw(r)
+            rp = np.zeros((rows_pad, d), np.int8)
+            rp[:m] = raw
+            sp = np.zeros(rows_pad, np.float32)
+            sp[:m] = scales
+            dev = _dequant_dev(jnp.asarray(rp), jnp.asarray(sp))
+        else:
+            fp = np.zeros((rows_pad, d), np.float32)
+            fp[:m] = source.gather_f32(r)
+            dev = jnp.asarray(fp)
+        ap = np.zeros(rows_pad, np.int32)
+        ap[:m] = assign_rows[lo : lo + chunk]
+        c, q = _encode_residual_scan(dev, jnp.asarray(ap), cents_j, cb_j,
+                                     block=16384, rotation=rot_j)
+        parts_c.append(c[:m])
+        parts_r.append(q[:m])
+    return jnp.concatenate(parts_c), jnp.concatenate(parts_r)
+
+
 def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
                            positions, int8_out: bool, chunk: int = 1_000_000,
                            pq_codebooks=None, pq_precomputed=None):
@@ -349,8 +420,16 @@ def _fill_rows_from_source(source, phys_rows, vec_out, scale_out, sq_out,
 
     if pq_precomputed is not None:  # codes from the fused assign+encode pass
         codes_all, rsq_all = pq_precomputed
-        vec_out[positions] = codes_all[phys_rows]
-        sq_out[positions] = rsq_all[phys_rows]
+        if isinstance(codes_all, jax.Array):
+            # device-resident code table (spill fill): gather the few
+            # spill rows on device, fetch only that sliver (~KBs)
+            sel = jnp.asarray(np.asarray(phys_rows, np.int64).clip(min=0)
+                              .astype(np.int32))
+            vec_out[positions] = np.asarray(jnp.take(codes_all, sel, axis=0))
+            sq_out[positions] = np.asarray(jnp.take(rsq_all, sel, axis=0))
+        else:
+            vec_out[positions] = codes_all[phys_rows]
+            sq_out[positions] = rsq_all[phys_rows]
         return
     if pq_codebooks is not None:
         # PQ cells are RESIDUAL-coded (tied to each row's cell centroid):
@@ -406,19 +485,31 @@ def _pack_cells_from_source(source, rows, assign_live, nlist, window,
     # + one full window of invalid tail rows so the last cells' scan
     # windows (and index clipping) never alias a real row
     grouped_rows = _round_up(total + window, 128)
-    gvec = np.zeros((grouped_rows, width), cell_dtype)
     gscales = np.ones(grouped_rows, np.float32) if int8_out else None
-    gsq = np.zeros(grouped_rows, np.float32)
     gval = np.zeros(grouped_rows, bool)
     grow = np.full(grouped_rows, -1, np.int64)
     pos_in_cell = np.arange(len(rows_sorted)) - starts[cells_sorted]
     main = pos_in_cell < window
     gpos = offsets[cells_sorted[main]] + pos_in_cell[main]
-    _fill_rows_from_source(source, rows_sorted[main], gvec, gscales, gsq,
-                           gpos, int8_out, pq_codebooks=pq_codebooks,
-                           pq_precomputed=pq_precomputed)
     gval[gpos] = True
     grow[gpos] = rows_sorted[main]
+    if (pq_precomputed is not None
+            and isinstance(pq_precomputed[0], jax.Array)):
+        # device-resident codes: packing = one device gather driven by a
+        # host permutation (44 MB up at 8M rows vs a 768 MB fetch down —
+        # see the device-code-table comment at the top of this module)
+        perm = np.zeros(grouped_rows, np.int32)
+        perm[gpos] = rows_sorted[main].astype(np.int32)
+        gvec, gsq = _pack_gather_dev(
+            pq_precomputed[0], pq_precomputed[1],
+            jnp.asarray(perm), jnp.asarray(gval))
+    else:
+        gvec = np.zeros((grouped_rows, width), cell_dtype)
+        gsq = np.zeros(grouped_rows, np.float32)
+        _fill_rows_from_source(source, rows_sorted[main], gvec, gscales,
+                               gsq, gpos, int8_out,
+                               pq_codebooks=pq_codebooks,
+                               pq_precomputed=pq_precomputed)
     spill_rows = np.asarray(rows_sorted[~main], dtype=np.int64)
     return (gvec, gscales, gsq, gval, grow, offsets.astype(np.int32), kept,
             spill_rows)
@@ -710,6 +801,17 @@ class IVFIndex:
         pq_rotation: Optional[jax.Array] = None,   # (d, d) OPQ rotation
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
+        # host copies cached when the ctor got numpy inputs (build always
+        # does): engine checkpoints read these for the warm state instead
+        # of fetching ~16 MB back through the ~1 MB/s relay per rebuild
+        self._centroids_np = (np.asarray(centroids, np.float32)
+                              if isinstance(centroids, np.ndarray) else None)
+        self._pq_codebooks_np = (
+            np.asarray(pq_codebooks, np.float32)
+            if isinstance(pq_codebooks, np.ndarray) else None)
+        self._pq_rotation_np = (
+            np.asarray(pq_rotation, np.float32)
+            if isinstance(pq_rotation, np.ndarray) else None)
         self.cell_offsets = jnp.asarray(cell_offsets, jnp.int32)
         if cell_lens is None:  # legacy ctor: assume full windows
             cell_lens = np.full(np.asarray(cell_offsets).shape[0], cell_pad,
@@ -741,6 +843,23 @@ class IVFIndex:
             self.spill_cells = jnp.asarray(spill_cells, jnp.int32)
         else:
             self.spill_cells = None
+
+    # host-cached views for checkpointing (fetch once, lazily, if the
+    # ctor ever received device arrays)
+    def centroids_np(self) -> np.ndarray:
+        if self._centroids_np is None:
+            self._centroids_np = np.asarray(self.centroids)
+        return self._centroids_np
+
+    def pq_codebooks_np(self) -> Optional[np.ndarray]:
+        if self._pq_codebooks_np is None and self.pq:
+            self._pq_codebooks_np = np.asarray(self.pq_codebooks)
+        return self._pq_codebooks_np
+
+    def pq_rotation_np(self) -> Optional[np.ndarray]:
+        if self._pq_rotation_np is None and self.pq_rotation is not None:
+            self._pq_rotation_np = np.asarray(self.pq_rotation)
+        return self._pq_rotation_np
 
     # ------------------------------------------------------------------ build
 
@@ -906,24 +1025,32 @@ class IVFIndex:
         # uploads dominate the build, so a separate encode pass would
         # double the build's transfer volume) — packing then copies the
         # precomputed codes host-side instead of gathering f32 rows again
-        pq_codes = pq_rsq = None
+        pq_codes = pq_rsq = None  # DEVICE code table — never fetched
         rot_j = (jnp.asarray(pq_rotation, jnp.float32)
                  if pq_rotation is not None else None)
         if pq_codebooks is not None:
             from tpuvdb.kernels.pq import _encode_residual_scan
 
-            pq_codes = np.empty((n, pq_subq), np.uint8)
-            pq_rsq = np.empty(n, np.float32)
             cb_j = jnp.asarray(pq_codebooks, jnp.float32)
+            # headroom covers the last block's 65536-pad overhang so the
+            # donated dynamic_update_slice never clamps (a clamped start
+            # would silently shift the write over earlier rows)
+            n_tab = _round_up(n + 65536, 65536)
+            pq_codes = jnp.zeros((n_tab, pq_subq), jnp.uint8)
+            pq_rsq = jnp.zeros(n_tab, jnp.float32)
+        # int16 assignment fetch halves the only remaining device->host
+        # transfer of the pass (the relay fetches at ~1 MB/s)
+        small_ids = nlist <= 32_000
         for g0, m, dev in source.iter_blocks_dev(blk, pad_to=65536):
             a_dev = assign_blockwise(dev, cents_j)
-            a = np.asarray(a_dev)[:m]
+            a = np.asarray(a_dev.astype(jnp.int16) if small_ids
+                           else a_dev)[:m]
             assign[g0 : g0 + m] = a
             if pq_codes is not None:
                 codes, rsq = _encode_residual_scan(
                     dev, a_dev, cents_j, cb_j, block=16384, rotation=rot_j)
-                pq_codes[g0 : g0 + m] = np.asarray(codes)[:m]
-                pq_rsq[g0 : g0 + m] = np.asarray(rsq)[:m]
+                pq_codes, pq_rsq = _codes_update_dev(
+                    pq_codes, pq_rsq, codes, rsq, np.int32(g0))
         assign = np.where(valid, assign, -1)
 
         # 3. skew control: bound the max cell, then PACK
@@ -948,21 +1075,27 @@ class IVFIndex:
             if pq_codes is not None and nlist > len(old_cents):
                 # residual codes are tied to their cell's centroid: rows
                 # whose cell was bisected (parent replaced + children
-                # appended) re-encode against the FINAL centroids
-                from tpuvdb.kernels.pq import encode_pq_residual_chunked
-
+                # appended) re-encode against the FINAL centroids —
+                # on device, scattered into the code table (no fetch)
                 changed = np.ones(nlist, bool)
                 changed[: len(old_cents)] = np.any(
                     old_cents != centroids[: len(old_cents)], axis=1)
                 rows_re = np.flatnonzero(
                     (assign >= 0) & changed[np.maximum(assign, 0)])
+                cents_j2 = jnp.asarray(centroids, jnp.float32)
                 for lo in range(0, len(rows_re), 1_000_000):
                     rr = rows_re[lo : lo + 1_000_000]
-                    codes, rsq = encode_pq_residual_chunked(
-                        source.gather_f32(rr), assign[rr], centroids,
-                        pq_codebooks, rotation=pq_rotation)
-                    pq_codes[rr] = codes
-                    pq_rsq[rr] = rsq
+                    c_dev, q_dev = _encode_rows_dev(
+                        source, rr, assign[rr], cents_j2, cb_j, rot_j)
+                    mpad = _round_up(max(len(rr), 1), 65536)
+                    pad = mpad - len(rr)
+                    if pad:  # fixed shape steps bound the compile count
+                        c_dev = jnp.pad(c_dev, ((0, pad), (0, 0)))
+                        q_dev = jnp.pad(q_dev, ((0, pad),))
+                    idx = np.full(mpad, -1, np.int32)  # -1 pads drop
+                    idx[: len(rr)] = rr.astype(np.int32)
+                    pq_codes, pq_rsq = _codes_scatter_dev(
+                        pq_codes, pq_rsq, jnp.asarray(idx), c_dev, q_dev)
         else:
             cap = (int(np.quantile(sizes, cell_cap_quantile))
                    if nlist > 1 else int(sizes.max()))
@@ -1239,11 +1372,13 @@ class IVFIndex:
             # reconstruction norm ||c + r_hat||^2
             from tpuvdb.kernels.pq import encode_pq_residual_chunked
 
+            # pass DEVICE arrays straight through: np.asarray(centroids)
+            # here fetched ~16 MB via the ~1 MB/s relay on EVERY append —
+            # a 16 s stall under the engine lock
             payload, sq = encode_pq_residual_chunked(
-                vecs, assign, np.asarray(self.centroids),
-                np.asarray(self.pq_codebooks), chunk=_ASSIGN_CHUNK,
-                rotation=(np.asarray(self.pq_rotation)
-                          if self.pq_rotation is not None else None))
+                vecs, assign, self.centroids,
+                self.pq_codebooks, chunk=_ASSIGN_CHUNK,
+                rotation=self.pq_rotation)
         else:
             payload = vecs
             sq = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
@@ -1297,10 +1432,9 @@ class IVFIndex:
 
             encode_pq_residual_chunked(
                 np.zeros((1, d), np.float32), np.zeros(1, np.int64),
-                np.asarray(self.centroids), np.asarray(self.pq_codebooks),
+                self.centroids, self.pq_codebooks,
                 chunk=_ASSIGN_CHUNK,
-                rotation=(np.asarray(self.pq_rotation)
-                          if self.pq_rotation is not None else None))
+                rotation=self.pq_rotation)
             pad_pos = np.full(1, self.spill_cells.shape[0], np.int64)
             self.spill_cells = self._scatter_payload(
                 self.spill_cells, pad_pos, np.zeros(1, np.int32), jnp.int32)

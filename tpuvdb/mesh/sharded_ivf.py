@@ -268,6 +268,31 @@ class ShardedIVFIndex:
                 jnp.zeros(self.sval.shape, jnp.int32),
                 NamedSharding(mesh, P(axis)))
         self.spill_cells = spill_cells  # (ndev, S) i32 | None
+        # host copies for checkpointing (same contract as
+        # IVFIndex.centroids_np: fetch once, not per checkpoint)
+        self._centroids_np = (np.asarray(centroids, np.float32)
+                              if isinstance(centroids, np.ndarray) else None)
+        self._pq_codebooks_np = (
+            np.asarray(pq_codebooks, np.float32)
+            if isinstance(pq_codebooks, np.ndarray) else None)
+        self._pq_rotation_np = (
+            np.asarray(pq_rotation, np.float32)
+            if isinstance(pq_rotation, np.ndarray) else None)
+
+    def centroids_np(self) -> np.ndarray:
+        if self._centroids_np is None:
+            self._centroids_np = np.asarray(self.centroids)
+        return self._centroids_np
+
+    def pq_codebooks_np(self):
+        if self._pq_codebooks_np is None and self.pq:
+            self._pq_codebooks_np = np.asarray(self.pq_codebooks)
+        return self._pq_codebooks_np
+
+    def pq_rotation_np(self):
+        if self._pq_rotation_np is None and self.pq_rotation is not None:
+            self._pq_rotation_np = np.asarray(self.pq_rotation)
+        return self._pq_rotation_np
 
     @classmethod
     def build(
