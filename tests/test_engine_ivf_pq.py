@@ -199,3 +199,41 @@ def test_pq_config_validation():
     # mirror_dtype int8 + PQ cells is the intended capacity pairing
     DBConfig(vector_dim=32, index_type="ivf", ivf_pq_subq=4,
              mirror_dtype="int8")
+
+
+def test_pq_deep_rescore_window(rng):
+    """PQ searches re-rank a deeper window than int8 (ADC error is much
+    larger than int8 row error): fetch_k honors ivf_pq_rescore_overfetch.
+    Measured basis: 8M x 768 recall@10 0.72 -> 0.99 as the window went
+    10x -> 100x (docs/BENCH_NOTES.md, PQ recall diagnosis)."""
+    eng = VectorDBEngine(pq_config(shard_capacity=512, ivf_delta_max=2048))
+    fill(eng, rng, 1200)
+    eng.flush()
+    seen = {}
+    orig = eng._ivf_search_rows
+
+    def spy(queries, fetch_k, ivf, delta, n_del):
+        seen["fetch_k"] = fetch_k
+        return orig(queries, fetch_k, ivf, delta, n_del)
+
+    eng._ivf_search_rows = spy
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    eng.search_batch(q, 5)
+    # default ivf_pq_rescore_overfetch=64 beats rescore_overfetch=16
+    assert seen["fetch_k"] >= 64 * 5
+
+    # 0 falls back to the plain window
+    eng2 = VectorDBEngine(pq_config(shard_capacity=512, ivf_delta_max=2048,
+                                    ivf_pq_rescore_overfetch=0))
+    fill(eng2, rng, 1200)
+    eng2.flush()
+    seen2 = {}
+    orig2 = eng2._ivf_search_rows
+
+    def spy2(queries, fetch_k, ivf, delta, n_del):
+        seen2["fetch_k"] = fetch_k
+        return orig2(queries, fetch_k, ivf, delta, n_del)
+
+    eng2._ivf_search_rows = spy2
+    eng2.search_batch(q, 5)
+    assert seen2["fetch_k"] == 16 * 5

@@ -134,6 +134,14 @@ class DBConfig:
     # same bytes/row, ~8x less ADC compute (the probe's bottleneck),
     # slightly coarser codes (the exact re-rank recovers ordering).
     ivf_pq_bits: int = 8
+    # PQ needs a DEEPER exact re-rank window than int8: per-row int8
+    # error is ~1e-3 relative, but ADC distance error at M=96/768-d is
+    # comparable to the gap between the 10th and 100th neighbor on tight
+    # clusters. Measured on the 8M x 768 capacity corpus (diag_pq_recall,
+    # nprobe 64): recall@10 0.72 at overfetch 10, 0.93 at 40, 0.99 at
+    # 100. PQ searches use max(this, rescore_overfetch); candidates stay
+    # ~64*k rows/query of host gather — microseconds against the probe.
+    ivf_pq_rescore_overfetch: int = 64
 
     # -- mesh --
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis
@@ -180,6 +188,9 @@ class DBConfig:
             if v not in allowed:
                 raise ValueError(
                     f"{field_name}={v!r} invalid; must be one of {allowed}")
+        if self.ivf_pq_rescore_overfetch < 0:
+            raise ValueError("ivf_pq_rescore_overfetch must be >= 0 "
+                             "(0 = fall back to rescore_overfetch)")
         if self.ivf_pq_subq < 0 or (
                 self.ivf_pq_subq and self.vector_dim % self.ivf_pq_subq):
             raise ValueError(

@@ -1098,8 +1098,12 @@ class VectorDBEngine:
                        and self.config.rescore_mode != "none"
                        and not fused_device)
             if rescore:
-                fetch_k = max(fetch_k,
-                              self.config.rescore_overfetch * k)
+                ovf = self.config.rescore_overfetch
+                if ivf_mode and self.config.ivf_pq_subq > 0:
+                    # ADC error >> int8 error: PQ mode re-ranks a deeper
+                    # window (config.ivf_pq_rescore_overfetch rationale)
+                    ovf = max(ovf, self.config.ivf_pq_rescore_overfetch)
+                fetch_k = max(fetch_k, ovf * k)
             fetch_k = min(fetch_k, layout.total_rows)
             self.stats["searches"] += 1
             gen = self._generation

@@ -128,6 +128,13 @@ def pallas_pq_search(
     n_g = grouped_codes.shape[0]
     nlist = centroids.shape[0]
     m2, n_codes = codebooks.shape[0], codebooks.shape[1]
+    # VMEM budget: each in-flight chunk materializes a (128, M2*J) bf16
+    # one-hot (6.3 MB at M=96/J=256); the unrolled cps-loop keeps several
+    # live at once, so clamp cps to ~24 MB of one-hots and raise the
+    # kernel's scoped-VMEM limit (v5e has 128 MB; the default 16 MB cap
+    # OOM'd at the 8M x 768 / M=96 capacity shape)
+    onehot_bytes = 128 * m2 * n_codes * 2
+    cps = max(1, min(cps, (24 << 20) // onehot_bytes))
     qt_n = min(query_tile, max(1, qn))
     pad_q = (-qn) % qt_n
     qf = queries.astype(jnp.float32)
@@ -215,6 +222,8 @@ def pallas_pq_search(
             jax.ShapeDtypeStruct((qp, cand_w), jnp.float32),
             jax.ShapeDtypeStruct((qp, cand_w), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(cells, segs, cellof, lut_flat, qc2p,
       *([grouped_codes] * cps), *([sq_row] * cps), *([mask] * cps))
