@@ -142,6 +142,15 @@ class DBConfig:
     # 100. PQ searches use max(this, rescore_overfetch); candidates stay
     # ~64*k rows/query of host gather — microseconds against the probe.
     ivf_pq_rescore_overfetch: int = 64
+    # Checkpoint the packed IVF-PQ device state (code cells + slot maps)
+    # so restart is ONE HBM upload + an append of the replayed WAL tail,
+    # instead of re-running assign+encode over every mirror row (778 s at
+    # 8M x 768 — BENCH_NOTES "Restart re-encodes the world"). PQ-only:
+    # PQ codes are M bytes/row (0.78 GiB at capacity) where int8/f32 cell
+    # tables are ~D bytes/row (5.7+ GiB) — the checkpoint fetch+write and
+    # the restart upload scale the same way, and the int8 tier's restart
+    # pays only an assignment pass, not an encode.
+    ivf_checkpoint_packed: bool = True
 
     # -- mesh --
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all local devices on one axis

@@ -238,6 +238,11 @@ class VectorDBEngine:
                 # carry forward NOW: a cadence checkpoint taken before the
                 # first rebuild must not silently drop the warm state
                 self._ivf_train_state = (cents0, live0, mut0)
+                # packed device state (PQ code cells + slot maps): the
+                # first rebuild restores it with ONE HBM upload + a
+                # delta append instead of re-encoding every mirror row
+                if self.config.ivf_checkpoint_packed:
+                    self._ivf_packed = self.ckpts.load_ivf_packed()
         if self.wal is None and self._wal_floor > wal_pos:
             logger.warning(
                 "WAL disabled but %d unapplied record(s) exist beyond the "
@@ -575,6 +580,57 @@ class VectorDBEngine:
             return cents0, live0, mut0
         return None, live, self._mut_count
 
+    def _restore_ivf_packed(self, packed, source, valid, layout):
+        """IVFIndex from the checkpoint's packed device state plus a
+        reconcile of the WAL tail replayed after that checkpoint: rows
+        now live in the mirrors but absent from the packed index are
+        appended (assignment+encode over the DELTA only), rows in the
+        index but no longer live are invalidated. Returns None — falling
+        back to the full streaming build — on any mismatch: config
+        drift, grown mirrors (physical-row renumbering under a larger
+        phys_cap), or append capacity exhaustion."""
+        from tpuvdb.index.ivf import IVFIndex
+
+        cfg = self.config
+        try:
+            if (int(packed["dim"]) != cfg.vector_dim
+                    or int(packed["phys_cap"]) != layout.phys_cap
+                    or int(packed["pq_subq"]) != cfg.ivf_pq_subq
+                    or int(packed["pq_bits"]) != cfg.ivf_pq_bits):
+                return None
+            idx = IVFIndex.from_packed(packed)
+            idx.nprobe = min(cfg.ivf_nprobe, idx.nlist)
+            rows = idx.live_phys_rows()
+            rows = rows[rows < layout.total_rows]
+            in_idx = np.zeros(layout.total_rows, bool)
+            in_idx[rows] = True
+            to_del = rows[~valid[rows]]
+            to_add = np.flatnonzero(valid & ~in_idx)
+            if len(to_del):
+                idx.invalidate_rows(to_del.astype(np.int64))
+            if len(to_add):
+                # encode programs compile before the appends run so the
+                # tail replay pays them off the serving path (same
+                # rationale as the post-build warm_append call)
+                idx.warm_append()
+                # fixed-size waves bound the host f32 transient; a False
+                # return (cell+spill capacity exhausted) rebuilds fully
+                for lo in range(0, len(to_add), 65536):
+                    add = to_add[lo : lo + 65536]
+                    if not idx.append_rows(add.astype(np.int64),
+                                           source.gather_f32(add)):
+                        return None
+            self.stats["ivf_packed_restores"] = (
+                self.stats.get("ivf_packed_restores", 0) + 1)
+            logger.info(
+                "IVF restored from packed checkpoint state "
+                "(+%d appended, -%d invalidated, %d cells)",
+                len(to_add), len(to_del), idx.nlist)
+            return idx
+        except Exception:
+            logger.exception("packed IVF restore failed; full rebuild")
+            return None
+
     def _flush_ivf(self):
         from tpuvdb.index.ivf import IVFIndex
         from tpuvdb.index.layout import StackedLayout
@@ -724,30 +780,46 @@ class VectorDBEngine:
                 self._ivf_pq_warm = None
                 warm_rot = getattr(self, "_ivf_opq_warm", None)
                 self._ivf_opq_warm = None
-                # streaming build: reads rows through the mirrors (int8
-                # codes bit-exact) — no full f32 stack on host or device,
-                # which is what allows IVF at the 8M x 768 capacity scale
-                self._ivf = IVFIndex.build_streaming(
-                    source, valid,
-                    nlist=nlist,
-                    pq_subq=cfg.ivf_pq_subq,
-                    pq_codebooks=warm_cb,
-                    opq=cfg.ivf_opq,
-                    pq_rotation=warm_rot,
-                    pq_bits=cfg.ivf_pq_bits,
-                    # nprobe must follow the ACTUAL cell count: warm
-                    # centroids override nlist inside build, and probing
-                    # an engine-side nlist fraction of a much larger warm
-                    # cell set craters recall after restart
-                    nprobe=min(cfg.ivf_nprobe,
-                               len(warm_cents) if warm_cents is not None
-                               else nlist),
-                    kmeans_iters=cfg.ivf_kmeans_iters,
-                    train_sample=cfg.ivf_train_sample,
-                    dtype=cfg.jnp_dtype(),
-                    recall_target=cfg.recall_target,
-                    centroids=warm_cents,
-                )
+                # packed restore: the drift/churn guard above just
+                # accepted the checkpoint's clustering (warm_cents is its
+                # centroids); the packed npz is that same clustering's
+                # full device image — upload it and append only the
+                # replayed WAL tail, instead of re-encoding every mirror
+                # row (778 s at 8M x 768)
+                packed = getattr(self, "_ivf_packed", None)
+                self._ivf_packed = None  # single-shot; rebuilds re-derive
+                restored_ivf = None
+                if packed is not None and warm_cents is not None:
+                    restored_ivf = self._restore_ivf_packed(
+                        packed, source, valid, layout)
+                if restored_ivf is not None:
+                    self._ivf = restored_ivf
+                else:
+                    # streaming build: reads rows through the mirrors
+                    # (int8 codes bit-exact) — no full f32 stack on host
+                    # or device, which is what allows IVF at the
+                    # 8M x 768 capacity scale
+                    self._ivf = IVFIndex.build_streaming(
+                        source, valid,
+                        nlist=nlist,
+                        pq_subq=cfg.ivf_pq_subq,
+                        pq_codebooks=warm_cb,
+                        opq=cfg.ivf_opq,
+                        pq_rotation=warm_rot,
+                        pq_bits=cfg.ivf_pq_bits,
+                        # nprobe must follow the ACTUAL cell count: warm
+                        # centroids override nlist inside build, and
+                        # probing an engine-side nlist fraction of a much
+                        # larger warm cell set craters recall after restart
+                        nprobe=min(cfg.ivf_nprobe,
+                                   len(warm_cents) if warm_cents is not None
+                                   else nlist),
+                        kmeans_iters=cfg.ivf_kmeans_iters,
+                        train_sample=cfg.ivf_train_sample,
+                        dtype=cfg.jnp_dtype(),
+                        recall_target=cfg.recall_target,
+                        centroids=warm_cents,
+                    )
                 # cache for checkpoints (survives _ivf=None windows like
                 # compaction; trained_live/mut_train mark TRAINING time,
                 # so warm reuse accumulates drift toward a forced retrain)
@@ -1516,7 +1588,39 @@ class VectorDBEngine:
                              getattr(self, "_ivf_pq_state", None),
                              getattr(self, "_ivf_opq_state", None))
                             if ts_ is not None else None)
+                # packed IVF-PQ device state: reference-capture under the
+                # lock (cheap), fetch + write OFF the lock below. PQ-only
+                # (config.ivf_checkpoint_packed rationale); the mesh index
+                # has no packed_capture and is skipped by the hasattr.
+                packed_cap = None
+                if (self.config.ivf_checkpoint_packed
+                        and self._ivf is not None
+                        and getattr(self._ivf, "pq", False)
+                        and hasattr(self._ivf, "packed_capture")
+                        and self._ivf_layout is not None):
+                    packed_cap = (self._ivf.packed_capture(),
+                                  self._ivf_layout.phys_cap)
                 self._puts_since_ckpt = 0
+            if packed_cap is not None:
+                # off-lock: the grouped code table fetch is the corpus's
+                # codes (768 MB at 8M x 768 PQ) — serving never waits on
+                # it. A concurrent append that donated a captured buffer
+                # raises here: skip packed this checkpoint (the warm
+                # centroid/codebook state below still saves; restart then
+                # falls back to the re-encode path, only slower).
+                try:
+                    from tpuvdb.index.ivf import IVFIndex
+
+                    st, pcap = packed_cap
+                    arrs = IVFIndex.packed_fetch(st)
+                    arrs["phys_cap"] = np.int64(pcap)
+                    arrs["dim"] = np.int64(self.config.vector_dim)
+                    arrs["pq_subq"] = np.int64(self.config.ivf_pq_subq)
+                    arrs["pq_bits"] = np.int64(self.config.ivf_pq_bits)
+                    np.savez(os.path.join(tmp, "ivf_packed.npz"), **arrs)
+                except Exception as e:
+                    logger.warning(
+                        "packed IVF state skipped this checkpoint: %s", e)
             if doc_blob is not None:
                 kv_path = os.path.join(tmp, "docstore.kv")
                 try:

@@ -861,6 +861,109 @@ class IVFIndex:
             self._pq_rotation_np = np.asarray(self.pq_rotation)
         return self._pq_rotation_np
 
+    # ----------------------------------------------------------- packed state
+    # Restart used to re-run assign+encode over EVERY mirror row because
+    # the checkpoint carried only centroids+codebooks (778 s at 8M x 768,
+    # BENCH_NOTES "Restart re-encodes the world"). These three methods are
+    # the fix: capture references under the engine lock, fetch the device
+    # arrays to host off-lock, checkpoint them like a shard npz — restart
+    # becomes ONE HBM upload plus an append of only the replayed WAL tail.
+
+    def packed_capture(self) -> dict:
+        """Reference-snapshot of the full packed state (call under the
+        owning engine's lock). numpy slot maps are COPIED (append_rows
+        mutates its own copies in place, but cheap insurance beats a torn
+        map); device arrays are captured by reference — appends rebind
+        attributes functionally, so the capture stays internally
+        consistent, and an append that DONATED a captured buffer makes
+        packed_fetch raise, which the caller treats as "skip packed this
+        checkpoint" (the warm centroid state still saves)."""
+        dev = {
+            "grouped": self.grouped,
+            "grouped_sq": self.grouped_sq,
+            "grouped_valid": self.grouped_valid,
+            "spill": self.spill,
+            "spill_sq": self.spill_sq,
+            "spill_valid": self.spill_valid,
+        }
+        if self.quantized:
+            dev["cell_scales"] = self.cell_scales
+            dev["spill_scales"] = self.spill_scales
+        if self.pq:
+            dev["spill_cells"] = self.spill_cells
+        cap = {
+            "centroids": self.centroids_np().copy(),
+            "cell_offsets": np.asarray(self.cell_offsets).copy(),
+            "cell_lens": np.asarray(self.cell_lens).copy(),
+            "cell_pad": np.int64(self.cell_pad),
+            "nprobe": np.int64(self.nprobe),
+            "recall_target": np.float64(self.recall_target),
+            "row_ids": np.asarray(self.row_ids).copy(),
+            "spill_row_ids": np.asarray(self.spill_row_ids).copy(),
+            "_dev": dev,
+        }
+        if self.pq:
+            cap["pq_codebooks"] = self.pq_codebooks_np().copy()
+        if self.pq_rotation is not None:
+            cap["pq_rotation"] = self.pq_rotation_np().copy()
+        return cap
+
+    @staticmethod
+    def packed_fetch(cap: dict) -> dict:
+        """Fetch the captured device arrays to host, OFF the engine lock
+        (the grouped table is the corpus's codes — 768 MB at 8M x 768
+        PQ). Raises if a concurrent append donated a captured buffer."""
+        out = {k: v for k, v in cap.items() if k != "_dev"}
+        for k, v in cap["_dev"].items():
+            out[k] = np.asarray(v)
+        return out
+
+    @classmethod
+    def from_packed(cls, st) -> "IVFIndex":
+        """Reconstruct from a packed-state mapping (np.load of the
+        checkpoint's ivf_packed.npz): one HBM upload, zero assign/encode
+        compute."""
+        def opt(key):
+            return st[key] if key in st else None
+
+        cs, ss = opt("cell_scales"), opt("spill_scales")
+        cb, rot, sc = opt("pq_codebooks"), opt("pq_rotation"), opt(
+            "spill_cells")
+        return cls(
+            centroids=np.asarray(st["centroids"], np.float32),
+            grouped=jnp.asarray(st["grouped"]),
+            grouped_sq=jnp.asarray(st["grouped_sq"]),
+            grouped_valid=jnp.asarray(st["grouped_valid"]),
+            row_ids=np.asarray(st["row_ids"]),
+            spill=jnp.asarray(st["spill"]),
+            spill_sq=jnp.asarray(st["spill_sq"]),
+            spill_valid=jnp.asarray(st["spill_valid"]),
+            spill_row_ids=np.asarray(st["spill_row_ids"]),
+            cell_pad=int(st["cell_pad"]),
+            cell_offsets=np.asarray(st["cell_offsets"]),
+            cell_lens=np.asarray(st["cell_lens"]),
+            nprobe=int(st["nprobe"]),
+            recall_target=float(st["recall_target"]),
+            cell_scales=jnp.asarray(cs) if cs is not None else None,
+            spill_scales=jnp.asarray(ss) if ss is not None else None,
+            pq_codebooks=(np.asarray(cb, np.float32)
+                          if cb is not None else None),
+            spill_cells=np.asarray(sc) if sc is not None else None,
+            pq_rotation=(np.asarray(rot, np.float32)
+                         if rot is not None else None),
+        )
+
+    def live_phys_rows(self) -> np.ndarray:
+        """Physical rows currently present AND valid in this index
+        (grouped + spill). The packed-restore path diffs this against the
+        mirrors' live set to reconcile the WAL tail replayed after the
+        checkpoint (appends the new rows, invalidates the deleted)."""
+        g = np.asarray(self.row_ids)
+        gv = np.asarray(self.grouped_valid)[: len(g)]
+        s = np.asarray(self.spill_row_ids)
+        sv = np.asarray(self.spill_valid)[: len(s)]
+        return np.concatenate([g[(g >= 0) & gv], s[(s >= 0) & sv]])
+
     # ------------------------------------------------------------------ build
 
     @classmethod

@@ -299,6 +299,23 @@ class CheckpointManager:
         else:  # f32 checkpoint -> int8 mirror: vectorized quantize
             m.load_f32(np.asarray(vec, np.float32), valid, n, deleted)
 
+    def load_ivf_packed(self):
+        """np.load mapping of the newest checkpoint's packed IVF device
+        state (ivf_packed.npz), or None. Written by IVF-PQ engines with
+        ivf_checkpoint_packed on (engine.save_checkpoint writes it into
+        the tmp dir alongside docstore.kv); restart uploads it instead of
+        re-running assign+encode over every mirror row."""
+        path = self.latest()
+        if path is None:
+            return None
+        p = os.path.join(path, "ivf_packed.npz")
+        if not os.path.exists(p):
+            return None
+        try:
+            return np.load(p)
+        except Exception:
+            return None  # torn/corrupt extras never block recovery
+
     def load_ivf_warm(self):
         """(centroids, trained_live, mut_at_train, mut_at_ckpt,
         pq_codebooks|None, pq_rotation|None) of the newest checkpoint, or
