@@ -22,6 +22,7 @@ but ignored them, src/coordinator/handler.py:186-189).
 from __future__ import annotations
 
 import os
+import shutil
 import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -92,6 +93,16 @@ class VectorDBEngine:
         self._ivf = None
         self._ivf_layout = None
         self._ivf_delta: Dict[Tuple[int, int], np.ndarray] = {}
+        # packed-checkpoint bookkeeping: epoch bumps on every device-index
+        # mutation; saved_epoch records the epoch the ivf_packed.npz at
+        # _ivf_packed_path was captured at. epoch == saved_epoch means the
+        # npz is current, so checkpoints hardlink it instead of re-fetching
+        # the full code table device->host (768 MB at 8M x 768). An epoch
+        # (not a bool) so a flush racing the off-lock fetch can never be
+        # marked clean: the saved_epoch it's compared to predates the bump.
+        self._ivf_packed_epoch = 0
+        self._ivf_packed_saved_epoch = -1
+        self._ivf_packed_path: Optional[str] = None
 
         # staged (shard, slot) writes/deletes not yet scattered to device
         self._staged_updates: List[Tuple[int, int]] = []
@@ -243,6 +254,12 @@ class VectorDBEngine:
                 # delta append instead of re-encoding every mirror row
                 if self.config.ivf_checkpoint_packed:
                     self._ivf_packed = self.ckpts.load_ivf_packed()
+                    if self._ivf_packed is not None:
+                        # a zero-delta packed restore re-marks this npz
+                        # current, letting the first post-restart
+                        # checkpoint hardlink it instead of re-fetching
+                        self._ivf_packed_path = os.path.join(
+                            self.ckpts.latest(), "ivf_packed.npz")
         if self.wal is None and self._wal_floor > wal_pos:
             logger.warning(
                 "WAL disabled but %d unapplied record(s) exist beyond the "
@@ -596,10 +613,19 @@ class VectorDBEngine:
             if (int(packed["dim"]) != cfg.vector_dim
                     or int(packed["phys_cap"]) != layout.phys_cap
                     or int(packed["pq_subq"]) != cfg.ivf_pq_subq
-                    or int(packed["pq_bits"]) != cfg.ivf_pq_bits):
+                    or int(packed["pq_bits"]) != cfg.ivf_pq_bits
+                    # OPQ toggle changes the code geometry (codes were
+                    # trained in rotated space): restoring them without /
+                    # with the rotation would serve wrong distances —
+                    # rebuild instead
+                    or ("pq_rotation" in packed) != bool(cfg.ivf_opq)):
                 return None
             idx = IVFIndex.from_packed(packed)
+            # serving knobs follow the CURRENT config, not the
+            # checkpoint-era values baked into the packed npz (the
+            # streaming-build path honors current config; restore must too)
             idx.nprobe = min(cfg.ivf_nprobe, idx.nlist)
+            idx.recall_target = cfg.recall_target
             rows = idx.live_phys_rows()
             rows = rows[rows < layout.total_rows]
             in_idx = np.zeros(layout.total_rows, bool)
@@ -620,6 +646,11 @@ class VectorDBEngine:
                     if not idx.append_rows(add.astype(np.int64),
                                            source.gather_f32(add)):
                         return None
+            # empty delta = the restored device image IS the checkpoint's:
+            # the next checkpoint can hardlink the existing npz instead of
+            # re-fetching the full code table device->host
+            if not (len(to_add) or len(to_del)):
+                self._ivf_packed_saved_epoch = self._ivf_packed_epoch
             self.stats["ivf_packed_restores"] = (
                 self.stats.get("ivf_packed_restores", 0) + 1)
             logger.info(
@@ -681,6 +712,8 @@ class VectorDBEngine:
                     if del_rows:
                         self._ivf.invalidate_rows(
                             np.asarray(del_rows, np.int64))
+                    if pairs or del_rows:
+                        self._ivf_packed_epoch += 1
                     self.stats["ivf_appends"] = (
                         self.stats.get("ivf_appends", 0) + len(pairs))
                     # the append mutated the live IVFIndex in place; an
@@ -720,6 +753,16 @@ class VectorDBEngine:
             source = MirrorRowSource(self.mirrors, layout)
             valid = source.valid_array()
             live = int(valid.sum())
+            # any rebuild invalidates the last saved packed image; the
+            # packed-restore path below re-marks it current when the
+            # restored state is bit-identical to the checkpoint (empty
+            # delta)
+            self._ivf_packed_epoch += 1
+            # consume the checkpoint's packed state single-shot on EVERY
+            # rebuild branch (mesh builds can't use it but must still
+            # release the host copy — it is the corpus's codes)
+            packed = getattr(self, "_ivf_packed", None)
+            self._ivf_packed = None
             if live == 0:
                 self._ivf = None
                 self._ivf_layout = layout
@@ -786,8 +829,6 @@ class VectorDBEngine:
                 # full device image — upload it and append only the
                 # replayed WAL tail, instead of re-encoding every mirror
                 # row (778 s at 8M x 768)
-                packed = getattr(self, "_ivf_packed", None)
-                self._ivf_packed = None  # single-shot; rebuilds re-derive
                 restored_ivf = None
                 if packed is not None and warm_cents is not None:
                     restored_ivf = self._restore_ivf_packed(
@@ -846,6 +887,7 @@ class VectorDBEngine:
                     self._ivf_delta.pop((s, sl), None)
                     rows.append(self._ivf_layout.row_of(s, sl))
                 self._ivf.invalidate_rows(np.asarray(rows, np.int64))
+                self._ivf_packed_epoch += 1
                 self._staged_deletes.clear()
         self.stats["flushes"] += 1
 
@@ -1593,14 +1635,40 @@ class VectorDBEngine:
                 # (config.ivf_checkpoint_packed rationale); the mesh index
                 # has no packed_capture and is skipped by the hasattr.
                 packed_cap = None
+                packed_clean_src = None
+                cap_epoch = self._ivf_packed_epoch
                 if (self.config.ivf_checkpoint_packed
                         and self._ivf is not None
                         and getattr(self._ivf, "pq", False)
                         and hasattr(self._ivf, "packed_capture")
                         and self._ivf_layout is not None):
-                    packed_cap = (self._ivf.packed_capture(),
-                                  self._ivf_layout.phys_cap)
+                    if (cap_epoch == self._ivf_packed_saved_epoch
+                            and self._ivf_packed_path is not None
+                            and os.path.exists(self._ivf_packed_path)):
+                        # index unchanged since the last packed save: the
+                        # existing npz is bit-equivalent (serving knobs
+                        # like nprobe/recall_target are refreshed from
+                        # config at restore time) — hardlink it instead of
+                        # paying the full device->host code-table fetch
+                        packed_clean_src = self._ivf_packed_path
+                    else:
+                        packed_cap = (self._ivf.packed_capture(),
+                                      self._ivf_layout.phys_cap)
                 self._puts_since_ckpt = 0
+            packed_written = False
+            if packed_clean_src is not None:
+                dst = os.path.join(tmp, "ivf_packed.npz")
+                try:
+                    os.link(packed_clean_src, dst)
+                    packed_written = True
+                except OSError:
+                    try:
+                        shutil.copyfile(packed_clean_src, dst)
+                        packed_written = True
+                    except OSError as e:
+                        logger.warning(
+                            "packed IVF reuse failed (%s); skipped this "
+                            "checkpoint", e)
             if packed_cap is not None:
                 # off-lock: the grouped code table fetch is the corpus's
                 # codes (768 MB at 8M x 768 PQ) — serving never waits on
@@ -1618,6 +1686,12 @@ class VectorDBEngine:
                     arrs["pq_subq"] = np.int64(self.config.ivf_pq_subq)
                     arrs["pq_bits"] = np.int64(self.config.ivf_pq_bits)
                     np.savez(os.path.join(tmp, "ivf_packed.npz"), **arrs)
+                    packed_written = True
+                    # mark saved AT the captured epoch: a flush that
+                    # mutated the index during this off-lock fetch bumped
+                    # the live epoch past cap_epoch, so the next
+                    # checkpoint still re-fetches
+                    self._ivf_packed_saved_epoch = cap_epoch
                 except Exception as e:
                     logger.warning(
                         "packed IVF state skipped this checkpoint: %s", e)
@@ -1633,6 +1707,10 @@ class VectorDBEngine:
             path = self.ckpts.finish(
                 tmp, self.config, doc_rows, shard_snaps, wal_pos,
                 dim=self.config.vector_dim, ivf_warm=ivf_warm)
+            if packed_written:
+                # future clean checkpoints hardlink from the newest copy
+                # (older checkpoint dirs get pruned by retention)
+                self._ivf_packed_path = os.path.join(path, "ivf_packed.npz")
             if self.wal is not None:
                 self.wal.truncate_through(wal_pos)
             with self._lock:

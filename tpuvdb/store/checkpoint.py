@@ -312,7 +312,12 @@ class CheckpointManager:
         if not os.path.exists(p):
             return None
         try:
-            return np.load(p)
+            # eager load into plain arrays: an open NpzFile would pin a
+            # zip handle into the checkpoint dir for the engine's lifetime
+            # (incl. past retention prunes); the dict is dropped by the
+            # first rebuild either way
+            with np.load(p) as z:
+                return {k: z[k] for k in z.files}
         except Exception:
             return None  # torn/corrupt extras never block recovery
 
