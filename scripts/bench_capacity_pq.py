@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--skip-restart", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON result to this file")
     args = ap.parse_args()
 
     from tpuvdb.core.config import DBConfig
@@ -172,29 +174,109 @@ def main():
             ks.add(eng.docstore.key_at(sh, sl))
         oracle_keys.append(ks)
 
-    dists, keys = eng.search_batch(queries, K)
-    recall = float(np.mean([
-        len(set(keys[i][:K]) & oracle_keys[i]) / K
-        for i in range(len(queries))]))
-    log(f"recall@{K} vs exact-over-stored: {recall:.4f}")
+    # nprobe sweep over the SERVED path (probe + exact re-rank from the
+    # int8 mirrors at the ivf_pq_rescore_overfetch window): the r3 run
+    # measured 0.61 at nprobe 16 with a 10x window — this certifies the
+    # fixed defaults and finds the knee
+    def served_recall():
+        _, ks = eng.search_batch(queries, K)
+        return float(np.mean([
+            len(set(ks[i][:K]) & oracle_keys[i]) / K
+            for i in range(len(queries))]))
+
+    sweep = {}
+    nprobe_used = args.nprobe
+    for np_ in sorted({args.nprobe, 32, 64}):
+        if np_ > eng._ivf.nlist:
+            continue
+        eng._ivf.nprobe = np_
+        t0 = time.perf_counter()
+        r_ = served_recall()
+        sweep[np_] = r_
+        log(f"served recall@{K} nprobe={np_}: {r_:.4f} "
+            f"({time.perf_counter()-t0:.0f}s incl. compile)")
+        nprobe_used = np_
+        if r_ >= 0.96:
+            break
+    eng._ivf.nprobe = nprobe_used
+    recall = sweep[nprobe_used]
+    log(f"recall@{K} vs exact-over-stored: {recall:.4f} "
+        f"(nprobe {nprobe_used})")
+
+    # ---- kernel-path probe QPS (device-chained, relay dispatch excluded)
+    import functools
+
+    import jax.numpy as jnp
+
+    ivf = eng._ivf
+    kk = K * max(cfg.rescore_overfetch, cfg.ivf_pq_rescore_overfetch)
+    kernel = {}
+    try:
+        from tpuvdb.kernels.pallas_pq import pallas_pq_search
+
+        arrays = (jnp.asarray(ivf.centroids, jnp.float32), ivf.grouped,
+                  jnp.asarray(ivf.pq_codebooks, jnp.float32),
+                  ivf.grouped_sq, ivf.grouped_valid, ivf.spill,
+                  jnp.asarray(ivf.spill_cells), ivf.spill_sq,
+                  ivf.spill_valid, jnp.asarray(ivf.cell_offsets))
+        rot = (jnp.asarray(ivf.pq_rotation, jnp.float32)
+               if ivf.pq_rotation is not None else None)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def timed(q, *arrs, iters):
+            def body(_, carry):
+                d_, i_ = pallas_pq_search(
+                    q + carry * 1e-30, *arrs, cell_pad=ivf.cell_pad,
+                    k=kk, nprobe=nprobe_used, rotation=rot)
+                return (jnp.sum(d_ * 0.0)
+                        + jnp.float32(jnp.sum(i_) % 7) * 1e-30 + carry)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        for name, b in (("b32", 32), ("b256", 256)):
+            qb = jnp.asarray(
+                np.tile(queries, (max(1, b // len(queries) + 1), 1))[:b])
+            t0 = time.perf_counter()
+            float(timed(qb, *arrays, iters=1))
+            log(f"kernel {name}: first call {time.perf_counter()-t0:.1f}s")
+            vals = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                float(timed(qb, *arrays, iters=1))
+                base = time.perf_counter() - t1
+                t2 = time.perf_counter()
+                float(timed(qb, *arrays, iters=11))
+                vals.append((time.perf_counter() - t2 - base) / 10)
+            best = sorted(v for v in vals if v > 0)
+            if best:
+                ms = best[len(best) // 2] * 1000
+                kernel[name] = {"ms_per_batch": round(ms, 3),
+                                "qps": round(b / ms * 1000, 1)}
+                log(f"kernel {name}: {ms:.3f} ms/batch -> "
+                    f"{b/ms*1000:,.0f} QPS (k={kk}, nprobe={nprobe_used})")
+    except Exception as e:
+        log(f"kernel-path timing failed: {e}")
 
     # ---- serving throughput (device ADC probe + exact re-rank + keys)
-    qbatch = rng.standard_normal((args.batch, DIM)).astype(np.float32) * 0.1
-    qbatch += cents[rng.integers(0, n_clusters, args.batch)]
-    eng.search_batch(qbatch, K)  # warm
-    t0 = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        eng.search_batch(qbatch, K)
-    single = args.batch * iters / (time.perf_counter() - t0)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    serving = {}
+    for b in sorted({args.batch, 256}):
+        qbatch = rng.standard_normal((b, DIM)).astype(np.float32) * 0.1
+        qbatch += cents[rng.integers(0, n_clusters, b)]
+        eng.search_batch(qbatch, K)  # warm (compiles this batch shape)
         t0 = time.perf_counter()
-        list(pool.map(lambda _: eng.search_batch(qbatch, K), range(64)))
-        piped = args.batch * 64 / (time.perf_counter() - t0)
-    log(f"engine serving: {single:,.0f} QPS single-stream, "
-        f"{piped:,.0f} QPS pipelined x8 (batch {args.batch})")
+        iters = 20
+        for _ in range(iters):
+            eng.search_batch(qbatch, K)
+        single_b = b * iters / (time.perf_counter() - t0)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            t0 = time.perf_counter()
+            list(pool.map(lambda _: eng.search_batch(qbatch, K), range(64)))
+            piped_b = b * 64 / (time.perf_counter() - t0)
+        serving[b] = (single_b, piped_b)
+        log(f"engine serving b{b}: {single_b:,.0f} QPS single-stream, "
+            f"{piped_b:,.0f} QPS pipelined x8")
+    single, piped = serving[args.batch]
 
     # ---- durability: checkpoint carries codebooks + centroids
     t0 = time.perf_counter()
@@ -202,39 +284,59 @@ def main():
     ckpt_s = time.perf_counter() - t0
     log(f"checkpoint: {ckpt_s:.1f}s -> {ck}")
     restart_s = None
+    restart_split = None
     if not args.skip_restart:
         if eng.wal is not None:
             eng.wal.close()
         del eng
         t0 = time.perf_counter()
         eng = VectorDBEngine(cfg, data_dir=data_dir)
+        t_init = time.perf_counter() - t0
         assert eng.count() == N, eng.count()
-        eng.flush()  # warm build: assignment only, no k-means / PQ training
+        eng.flush()  # packed upload + delta reconcile (no re-encode)
+        t_flush = time.perf_counter() - t0 - t_init
         d2, k2 = eng.search_batch(queries, K)
         assert all(k2[0][j] is not None for j in range(K))
         restart_s = time.perf_counter() - t0
+        restart_split = {"init_s": round(t_init, 1),
+                         "index_s": round(t_flush, 1),
+                         "first_search_s": round(
+                             restart_s - t_init - t_flush, 1),
+                         "packed_restores": eng.stats.get(
+                             "ivf_packed_restores", 0)}
         r2 = float(np.mean([
             len(set(k2[i][:K]) & oracle_keys[i]) / K
             for i in range(len(queries))]))
-        log(f"restart-with-recovery: {restart_s:.1f}s (count={eng.count():,},"
-            f" recall {r2:.4f}), rss {rss_gb():.2f} GB")
+        log(f"restart-with-recovery: {restart_s:.1f}s {restart_split} "
+            f"(count={eng.count():,}, recall {r2:.4f}), "
+            f"rss {rss_gb():.2f} GB")
 
     out = {
         "metric": (f"engine_capacity_pq_{N//10**6}m{DIM}"
                    + ("" if args.bits == 8 else f"_b{args.bits}")),
         "rows": N, "dim": DIM, "pq_subq": args.subq, "pq_bits": args.bits,
+        "nprobe": nprobe_used,
         "ingest_rows_per_s": round(N / ingest_s, 1),
         "build_s": round(build_s, 1),
         "codes_gib_hbm": round(code_gib, 2),
         "recall_at_10": round(recall, 4),
+        "recall_sweep": {str(k_): round(v, 4) for k_, v in sweep.items()},
+        "kernel_probe": kernel,
         "engine_qps_single": round(single, 1),
         "engine_qps_pipelined": round(piped, 1),
+        "serving_by_batch": {str(b): [round(s_, 1), round(p_, 1)]
+                             for b, (s_, p_) in serving.items()},
         "checkpoint_s": round(ckpt_s, 1),
         "restart_s": round(restart_s, 1) if restart_s else None,
+        "restart_split": restart_split,
         "peak_rss_gb": round(rss_gb(), 2),
         "anon_rss_gb": round(anon_gb(), 2),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
     if args.data_dir is None:
         shutil.rmtree(data_dir, ignore_errors=True)
 
