@@ -394,7 +394,11 @@ def import_(ctx: Ctx, in_path, batch):
 @cli.command("coordinate")
 @click.option("--host", default="127.0.0.1", show_default=True)
 @click.option("--port", default=8081, show_default=True)
-def coordinate(host, port):
+@click.option("--data-dir", default=None,
+              help="persist the node registry + shard map here so a "
+                   "coordinator restart resumes routing without "
+                   "re-registration")
+def coordinate(host, port, data_dir):
     """Start a federated coordinator (multi-host mode): routes puts by
     shard hash and fans searches out to registered `tpuvdb serve` nodes in
     parallel. Use this topology across TPU slices WITHOUT shared ICI;
@@ -404,7 +408,7 @@ def coordinate(host, port):
     from tpuvdb.api.server import DBServer
     from tpuvdb.cluster.federation import FederatedCoordinator
 
-    coord = FederatedCoordinator(DBConfig())
+    coord = FederatedCoordinator(DBConfig(data_dir=data_dir))
     coord.registry.start_health_loop()
     server = DBServer(coord, host=host, port=port)
     click.secho(f"tpuvdb coordinator on http://{server.address}", fg="green")

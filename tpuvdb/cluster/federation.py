@@ -48,10 +48,19 @@ class FederatedCoordinator:
         # which embeds before calling coordinator search) — loaded lazily
         # so pure routing deployments never pay the CLIP weights
         self._embedder = embedder
+        import os as _os
+
         self.registry = NodeRegistry(
             shard_count=self.config.shard_count,
             replica_count=self.config.replica_count,
             health_interval_s=self.config.health_check_interval_s,
+            # durable membership (ZK-ensemble parity): with a data_dir the
+            # coordinator resumes its node table + shard map after a
+            # restart; nodes need not re-register (routes stay stale until
+            # the first sync_all, exactly like any membership change)
+            persist_path=(_os.path.join(self.config.data_dir,
+                                        "registry.json")
+                          if self.config.data_dir else None),
         )
         self._clients: Dict[str, DBClient] = {}
         self._clients_lock = threading.Lock()
