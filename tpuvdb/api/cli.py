@@ -346,10 +346,15 @@ def export(ctx: Ctx, out_path, page):
     a portable backup independent of checkpoints/WAL."""
     import msgpack
 
+    from tpuvdb.core import wire
+
     n = 0
     cursor = 0
     with open(out_path, "wb") as f:
-        packer = msgpack.Packer(use_bin_type=True)
+        # wire._default packs ndarray vectors as raw f32 ExtType — local
+        # exports hand back ndarrays and the backup stays 4-5x smaller
+        # than float-list msgpack
+        packer = msgpack.Packer(use_bin_type=True, default=wire._default)
         while cursor >= 0:
             r = ctx.call("export", {"cursor": cursor, "limit": page})
             if not r.get("success"):
@@ -382,8 +387,12 @@ def import_(ctx: Ctx, in_path, batch):
         n += len(pending)
         pending.clear()
 
+    from tpuvdb.core import wire
+
     with open(in_path, "rb") as f:
-        for rec in msgpack.Unpacker(f, raw=False):
+        # ext_hook restores raw-f32 vectors from new-format backups; old
+        # float-list dumps unpack unchanged
+        for rec in msgpack.Unpacker(f, raw=False, ext_hook=wire._ext_hook):
             pending.append(rec)
             if len(pending) >= batch:
                 flush_batch()

@@ -26,8 +26,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from tpuvdb.api.service import DBService
+from tpuvdb.core import wire
 
 _STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+
+def _json_default(obj):
+    """JSON fallback for ndarray payloads (producers may keep vectors as
+    arrays for the binary path; JSON clients still get plain lists)."""
+    import numpy as np
+
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    raise TypeError(f"unserializable type {type(obj)!r}")
 
 
 def make_handler(service: DBService):
@@ -50,14 +63,28 @@ def make_handler(service: DBService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _wants_binary(self) -> bool:
+            return wire.BINARY_CTYPE in self.headers.get("Accept", "")
+
         def _send_json(self, obj, code: int = 200):
-            self._send(code, json.dumps(obj).encode("utf-8"))
+            # content negotiation (TBinaryProtocol analog): federation
+            # clients Accept the compact binary form — vectors ride as
+            # raw f32 bytes instead of JSON text (~5-10x fewer bytes on
+            # the bulk export/replicate/sync paths)
+            if self._wants_binary():
+                self._send(code, wire.encode(obj), wire.BINARY_CTYPE)
+                return
+            self._send(code, json.dumps(obj, default=_json_default)
+                       .encode("utf-8"))
 
         def _read_json(self):
             n = int(self.headers.get("Content-Length", 0))
             if n == 0:
                 return {}
-            return json.loads(self.rfile.read(n).decode("utf-8"))
+            body = self.rfile.read(n)
+            if wire.BINARY_CTYPE in self.headers.get("Content-Type", ""):
+                return wire.decode(body)
+            return json.loads(body.decode("utf-8"))
 
         def do_OPTIONS(self):
             self._send(204, b"")
@@ -92,8 +119,9 @@ def make_handler(service: DBService):
             path = self.path.split("?", 1)[0]
             try:
                 payload = self._read_json()
-            except (ValueError, json.JSONDecodeError) as e:
-                self._send_json({"success": False, "message": f"bad json: {e}"}, 400)
+            except Exception as e:  # bad JSON or torn msgpack frame
+                self._send_json({"success": False,
+                                 "message": f"bad request body: {e}"}, 400)
                 return
             if path.startswith("/rpc/"):
                 method = path[len("/rpc/"):]

@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 from tpuvdb.core.config import DBConfig
 from tpuvdb.core.types import Response, SearchRequest, VectorData
 from tpuvdb.cluster.membership import NodeRegistry
@@ -341,10 +343,16 @@ class DBService:
                 if e is None:
                     continue
                 vec = self.engine.mirrors[e.shard].vector_at(e.slot)
-                records.append(VectorData(
-                    key=key, vector=[float(x) for x in vec],
-                    metadata=dict(e.metadata), timestamp=e.timestamp,
-                ).to_dict())
+                # the vector stays an ndarray: the binary wire ships it as
+                # raw f32 bytes; JSON responses list-ify it at the server
+                # (_json_default) — to_dict's per-float python loop was
+                # ~40% of export page cost at 768-d
+                records.append({
+                    "key": key,
+                    "vector": np.asarray(vec, np.float32),
+                    "metadata": dict(e.metadata),
+                    "timestamp": int(e.timestamp),
+                })
         d = Response.ok(f"{len(records)} records").to_dict()
         d["records"] = records
         d["cursor"] = cursor + limit if cursor + limit < len(keys) else -1

@@ -136,7 +136,10 @@ class FederatedCoordinator:
         with self._clients_lock:
             c = self._clients.get(node_id)
             if c is None:
-                c = DBClient(node.address, timeout=self.config.rpc_timeout_s)
+                # binary wire: node-to-node bulk transfers (export/
+                # replicate/sync) move raw f32 vectors, not JSON text
+                c = DBClient(node.address, timeout=self.config.rpc_timeout_s,
+                             binary=True)
                 self._clients[node_id] = c
             return c
 
