@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--nlist", type=int, default=1024)
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4))
+    ap.add_argument("--tiles", default="8",
+                    help="comma list of query_tile values to sweep")
+    ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +57,8 @@ def main():
 
     t0 = time.time()
     idx = IVFIndex.build(x, np.ones(n, bool), nlist=nc, nprobe=args.nprobe,
-                         kmeans_iters=8, pq_subq=args.subq, seed=1)
+                         kmeans_iters=8, pq_subq=args.subq, seed=1,
+                         pq_bits=args.bits)
     log(f"build: {time.time()-t0:.1f}s nlist={idx.nlist} "
         f"cell_pad={idx.cell_pad} grouped={idx.grouped.shape} "
         f"codes {idx.grouped.nbytes/2**20:.0f} MiB")
@@ -98,18 +103,24 @@ def main():
             cell_pad=idx.cell_pad, recall_target=0.95,
             rotation=idx.pq_rotation)
 
-    def pallas_fn(q):
+    def pallas_fn_at(tile):
         from tpuvdb.kernels.pallas_pq import pallas_pq_search
 
-        return pallas_pq_search(
-            q, idx.centroids, idx.grouped, idx.pq_codebooks,
-            idx.grouped_sq, idx.grouped_valid, idx.spill, idx.spill_cells,
-            idx.spill_sq, idx.spill_valid, idx.cell_offsets,
-            cell_pad=idx.cell_pad, k=args.k, nprobe=args.nprobe,
-            rotation=idx.pq_rotation)
+        def fn(q):
+            return pallas_pq_search(
+                q, idx.centroids, idx.grouped, idx.pq_codebooks,
+                idx.grouped_sq, idx.grouped_valid, idx.spill,
+                idx.spill_cells, idx.spill_sq, idx.spill_valid,
+                idx.cell_offsets, cell_pad=idx.cell_pad, k=args.k,
+                nprobe=args.nprobe, rotation=idx.pq_rotation,
+                query_tile=tile)
+        return fn
 
-    for name, fn in (("xla-adc", search_fn), ("pallas", pallas_fn)):
-        for batch in (1, 8, 64):
+    variants = [] if args.skip_xla else [("xla-adc", search_fn)]
+    for t in (int(s) for s in args.tiles.split(",")):
+        variants.append((f"pallas-qt{t}", pallas_fn_at(t)))
+    for name, fn in variants:
+        for batch in (1, 8, 64, 256):
             dt = measure(fn, batch)
             log(f"{name} b{batch}: {dt*1000:.2f} ms/batch "
                 f"({dt/batch*1e6:.0f} us/q, {batch/dt:,.0f} QPS)")

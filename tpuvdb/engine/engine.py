@@ -1361,7 +1361,15 @@ class VectorDBEngine:
                 m = shards == s
                 if m.any():
                     vecs[pos[m]] = self.mirrors[s].rows_f32(slots[m])
-        d = ((q[:, None, :] - vecs.reshape(Q, F, -1)) ** 2).sum(-1)
+        # GEMM formulation: |q|^2 - 2 q.v + |v|^2 batched per query row.
+        # The broadcast form ((q[:,None,:]-vecs)**2).sum(-1) materializes
+        # a (Q, F, d) f32 transient — 63 MB and ~3 streaming passes at
+        # b32/fetch640/768-d on this one-core host, which measured as the
+        # dominant engine overhead over the PQ probe kernel itself.
+        vmat = vecs.reshape(Q, F, -1)
+        v_sq = np.einsum("qfd,qfd->qf", vmat, vmat)
+        qv = np.matmul(vmat, q[:, :, None])[:, :, 0]  # BLAS batched matvec
+        d = np.einsum("qd,qd->q", q, q)[:, None] - 2.0 * qv + v_sq
         d = np.where(rows >= 0, d, np.inf).astype(np.float32)
         order = np.argsort(d, axis=1, kind="stable")
         return (np.take_along_axis(d, order, 1),

@@ -51,13 +51,20 @@ from tpuvdb.kernels.pq import _maybe_unpack, _pq_lut
 
 
 def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
-                     *rest, n_buckets: int, cps: int, n_codes: int):
+                     *rest, n_buckets: int, cps: int, n_codes: int,
+                     m_block: int):
     """Per grid step: cps 128-row code chunks -> in-VMEM one-hot ->
-    (QT, 128) ADC dots + centroid column - stored norms -> bucket fold."""
+    (QT, 128) ADC dots + centroid column - stored norms -> bucket fold.
+
+    The one-hot expands in SUBSPACE BLOCKS of m_block (K-split of the ADC
+    contraction, accumulated in f32): the transient per block is
+    128 x m_block*J bf16 instead of 128 x M2*J — 2 MB at m_block=32/J=256
+    vs 6.3 MB for the full M=96 row — which is what lets cps stay at 8
+    (per-step DMA/fixed overhead amortization) at the capacity shape
+    where the full-width one-hot clamped cps to 3."""
     code_refs = rest[:cps]
-    sq_refs = rest[cps:2 * cps]
-    mask_refs = rest[2 * cps:3 * cps]
-    val_out, idx_out, run_val, run_idx = rest[3 * cps:]
+    bias_refs = rest[cps:2 * cps]
+    val_out, idx_out, run_val, run_idx = rest[2 * cps:]
     np_probe = pl.num_programs(1)
     p = pl.program_id(1)
 
@@ -70,11 +77,17 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
     jota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_codes), 2)
     for c in range(cps):
         codes = _maybe_unpack(code_refs[c][:], n_codes)   # (128, M2) i32
-        onehot = (codes[:, :, None] == jota).astype(jnp.bfloat16)
-        dots = jax.lax.dot_general(
-            lut_ref[:], onehot.reshape(codes.shape[0], -1),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (QT, 128) = 2 q.r
+        m2 = codes.shape[1]
+        dots = None
+        for m0 in range(0, m2, m_block):
+            m1 = min(m0 + m_block, m2)
+            onehot = (codes[:, m0:m1, None] == jota).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                lut_ref[:, m0 * n_codes : m1 * n_codes],
+                onehot.reshape(codes.shape[0], -1),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (QT, 128)
+            dots = part if dots is None else dots + part  # = 2 q.r
         cell = cellof_ref[qt, cps * p + c]
         # single-column read via lane mask: Mosaic can't prove a dynamic
         # lane index is 128-aligned, so dynamic-slice on dim 1 won't
@@ -83,7 +96,10 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
         lanes = jax.lax.broadcasted_iota(jnp.int32, qc_ref.shape, 1)
         qc_col = jnp.sum(jnp.where(lanes == cell, qc_ref[:], 0.0),
                          axis=1, keepdims=True)           # (QT, 1) = 2 q.c
-        scores = dots + qc_col - sq_refs[c][:] + mask_refs[c][:]
+        # bias = -||c+r_hat||^2 with NEG_INF on invalid slots (one DMA,
+        # precomputed host-side: sq and the validity mask always appeared
+        # as `- sq + mask`)
+        scores = dots + qc_col + bias_refs[c][:]
         _fold_chunk(scores, cells_ref[qt, cps * p + c],
                     segs_ref[qt, cps * p + c], run_val, run_idx,
                     codes.shape[0], n_buckets)
@@ -128,12 +144,13 @@ def pallas_pq_search(
     n_g = grouped_codes.shape[0]
     nlist = centroids.shape[0]
     m2, n_codes = codebooks.shape[0], codebooks.shape[1]
-    # VMEM budget: each in-flight chunk materializes a (128, M2*J) bf16
-    # one-hot (6.3 MB at M=96/J=256); the unrolled cps-loop keeps several
-    # live at once, so clamp cps to ~24 MB of one-hots and raise the
-    # kernel's scoped-VMEM limit (v5e has 128 MB; the default 16 MB cap
-    # OOM'd at the 8M x 768 / M=96 capacity shape)
-    onehot_bytes = 128 * m2 * n_codes * 2
+    # VMEM budget: the K-split one-hot transient is 128 x m_block*J bf16
+    # per in-flight block; clamp the SUBSPACE block so cps (per-step
+    # overhead amortization) never has to shrink — the pre-split kernel
+    # clamped cps to 3 at M=96/J=256, tripling per-chunk fixed cost at
+    # exactly the capacity shape the kernel exists for
+    m_block = max(1, min(m2, (2 << 20) // (128 * n_codes * 2)))
+    onehot_bytes = 128 * m_block * n_codes * 2
     cps = max(1, min(cps, (24 << 20) // onehot_bytes))
     qt_n = min(query_tile, max(1, qn))
     pad_q = (-qn) % qt_n
@@ -182,14 +199,16 @@ def pallas_pq_search(
     nlistp = -(-nlist // 128) * 128
     qc2p = (qc2 if nlistp == nlist else
             jnp.pad(qc2, ((0, 0), (0, nlistp - nlist))))
-    mask = jnp.where(grouped_valid, 0.0, NEG_INF
-                     ).astype(jnp.float32).reshape(1, n_g)
-    sq_row = grouped_sq.astype(jnp.float32).reshape(1, n_g)
+    # -||c+r_hat||^2 with NEG_INF on invalid slots: sq and mask only ever
+    # appeared as `- sq + mask`, so one fused bias row halves the tiny
+    # per-chunk (1, 128) DMAs
+    bias = jnp.where(grouped_valid, -grouped_sq.astype(jnp.float32),
+                     NEG_INF).reshape(1, n_g)
 
     cand_w = n_buckets * n_segments
     grid = (qp // qt_n, cells.shape[1] // cps)
     kernel = functools.partial(_pq_probe_kernel, n_buckets=n_buckets,
-                               cps=cps, n_codes=n_codes)
+                               cps=cps, n_codes=n_codes, m_block=m_block)
     byte_w = grouped_codes.shape[1]
     in_specs = [
         pl.BlockSpec((qt_n, m2 * n_codes), lambda qt, p, c, s, o: (qt, 0)),
@@ -198,10 +217,9 @@ def pallas_pq_search(
     for j in range(cps):
         in_specs.append(pl.BlockSpec(
             (128, byte_w), lambda qt, p, c, s, o, j=j: (c[qt, cps * p + j], 0)))
-    for _ in range(2):  # sq, mask — (1, 128) slabs per chunk
-        for j in range(cps):
-            in_specs.append(pl.BlockSpec(
-                (1, 128), lambda qt, p, c, s, o, j=j: (0, c[qt, cps * p + j])))
+    for j in range(cps):  # fused bias — (1, 128) slab per chunk
+        in_specs.append(pl.BlockSpec(
+            (1, 128), lambda qt, p, c, s, o, j=j: (0, c[qt, cps * p + j])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -226,7 +244,7 @@ def pallas_pq_search(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(cells, segs, cellof, lut_flat, qc2p,
-      *([grouped_codes] * cps), *([sq_row] * cps), *([mask] * cps))
+      *([grouped_codes] * cps), *([bias] * cps))
 
     # spill region: small, dense, gather-free one-hot GEMM in plain XLA
     # (identical formulation to index.ivf._ivf_search_pq's spill block)

@@ -15,8 +15,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+# np, NOT jnp: a module-level jnp constant commits a device array at
+# import time, initializing the JAX backend before `tpuvdb serve` can
+# apply the TPUVDB_PLATFORM override (every demo-cluster node then lands
+# on the one TPU instead of CPU)
+NEG_INF = np.float32(-np.inf)
 
 
 def mask_scores(neg_scores: jax.Array, valid: jax.Array) -> jax.Array:
