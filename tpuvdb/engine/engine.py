@@ -876,6 +876,15 @@ class VectorDBEngine:
             self._ivf_delta.clear()
             self._staged_updates.clear()
             self._staged_deletes.clear()
+            # phase boundary: the build is done with its transients —
+            # hand the heap's high-water back to the OS (keep_malloc_warm
+            # disables automatic trimming for fault-expensive hosts, so
+            # without this the build's peak stays resident forever and
+            # reads as a 19-24 GB anon "leak" at the 8M x 768 PQ shape)
+            from tpuvdb.utils.hostmem import memlog, trim_heap
+
+            trim_heap()
+            memlog("engine: ivf rebuild done (trimmed)")
         else:
             for s, sl in self._staged_updates:
                 if self.mirrors[s].is_valid(sl):

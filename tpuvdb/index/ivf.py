@@ -1031,10 +1031,13 @@ class IVFIndex:
         codes bit-exact without a 25 GB f32 detour. This is what lets the
         ENGINE run IVF at the 8M x 768 capacity scale the kernels prove
         (a full f32 stack is 24.5 GB host + would not fit 16 GB HBM)."""
+        from tpuvdb.utils.hostmem import memlog
+
         n, d = source.n, source.dim
         live_idx = np.flatnonzero(valid)
         if len(live_idx) == 0:
             raise ValueError("cannot build IVF over empty corpus")
+        memlog("build: start")
         if pq_codebooks is not None and not pq_subq:
             from tpuvdb.kernels.pq import pq_code_bytes
 
@@ -1115,6 +1118,7 @@ class IVFIndex:
                                         m_subq=pq_m, seed=seed,
                                         n_codes=pq_j)
         del sample
+        memlog("build: trained (cents+codebooks)")
 
         # 2. assign every row, streamed in ONE fixed block shape (pad the
         # ragged tail); invalid rows masked to -1 afterwards
@@ -1155,6 +1159,7 @@ class IVFIndex:
                 pq_codes, pq_rsq = _codes_update_dev(
                     pq_codes, pq_rsq, codes, rsq, np.int32(g0))
         assign = np.where(valid, assign, -1)
+        memlog("build: assigned+encoded")
 
         # 3. skew control: bound the max cell, then PACK
         sizes = np.bincount(assign[assign >= 0], minlength=nlist)
@@ -1204,6 +1209,7 @@ class IVFIndex:
                    if nlist > 1 else int(sizes.max()))
             cell_pad = max(_round_up(max(cap, 1), 128), 128)
 
+        memlog("build: split done")
         live2 = np.flatnonzero(valid & (assign >= 0))
         int8_out = dtype == jnp.int8
         (gvec, gscales, gsq, gval, grow, cell_offsets, cell_lens,
@@ -1213,6 +1219,7 @@ class IVFIndex:
             pq_precomputed=((pq_codes, pq_rsq) if pq_codes is not None
                             else None))
 
+        memlog("build: packed")
         # spill reserve: free tail capacity so append_rows can overflow
         # full cells here instead of forcing a rebuild (scaled down for
         # small corpora — spill is scanned densely by every query)

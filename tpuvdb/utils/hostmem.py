@@ -31,3 +31,41 @@ def keep_malloc_warm(threshold: int = 1 << 30) -> bool:
         return bool(ok1 and ok2)
     except (OSError, AttributeError):
         return False
+
+
+def trim_heap() -> bool:
+    """Return freed heap pages to the OS (malloc_trim). The complement of
+    keep_malloc_warm: a build PHASE reuses warm pages freely, then trims
+    at its boundary so anon RSS tracks live data, not the phase's
+    transient high-water (the untrimmed heap measured 19-24 GB anon at
+    the 8M x 768 PQ build while live state was a fraction of that)."""
+    try:
+        libc = ctypes.CDLL(None)
+        return bool(libc.malloc_trim(0))
+    except (OSError, AttributeError):
+        return False
+
+
+def anon_gb() -> float:
+    """Anonymous (non-file-backed) RSS in GB; -1 where unsupported."""
+    try:
+        with open("/proc/self/smaps_rollup") as f:
+            for line in f:
+                if line.startswith("Anonymous:"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:
+        pass
+    return -1.0
+
+
+def memlog(tag: str) -> None:
+    """Phase-boundary memory tracer, enabled by TPUVDB_MEMLOG=1: logs
+    anon RSS so capacity-build regressions name their phase instead of
+    one end-to-end peak number."""
+    import os
+
+    if os.environ.get("TPUVDB_MEMLOG"):
+        import logging
+
+        logging.getLogger("tpuvdb.memlog").warning(
+            "[mem] %-32s anon %6.2f GB", tag, anon_gb())
