@@ -39,7 +39,8 @@ def test_int8_ivf_xla_path_recall(rng):
     assert (dist[:, 0] < 2.0).all()
 
 
-def test_int8_ivf_pallas_interpret(rng):
+@pytest.mark.parametrize("packed", ["strided", "expanded", "compact"])
+def test_int8_ivf_pallas_interpret(rng, packed):
     from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
 
     data = rng.standard_normal((1024, 32)).astype(np.float32)
@@ -53,6 +54,8 @@ def test_int8_ivf_pallas_interpret(rng):
         query_tile=8, n_buckets=128, interpret=True,
         spill=idx.spill, spill_sq=idx.spill_sq, spill_valid=idx.spill_valid,
         cell_scales=idx.cell_scales, spill_scales=idx.spill_scales,
+        cell_offsets=None if packed == "strided" else idx.cell_offsets,
+        force_compact=packed == "compact",
     )
     gid = np.asarray(gid)
     N_g = idx.grouped.shape[0]

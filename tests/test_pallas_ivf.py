@@ -10,8 +10,10 @@ from tpuvdb.kernels.distance import numpy_oracle
 from tpuvdb.kernels.pallas_ivf import pallas_ivf_search
 
 
-def test_pallas_ivf_matches_oracle(rng):
-    # clustered corpus -> IVF layout via IVFIndex.build, probe via pallas
+@pytest.mark.parametrize("force_compact", [False, True])
+def test_pallas_ivf_matches_oracle(rng, force_compact):
+    # clustered corpus -> IVF layout via IVFIndex.build, probe via pallas;
+    # both hybrid prefetch branches (expanded / compact) face the oracle
     centers = rng.standard_normal((16, 32)) * 5
     data = np.concatenate([
         centers[i] + 0.3 * rng.standard_normal((128, 32)) for i in range(16)
@@ -29,7 +31,7 @@ def test_pallas_ivf_matches_oracle(rng):
             jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
             idx.grouped_valid, cell_pad=idx.cell_pad, k=10, nprobe=nprobe,
             query_tile=8, n_buckets=128, interpret=True,
-            cell_offsets=idx.cell_offsets,
+            cell_offsets=idx.cell_offsets, force_compact=force_compact,
         )
         gid = np.asarray(gid)
         rows = np.where(gid >= 0, idx.row_ids[np.clip(gid, 0, None)], -1)
@@ -51,11 +53,12 @@ def test_pallas_ivf_matches_oracle(rng):
                 assert abs(true - dist[i, j]) < 1e-2
 
 
-def test_pallas_ivf_wide_fetch_beyond_128(rng):
+@pytest.mark.parametrize("force_compact", [False, True])
+def test_pallas_ivf_wide_fetch_beyond_128(rng, force_compact):
     """Review finding (round 2): the packed path's 128-slot chunks capped
     distinct candidates at 128/query; segment rotation must serve k > 128
     (the int8 rescore fetch / staged-delete padding regime) with real,
-    deduped candidates."""
+    deduped candidates — on BOTH hybrid prefetch branches."""
     centers = rng.standard_normal((8, 16)) * 5
     data = np.concatenate([
         centers[i] + 0.3 * rng.standard_normal((128, 16)) for i in range(8)
@@ -70,6 +73,7 @@ def test_pallas_ivf_wide_fetch_beyond_128(rng):
         idx.grouped_valid, cell_pad=idx.cell_pad, k=k, nprobe=8,
         query_tile=4, interpret=True, cell_offsets=idx.cell_offsets,
         spill=idx.spill, spill_sq=idx.spill_sq, spill_valid=idx.spill_valid,
+        force_compact=force_compact,
     )
     gid, dist = np.asarray(gid), np.asarray(dist)
     for i in range(4):

@@ -87,6 +87,16 @@ class DBConfig:
     # "none"   — serve raw int8 scan scores.
     rescore_mode: str = "exact"
     flush_batch: int = 1024        # staged inserts per device flush
+    # group-commit coalescing of CONCURRENT search_batch calls: while one
+    # device call is in flight, arriving batches queue; the next caller
+    # to win the per-(k, overfetch) leader lock stacks every queued batch
+    # into ONE device call and splits the results (engine/coalesce.py).
+    # A solo caller pays one uncontended mutex — its batch shape and
+    # latency are unchanged. Under T concurrent streams the device (and,
+    # on relay-attached devices, the ~30 ms per-call dispatch tick) is
+    # paid once per GROUP instead of once per stream.
+    search_coalesce: bool = True
+    search_coalesce_max: int = 4096  # max stacked queries per group
     search_mode: str = "approx"    # "approx" = hardware PartialReduce top-k
                                    # (recall@10 ~0.98, ~25x faster on TPU);
                                    # "exact" = bitwise-exact top-k merge

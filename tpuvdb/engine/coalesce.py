@@ -1,0 +1,104 @@
+"""Group-commit coalescing for concurrent engine searches.
+
+The serving bottleneck under concurrency is per-device-call fixed cost:
+each engine.search_batch runs its own device program (query upload +
+dispatch + paired result fetch), and through the axon relay every call
+pays a ~30 ms round-trip tick that a colocated host pays in microseconds
+but still pays as kernel launch + sync overhead. The scan kernels are
+bandwidth-bound — one corpus sweep over a 4096-query stack costs barely
+more than over 512 — so T concurrent batches SHOULD share one sweep.
+
+This is the WAL group-commit shape applied to reads (the write analog is
+api/batching.py's BatchingWriter): callers enqueue their batch under a
+mutex, then contend on a per-(k, overfetch) leader lock. Whoever holds
+the lock drains EVERY queued batch, stacks the queries, runs ONE direct
+search, and resolves each caller's slice. Later acquirers find their
+future already resolved and return immediately. No worker thread, no
+coalescing window: a solo caller's group is just itself (same batch
+shape, same compile, one uncontended mutex of added cost), and overlap
+emerges exactly when concurrency exists.
+
+Groups are keyed by (k, overfetch) so every member shares the leader's
+fetch width and rescore semantics; mixed-k workloads simply form
+separate groups. Stacked shapes are padded up to a power of two so the
+number of distinct compiled batch shapes stays logarithmic.
+
+The reference has no analog — its datanode serves each Thrift request
+with its own hnswlib knn_query (src/datanode/handler.py:359-364).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Callable, Dict, List, Tuple
+
+import numpy as np
+
+
+class SearchCoalescer:
+    def __init__(self, direct: Callable, max_rows: int = 4096):
+        """direct: fn(queries, k, overfetch) -> (dists, keys) — the
+        engine's un-coalesced search path (retry loop included)."""
+        self._direct = direct
+        self._max_rows = max(1, max_rows)
+        self._mu = threading.Lock()
+        self._pending: Dict[Tuple[int, bool], List] = {}
+        self._leader: Dict[Tuple[int, bool], threading.Lock] = {}
+
+    def search(self, queries: np.ndarray, k: int, overfetch: bool):
+        key = (int(k), bool(overfetch))
+        fut: Future = Future()
+        with self._mu:
+            self._pending.setdefault(key, []).append((queries, fut))
+            lock = self._leader.setdefault(key, threading.Lock())
+        # Loop: a drained group is capped at max_rows, so one _serve may
+        # resolve only batches queued AHEAD of ours — keep taking the
+        # leader lock (serving whoever is queued) until our own future
+        # resolves. A solo caller passes through exactly once.
+        while not fut.done():
+            with lock:
+                if not fut.done():
+                    self._serve(key, k, overfetch)
+        return fut.result()
+
+    def _serve(self, key, k: int, overfetch: bool):
+        """Caller holds the leader lock. Drain whole queued batches up to
+        max_rows (never split a batch; a single oversized batch still
+        runs alone) and resolve their futures from one direct call."""
+        with self._mu:
+            queued = self._pending.get(key, [])
+            group, rows = [], 0
+            while queued and (not group
+                              or rows + queued[0][0].shape[0]
+                              <= self._max_rows):
+                q, f = queued.pop(0)
+                group.append((q, f))
+                rows += q.shape[0]
+        if not group:
+            return
+        try:
+            if len(group) == 1:
+                dists, keys = self._direct(group[0][0], k, overfetch)
+                group[0][1].set_result((dists, keys))
+                return
+            stacked = np.concatenate(
+                [np.asarray(q, np.float32) for q, _ in group])
+            # pad the stack to the next power of two: group sizes vary
+            # call to call, and each distinct query count is a separate
+            # XLA compile (~30 s cold on big corpora)
+            pad = (1 << (rows - 1).bit_length()) - rows
+            if pad:
+                stacked = np.concatenate(
+                    [stacked, np.zeros((pad, stacked.shape[1]),
+                                       np.float32)])
+            dists, keys = self._direct(stacked, k, overfetch)
+            lo = 0
+            for q, f in group:
+                hi = lo + q.shape[0]
+                f.set_result((dists[lo:hi], keys[lo:hi]))
+                lo = hi
+        except BaseException as e:
+            for _, f in group:
+                if not f.done():
+                    f.set_exception(e)

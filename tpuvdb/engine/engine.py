@@ -120,6 +120,15 @@ class VectorDBEngine:
         from tpuvdb.utils.tracing import StageTimer
 
         self.timers = StageTimer()
+        # group-commit for concurrent searches (engine/coalesce.py):
+        # batches arriving mid-device-call share the next call
+        self._search_coalescer = None
+        if self.config.search_coalesce:
+            from tpuvdb.engine.coalesce import SearchCoalescer
+
+            self._search_coalescer = SearchCoalescer(
+                self._search_batch_direct,
+                max_rows=self.config.search_coalesce_max)
         # bumped whenever slot identity changes (compaction); lock-free
         # searches validate against it before mapping rows -> keys
         self._generation = 0
@@ -1138,7 +1147,20 @@ class VectorDBEngine:
         With overfetch=True, fetches extra candidates so post-filters
         (metadata/threshold) can refill — the analog of the reference's
         knn_query k*2 (src/datanode/handler.py:359-364).
+
+        Concurrent callers group-commit: batches that arrive while a
+        device call is in flight are stacked into the NEXT device call
+        (engine/coalesce.py), so T streams pay the per-call fixed cost
+        (relay tick / kernel launch) once per group, not once per stream.
         """
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self._search_coalescer is not None and q.shape[0] > 0:
+            return self._search_coalescer.search(q, k, overfetch)
+        return self._search_batch_direct(q, k, overfetch)
+
+    def _search_batch_direct(
+        self, queries: np.ndarray, k: int, overfetch: bool = False
+    ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
         for attempt in range(4):
             if attempt >= 2:
                 # bounded backoff: let the flush/compaction churn that
