@@ -81,28 +81,14 @@ def main():
         return l2sq_topk_int8_rescored(q, c, r, s, v, k=k, fetch=32,
                                        recall_target=0.95)
 
-    # the Pallas bucketed sweep + fused re-rank: at 128-d it loses to
-    # approx_max_k (the VPU bucket fold isn't hidden by the short int8 MXU
-    # time, docs/BENCH_NOTES.md), but per-row fold cost is constant in d —
-    # this is the shape where the balance was predicted to flip
-    from tpuvdb.kernels.pallas_scan import (fit_block_rows,
-                                            pallas_l2sq_topk_int8_rescored)
-
-    br = fit_block_rows(n, dim, 1)
-
-    def pallas_resc_fn(q, c, r, s, v):
-        return pallas_l2sq_topk_int8_rescored(
-            q, c, r, s, v, k=k, fetch=32, block_rows=br,
-            n_buckets=min(512, br))
-
+    # (the Pallas bucketed sweep + fused re-rank was retired round 4:
+    # it lost here too — 18.5k vs 26.3k QPS at 8M x 768; the predicted
+    # constant-in-d fold advantage never flipped the balance)
     results = {}
     paths = [("int8_b128", int8_fn, 128),
              ("int8_b256", int8_fn, 256),
              ("int8_resc_b128", resc_fn, 128),
              ("int8_resc_b256", resc_fn, 256)]
-    if br is not None and jax.default_backend() == "tpu":
-        paths += [("pallas_resc_b128", pallas_resc_fn, 128),
-                  ("pallas_resc_b256", pallas_resc_fn, 256)]
     for name, fn, batch in paths:
         bq = qdev[:batch]
         arrays = (corpus_i8, row_scales, sqnorms, valid)

@@ -6,9 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from tpuvdb.kernels.distance import numpy_oracle
-from tpuvdb.kernels.pallas_scan import (pallas_l2sq_topk,
-                                        pallas_l2sq_topk_int8_rescored)
-from tpuvdb.kernels.quant import quantize_rows_np
+from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk
 
 
 @pytest.mark.parametrize("n,d,k", [(1024, 128, 10)])
@@ -33,36 +31,6 @@ def test_pallas_matches_oracle(rng, n, d, k):
         for j in range(k):
             if idx[i, j] >= 0:
                 true = float(np.sum((q[i] - corpus[idx[i, j]]) ** 2))
-                assert abs(true - dist[i, j]) < 1e-2
-
-
-def test_pallas_int8_rescored_matches_oracle(rng):
-    n, d, k = 1024, 128, 10
-    corpus = rng.standard_normal((n, d)).astype(np.float32)
-    ci8, scales = quantize_rows_np(corpus)
-    stored = ci8.astype(np.float32) * scales[:, None]  # what rescore sees
-    sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
-    valid = np.ones(n, bool)
-    valid[7] = False
-    q = rng.standard_normal((16, d)).astype(np.float32)
-    dist, idx = pallas_l2sq_topk_int8_rescored(
-        jnp.asarray(q), jnp.asarray(ci8), jnp.asarray(scales),
-        jnp.asarray(sq), jnp.asarray(valid),
-        k=k, fetch=64, block_rows=256, n_buckets=128, query_tile=16,
-        interpret=True,
-    )
-    dist, idx = np.asarray(dist), np.asarray(idx)
-    # oracle over the DEQUANTIZED rows: the rescore removes query-quant and
-    # selection error, leaving only per-row corpus quantization
-    odist, oidx = numpy_oracle(q, stored, valid, k)
-    assert 7 not in idx
-    overlap = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(16)])
-    assert overlap >= 0.9, overlap
-    # returned distances are exact f32 to the stored (dequantized) rows
-    for i in range(16):
-        for j in range(k):
-            if idx[i, j] >= 0:
-                true = float(np.sum((q[i] - stored[idx[i, j]]) ** 2))
                 assert abs(true - dist[i, j]) < 1e-2
 
 

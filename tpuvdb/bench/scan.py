@@ -133,8 +133,6 @@ def main():
             q_batch),
     }
     if on_tpu:
-        from tpuvdb.kernels.pallas_scan import pallas_l2sq_topk_int8_rescored
-
         def pallas_fn(q, c, s, v):
             return pallas_l2sq_topk(q, c, s, v, k=k, block_rows=16384,
                                     n_buckets=512)
@@ -145,18 +143,10 @@ def main():
         paths["pallas_bf16_b512"] = (
             pallas_fn, (corpus_bf16, sqnorms, valid), 512)
 
-        # int8 Mosaic sweep + fused exact re-rank. Measured 320k QPS @
-        # 0.969 at 1M x 128 — the bucketed VPU fold loses to approx_max_k's
-        # hardware PartialReduce at this dim (the XLA int8 paths above);
-        # kept in the table because the VPU fold cost per row is constant
-        # in d, so the balance shifts toward it at 768-d capacity shapes.
-        def pallas_i8r_fn(q, c, r, s, v):
-            return pallas_l2sq_topk_int8_rescored(
-                q, c, r, s, v, k=k, fetch=32, block_rows=16384,
-                n_buckets=512)
-
-        paths["pallas_int8_rescored"] = (
-            pallas_i8r_fn, (corpus_i8, row_scales, sqnorms, valid), q_batch)
+        # (pallas_int8_rescored retired round 4: it lost to the XLA
+        # int8_rescored path at every measured shape — 329k vs 503k at
+        # 1M x 128, 18.5k vs 26.3k at 8M x 768; the "constant-in-d VPU
+        # fold" niche never materialized. See BENCH_NOTES.)
 
     # oracle for recall
     n_check = 64

@@ -348,34 +348,17 @@ class DeviceExactIndex:
                 row_scales=self.row_scales, rescore_fetch=self.rescore_fetch,
             )
         elif self.quantized and self.rescore_fetch > 0:
-            from tpuvdb.kernels.pallas_scan import fit_block_rows
+            # XLA approx_max_k sweep + exact re-rank. A Pallas fused
+            # int8 sweep variant was measured slower at EVERY shape
+            # tried (329k vs 503k QPS at 1M x 128; 18.5k vs 26.3k at
+            # 8M x 768 — BENCH_NOTES) and was retired in round 4.
+            from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
 
-            # dim-aware block sizing (a fixed 16384-row int8 tile OOMs
-            # scoped VMEM at dim 512: 8 MB x 2 pipeline buffers)
-            br = fit_block_rows(self.vectors.shape[0],
-                                self.vectors.shape[1], 1)
-            if (self.search_mode == "pallas"
-                    and jax.default_backend() == "tpu"
-                    and br is not None):
-                # fused Mosaic sweep: widening the rescore set is free on
-                # the scan side (candidates already sit in VMEM buckets),
-                # unlike approx_max_k whose cost grows with fetch
-                from tpuvdb.kernels.pallas_scan import \
-                    pallas_l2sq_topk_int8_rescored
-
-                dist, rows = pallas_l2sq_topk_int8_rescored(
-                    q, self.vectors, self.row_scales, self.sqnorms,
-                    self.valid, k=k, fetch=max(self.rescore_fetch, k),
-                    block_rows=br, n_buckets=min(512, br),
-                )
-            else:
-                from tpuvdb.kernels.quant import l2sq_topk_int8_rescored
-
-                dist, rows = l2sq_topk_int8_rescored(
-                    q, self.vectors, self.row_scales, self.sqnorms,
-                    self.valid, k=k, fetch=max(self.rescore_fetch, k),
-                    recall_target=self.recall_target,
-                )
+            dist, rows = l2sq_topk_int8_rescored(
+                q, self.vectors, self.row_scales, self.sqnorms,
+                self.valid, k=k, fetch=max(self.rescore_fetch, k),
+                recall_target=self.recall_target,
+            )
         elif self.quantized:
             from tpuvdb.kernels.quant import l2sq_topk_int8_xla
 

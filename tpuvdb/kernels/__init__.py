@@ -10,8 +10,7 @@ from tpuvdb.kernels.topk import merge_topk, mask_scores
 
 def __getattr__(name):
     # lazy: pallas modules import jax.experimental.pallas (TPU-oriented)
-    if name in ("pallas_l2sq_topk", "pallas_l2sq_topk_int8",
-                "pallas_l2sq_topk_int8_rescored"):
+    if name == "pallas_l2sq_topk":
         from tpuvdb.kernels import pallas_scan
 
         return getattr(pallas_scan, name)

@@ -149,129 +149,13 @@ def pallas_candidates(
             bytes_accessed=n * d * corpus.dtype.itemsize + qn * d * 4,
             transcendentals=0,
         ),
+        # multi-tile grids (coalesced serving stacks, 4096-query batches)
+        # double-buffer the out blocks and land ~0.2 MB over the 16 MB
+        # default scoped-VMEM budget — raise it; actual use is ~16-20 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
         interpret=interpret,
     )(queries.astype(corpus.dtype), corpus, corpus_sqnorms, neg_mask)
 
-
-def _scan_kernel_int8(qscale_ref, q_ref, chunk_ref, rowscale_ref, sq_ref,
-                      mask_ref, val_out, idx_out, run_val, run_idx,
-                      *, block_rows: int, n_buckets: int, sub_rows: int):
-    """Int8 variant: int8 x int8 -> int32 dots on the MXU; exact f32 norm
-    correction; per-row scales from VMEM, the batch-global query scale from
-    SMEM (see kernels.quant for the scheme). Scores materialize sub_rows at
-    a time — a full (QT, block_rows) f32 buffer (16 MB at QT=256/B=16k)
-    blows VMEM and was measured 1.8x slower than the sub-chunked form."""
-    ni = pl.num_programs(1)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        run_val[:] = jnp.full_like(run_val, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, -1)
-
-    q = q_ref[:]                           # (QT, d) int8
-    qs = qscale_ref[0, 0]
-    base = i * block_rows
-    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], n_buckets), 1)
-    rv = run_val[:]
-    ri = run_idx[:]
-    for s in range(block_rows // sub_rows):
-        part = chunk_ref[s * sub_rows : (s + 1) * sub_rows, :]
-        dots = jax.lax.dot_general(
-            q, part,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)              # (QT, sub)
-        sl = slice(s * sub_rows, (s + 1) * sub_rows)
-        scores = (2.0 * qs * rowscale_ref[:, sl] * dots
-                  - sq_ref[:, sl] + mask_ref[:, sl])
-        for j in range(sub_rows // n_buckets):
-            cand = scores[:, j * n_buckets : (j + 1) * n_buckets]
-            cidx = base + s * sub_rows + j * n_buckets + col
-            better = cand > rv
-            rv = jnp.where(better, cand, rv)
-            ri = jnp.where(better, cidx, ri)
-    run_val[:] = rv
-    run_idx[:] = ri
-
-    @pl.when(i == ni - 1)
-    def _():
-        val_out[:] = rv
-        idx_out[:] = ri
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_rows", "n_buckets", "query_tile", "sub_rows",
-                     "interpret"),
-)
-def pallas_candidates_int8(
-    queries: jax.Array,       # (Q, d) f32
-    corpus_i8: jax.Array,     # (N, d) int8
-    row_scales: jax.Array,    # (1, N) f32
-    corpus_sqnorms: jax.Array,  # (1, N) f32 — exact norms of original rows
-    neg_mask: jax.Array,      # (1, N) f32
-    block_rows: int = 16384,
-    n_buckets: int = 512,
-    query_tile: int = 256,
-    sub_rows: int = 2048,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    from tpuvdb.kernels.quant import quantize_batch
-
-    qn, d = queries.shape
-    n = corpus_i8.shape[0]
-    if n % block_rows != 0:
-        raise ValueError(f"corpus rows {n} %% block_rows {block_rows} != 0")
-    if qn % query_tile != 0:
-        raise ValueError(f"queries {qn} %% query_tile {query_tile} != 0")
-    if block_rows % sub_rows != 0 or sub_rows % n_buckets != 0:
-        raise ValueError(
-            "need block_rows % sub_rows == 0 and sub_rows % n_buckets == 0")
-    qi, qscale = quantize_batch(queries)
-    grid = (qn // query_tile, n // block_rows)
-    kernel = functools.partial(
-        _scan_kernel_int8, block_rows=block_rows, n_buckets=n_buckets,
-        sub_rows=sub_rows,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda qi_, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((query_tile, d), lambda qi_, i: (qi_, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda qi_, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows), lambda qi_, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows), lambda qi_, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows), lambda qi_, i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((query_tile, n_buckets), lambda qi_, i: (qi_, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, n_buckets), lambda qi_, i: (qi_, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((qn, n_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((qn, n_buckets), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((query_tile, n_buckets), jnp.float32),
-            pltpu.VMEM((query_tile, n_buckets), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * qn * n * d,
-            bytes_accessed=n * d + qn * d,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(qscale, qi, corpus_i8, row_scales, corpus_sqnorms, neg_mask)
 
 
 def fit_block_rows(n_rows: int, dim: int, itemsize: int,
@@ -308,101 +192,7 @@ def _fit_sub_rows(block_rows: int, n_buckets: int, sub_rows: int) -> int:
     return sub
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "fetch", "block_rows", "n_buckets", "query_tile",
-                     "sub_rows", "interpret"),
-)
-def pallas_l2sq_topk_int8_rescored(
-    queries: jax.Array,        # (Q, d) f32
-    corpus_i8: jax.Array,      # (N, d) int8
-    row_scales: jax.Array,     # (N,) f32
-    corpus_sqnorms: jax.Array,  # (N,) f32
-    valid: jax.Array,          # (N,) bool
-    k: int,
-    fetch: int = 32,
-    block_rows: int = 16384,
-    n_buckets: int = 512,
-    query_tile: int = 256,
-    sub_rows: int = 2048,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Pallas int8 candidate sweep + fused on-device exact re-rank.
 
-    The bucketed streaming sweep already holds the per-bucket best
-    candidates in VMEM, so widening the rescore set is FREE on the scan
-    side — `fetch` just takes more of the n_buckets candidates into the
-    exact epilogue. Contrast l2sq_topk_int8_rescored (quant.py), where
-    approx_max_k's PartialReduce cost grows steeply with fetch
-    (32 -> 515k QPS, 128 -> 255k at 1M x 128). One jit program end to end.
-    """
-    from tpuvdb.kernels.quant import exact_rescore
-
-    qn = queries.shape[0]
-    qt = min(query_tile, max(8, qn))
-    pad_q = (-qn) % qt
-    q = queries
-    if pad_q:
-        q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
-    sub = _fit_sub_rows(block_rows, n_buckets, sub_rows)
-    neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
-    cand_val, cand_idx = pallas_candidates_int8(
-        q, corpus_i8, row_scales.reshape(1, -1).astype(jnp.float32),
-        corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,
-        block_rows=block_rows, n_buckets=n_buckets, query_tile=qt,
-        sub_rows=sub, interpret=interpret,
-    )
-    cand_val = cand_val[:qn]
-    cand_idx = cand_idx[:qn]
-    f = max(k, min(fetch, n_buckets))
-    neg, pos = jax.lax.top_k(cand_val, f)
-    cand = jnp.take_along_axis(cand_idx, pos, axis=1)
-    cand = jnp.where(neg <= NEG_INF, -1, cand)
-    return exact_rescore(queries.astype(jnp.float32), corpus_i8,
-                         row_scales.reshape(-1), cand, k)
-
-
-def pallas_l2sq_topk_int8(
-    queries: jax.Array,
-    corpus_i8: jax.Array,
-    row_scales: jax.Array,     # (N,) f32
-    corpus_sqnorms: jax.Array,  # (N,) f32
-    valid: jax.Array,          # (N,) bool
-    k: int,
-    block_rows: int = 16384,
-    n_buckets: int = 512,
-    query_tile: int = 256,
-    sub_rows: int = 2048,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Int8 fused scan + exact top-k epilogue. Distances carry int8 dot
-    noise (~1/127 relative); norms are exact."""
-    qn = queries.shape[0]
-    qt = min(query_tile, max(8, qn))
-    pad_q = (-qn) % qt
-    q = queries
-    if pad_q:
-        q = jnp.concatenate([q, jnp.zeros((pad_q, q.shape[1]), q.dtype)])
-    sub = _fit_sub_rows(block_rows, n_buckets, sub_rows)
-    neg_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
-    cand_val, cand_idx = pallas_candidates_int8(
-        q, corpus_i8, row_scales.reshape(1, -1).astype(jnp.float32),
-        corpus_sqnorms.reshape(1, -1).astype(jnp.float32), neg_mask,
-        block_rows=block_rows, n_buckets=n_buckets, query_tile=qt,
-        sub_rows=sub, interpret=interpret,
-    )
-    cand_val = cand_val[:qn]
-    cand_idx = cand_idx[:qn]
-    kk = min(k, n_buckets)
-    neg, pos = jax.lax.top_k(cand_val, kk)
-    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    if kk < k:
-        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
-        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
-    q_sq = jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=-1, keepdims=True)
-    idx = jnp.where(neg <= NEG_INF, -1, idx)
-    dist = jnp.where(idx >= 0, q_sq - neg, jnp.inf)
-    return dist, idx
 
 
 def pallas_l2sq_topk(
