@@ -115,6 +115,19 @@ def test_max_rows_never_splits_a_batch():
     assert d.shape == (40, 2) and calls == [40]
 
 
+def test_warm_search_ladder():
+    """warm_search must pre-run the base batch plus every pow2 stack the
+    coalescer can form up to min(coalesce_max, max_stack) — the shapes a
+    concurrent burst would otherwise compile cold in the hot path."""
+    eng, _ = _mk_engine(n=500)
+    assert eng.warm_search(5, 32, max_stack=128) == [32, 64, 128]
+    # pow2 base: ladder starts strictly above it
+    assert eng.warm_search(5, 64, max_stack=256) == [64, 128, 256]
+    # coalescing off: only the base shape
+    eng2, _ = _mk_engine(n=500, coalesce=False)
+    assert eng2.warm_search(5, 48) == [48]
+
+
 def test_solo_caller_shape_unchanged():
     """A solo call must pass its batch through un-padded (compile-shape
     stability for single-stream servers)."""

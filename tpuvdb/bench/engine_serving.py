@@ -68,7 +68,16 @@ def run_engine_serving(
     log(f"engine: ingest {n/ingest_s:,.0f} rows/s, device build {build_s:.1f}s")
 
     q = queries_np[:batch].astype(np.float32)
-    dists, keys = eng.search_batch(q, k)  # warm/compile
+    dists, keys = eng.search_batch(q, k)  # warm/compile the base shape
+    # warm the coalesced stack ladder too: under T concurrent streams the
+    # group-commit coalescer forms pow2-padded stacks (up to T*batch) and
+    # each distinct stack size is its own XLA program — a cold compile
+    # inside the measured window would swamp the timing exactly the way a
+    # cold production server would stall its first burst
+    t0 = time.perf_counter()
+    warmed = eng.warm_search(k, batch, max_stack=threads * batch)
+    log(f"engine: warmed stack shapes {warmed} "
+        f"({time.perf_counter()-t0:.1f}s)")
     recall = None
     if oracle_idx is not None:
         n_check = min(len(oracle_idx), batch)

@@ -45,6 +45,9 @@ class SearchCoalescer:
         self._mu = threading.Lock()
         self._pending: Dict[Tuple[int, bool], List] = {}
         self._leader: Dict[Tuple[int, bool], threading.Lock] = {}
+        # observability: {batches-per-group: count} — how much stacking
+        # the workload actually gets (engine info surfaces it)
+        self.group_sizes: Dict[int, int] = {}
 
     def search(self, queries: np.ndarray, k: int, overfetch: bool):
         key = (int(k), bool(overfetch))
@@ -77,6 +80,8 @@ class SearchCoalescer:
                 rows += q.shape[0]
         if not group:
             return
+        self.group_sizes[len(group)] = self.group_sizes.get(
+            len(group), 0) + 1
         try:
             if len(group) == 1:
                 dists, keys = self._direct(group[0][0], k, overfetch)

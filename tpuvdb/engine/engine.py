@@ -1158,6 +1158,31 @@ class VectorDBEngine:
             return self._search_coalescer.search(q, k, overfetch)
         return self._search_batch_direct(q, k, overfetch)
 
+    def warm_search(self, k: int, batch: int, overfetch: bool = False,
+                    max_stack: Optional[int] = None) -> List[int]:
+        """Pre-compile the device programs a serving workload will hit:
+        the batch shape itself plus — when search coalescing is on — the
+        power-of-two stacked shapes group-commit can form (coalesce.py
+        pads stacks to the next power of two). Without this, the FIRST
+        concurrent burst pays one fresh XLA compile per distinct stack
+        size in the hot path (~10-30 s each through a compile relay);
+        production servers warm before taking traffic, and bench.py does
+        the same. Returns the list of warmed batch sizes."""
+        dim = self.config.vector_dim
+        sizes = [batch]
+        if self._search_coalescer is not None:
+            cap = self.config.search_coalesce_max
+            if max_stack is not None:
+                cap = min(cap, max_stack)
+            s = 1 << batch.bit_length()   # next power of two ABOVE batch
+            while s <= cap:
+                sizes.append(s)
+                s <<= 1
+        for s in sizes:
+            self._search_batch_direct(
+                np.zeros((s, dim), np.float32), k, overfetch)
+        return sizes
+
     def _search_batch_direct(
         self, queries: np.ndarray, k: int, overfetch: bool = False
     ) -> Tuple[np.ndarray, List[List[Optional[str]]]]:
@@ -1779,6 +1804,9 @@ class VectorDBEngine:
                 "staged": len(self._staged_updates) + len(self._staged_deletes),
                 "stats": dict(self.stats),
                 "latency": self.timers.snapshot(),
+                # group-commit effectiveness: {batches-per-group: count}
+                "search_groups": (dict(self._search_coalescer.group_sizes)
+                                  if self._search_coalescer else None),
             }
 
     def close(self):
