@@ -233,6 +233,27 @@ def main():
     best_name = max(qualifying, key=lambda k_: qualifying[k_]["qps"])
     best = results[best_name]
     target = 50_000.0
+
+    # capacity-tier artifacts (VERDICT r3 #1: the PQ full-stack numbers
+    # must reach the driver bench): scripts/bench_capacity_pq.py --out
+    # writes these after its multi-hour run; the driver line carries the
+    # recorded result so BENCH_rNN.json has the served PQ recall/QPS/
+    # restart without re-running a 25-90 min build here
+    import os as _os
+    capacity = {}
+    _docs = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), "docs")
+    for f in ("BENCH_PQ8M_r4.json", "BENCH_PQ16M_r4.json",
+              "BENCH_PQ32M_r4.json"):
+        p = _os.path.join(_docs, f)
+        if _os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    art = json.load(fh)
+                capacity[art.get("metric", f)] = art
+            except Exception as e:
+                log(f"capacity artifact {f} unreadable: {e}")
+
     print(json.dumps({
         "metric": "scan_qps_per_chip_sift1m_shape",
         "value": best["qps"],
@@ -244,6 +265,7 @@ def main():
         "corpus": [n, dim],
         "paths": results,
         "engine": engine_stats,
+        "capacity_pq": capacity or None,
     }))
 
 
