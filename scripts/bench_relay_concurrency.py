@@ -29,6 +29,20 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--payload", action="store_true",
+                    help="serving-shaped calls: per-call host->device "
+                         "query upload (b x d f32) + device->host result "
+                         "fetch (b x k), the transfers engine "
+                         "search_batch pays that the pure-GEMM chain "
+                         "does not")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -39,19 +53,44 @@ def main():
     n = 4096
     a = jax.device_put(jnp.ones((n, n), jnp.bfloat16))
 
-    @jax.jit
-    def step(x, s):
-        # data-dependent on s so chained calls can't be batched/elided
-        return jnp.sum((x + s * 1e-30) @ x) * 1e-30
+    if args.payload:
+        b, d, k = args.batch, args.dim, args.k
+        corpus = jax.device_put(jnp.ones((1 << 20, d), jnp.bfloat16))
 
-    s0 = jnp.float32(0.0)
-    float(step(a, s0))  # compile
+        @jax.jit
+        def score(q, c):  # scan-shaped: (b,d) x (N,d) -> top-k
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vals, idx = jax.lax.top_k(s, k)
+            return vals, idx
 
-    def chain(iters):
-        s = jnp.float32(0.0)
-        for _ in range(iters):
-            s = step(a, s)
-        return float(s)
+        qnp = np.random.default_rng(0).standard_normal(
+            (b, d)).astype(np.float32)
+        jax.block_until_ready(score(qnp, corpus))  # compile
+
+        def chain(iters):
+            out = 0.0
+            for i in range(iters):
+                # fresh host array each call: the upload is part of the
+                # serving cost being measured
+                vals, idx = score(qnp + np.float32(i), corpus)
+                out += float(vals[0, 0]) + int(np.asarray(idx)[0, 0])
+            return out
+    else:
+        @jax.jit
+        def step(x, s):
+            # data-dependent on s so chained calls can't be batched/elided
+            return jnp.sum((x + s * 1e-30) @ x) * 1e-30
+
+        s0 = jnp.float32(0.0)
+        float(step(a, s0))  # compile
+
+        def chain(iters):
+            s = jnp.float32(0.0)
+            for _ in range(iters):
+                s = step(a, s)
+            return float(s)
 
     # single-dispatch latency (chained: each call waits on the previous)
     t0 = time.perf_counter()
@@ -77,9 +116,17 @@ def main():
     base = results[1]
     plateau = max(results.values())
     log(f"concurrency factor at plateau: {plateau/base:.2f}x over 1 thread")
+    if args.payload:
+        b = args.batch
+        log(f"payload mode b{b}: transport-ceiling QPS = "
+            f"{plateau * b:,.0f} (calls/s x batch at plateau)")
     import json
     print(json.dumps({
-        "metric": "relay_concurrency",
+        "metric": ("relay_concurrency_payload" if args.payload
+                   else "relay_concurrency"),
+        "batch": args.batch if args.payload else None,
+        "qps_ceiling": (round(plateau * args.batch, 1)
+                        if args.payload else None),
         "per_call_ms": round(per_call * 1000, 2),
         "calls_per_s_by_threads": {str(k): round(v, 1)
                                    for k, v in results.items()},

@@ -41,6 +41,7 @@ def run_engine_serving(
     kernel_ms_per_batch: Optional[float] = None,
     storage_dtype: str = "bfloat16",
     search_mode: str = "pallas",
+    coalesce: bool = True,
     log=print,
 ) -> Dict:
     from tpuvdb.core.config import DBConfig
@@ -50,7 +51,8 @@ def run_engine_serving(
     cfg = DBConfig(
         vector_dim=dim, shard_count=4, shard_capacity=n,
         mirror_init_cap=n // 4 + 4096, storage_dtype=storage_dtype,
-        search_mode=search_mode, wal_enabled=False,
+        search_mode=search_mode, search_coalesce=coalesce,
+        wal_enabled=False,
         checkpoint_every_puts=10 ** 12, compact_every_puts=10 ** 12,
         flush_batch=1 << 30,
     )
@@ -123,6 +125,8 @@ def run_engine_serving(
         "batch": batch,
         "stage_timers": {k_: v for k_, v in snap.items()
                          if k_.startswith("search")},
+        "search_groups": (dict(eng._search_coalescer.group_sizes)
+                          if eng._search_coalescer else None),
     }
     log(f"engine serving: single {out['engine_qps_single']:,.0f} QPS, "
         f"pipelined x{threads} {out['engine_qps_pipelined']:,.0f} QPS, "

@@ -239,20 +239,18 @@ def main():
     # writes these after its multi-hour run; the driver line carries the
     # recorded result so BENCH_rNN.json has the served PQ recall/QPS/
     # restart without re-running a 25-90 min build here
+    import glob as _glob
     import os as _os
     capacity = {}
     _docs = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.dirname(_os.path.abspath(__file__)))), "docs")
-    for f in ("BENCH_PQ8M_r4.json", "BENCH_PQ16M_r4.json",
-              "BENCH_PQ32M_r4.json"):
-        p = _os.path.join(_docs, f)
-        if _os.path.exists(p):
-            try:
-                with open(p) as fh:
-                    art = json.load(fh)
-                capacity[art.get("metric", f)] = art
-            except Exception as e:
-                log(f"capacity artifact {f} unreadable: {e}")
+    for p in sorted(_glob.glob(_os.path.join(_docs, "BENCH_PQ*.json"))):
+        try:
+            with open(p) as fh:
+                art = json.load(fh)
+            capacity[art.get("metric", _os.path.basename(p))] = art
+        except Exception as e:
+            log(f"capacity artifact {p} unreadable: {e}")
 
     print(json.dumps({
         "metric": "scan_qps_per_chip_sift1m_shape",
