@@ -87,6 +87,47 @@ def test_pallas_ivf_wide_fetch_beyond_128(rng, force_compact):
         assert rec >= 0.95, rec
 
 
+@pytest.mark.parametrize("force_compact,cps,approx", [
+    (False, 32, False),   # wide chunks-per-step, expanded prefetch
+    (True, 16, False),    # wide cps on the compact branch
+    (False, None, True),  # approx_max_k coarse pick
+    (False, 32, True),    # both b1 levers together
+])
+def test_pallas_ivf_b1_levers_match_oracle(rng, force_compact, cps, approx):
+    """The small-batch latency levers (cps_override, coarse_approx) must
+    preserve scan exactness; recall bound matches the base oracle test
+    (approx_max_k may perturb WHICH cells are probed, nprobe=16 of 16
+    cells keeps the probe exhaustive so recall is identical here)."""
+    centers = rng.standard_normal((16, 32)) * 5
+    data = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((128, 32)) for i in range(16)
+    ]).astype(np.float32)
+    valid = np.ones(len(data), bool)
+    idx = IVFIndex.build(data, valid, nlist=16, nprobe=16, kmeans_iters=8)
+    q = data[rng.choice(len(data), 16, replace=False)] + \
+        0.05 * rng.standard_normal((16, 32)).astype(np.float32)
+    _, oidx = numpy_oracle(q, data, valid, 10)
+    dist, gid = pallas_ivf_search(
+        jnp.asarray(q), idx.centroids, idx.grouped, idx.grouped_sq,
+        idx.grouped_valid, cell_pad=idx.cell_pad, k=10, nprobe=16,
+        query_tile=8, n_buckets=128, interpret=True,
+        cell_offsets=idx.cell_offsets, force_compact=force_compact,
+        cps_override=cps, coarse_approx=approx,
+    )
+    gid, dist = np.asarray(gid), np.asarray(dist)
+    rows = np.where(gid >= 0, idx.row_ids[np.clip(gid, 0, None)], -1)
+    rec = np.mean([
+        len(set(rows[i][rows[i] >= 0]) & set(oidx[i])) / 10
+        for i in range(16)
+    ])
+    assert rec >= 0.95, rec
+    for i in range(4):
+        for j in range(10):
+            if rows[i, j] >= 0:
+                true = float(np.sum((q[i] - data[rows[i, j]]) ** 2))
+                assert abs(true - dist[i, j]) < 1e-2
+
+
 def test_pallas_ivf_masks_deleted(rng):
     data = rng.standard_normal((512, 16)).astype(np.float32)
     valid = np.ones(512, bool)

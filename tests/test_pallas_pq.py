@@ -192,3 +192,63 @@ def test_spill_rows_probed(rng):
         hits += len(set(rer.tolist()) & set(oidx[i].tolist()))
     assert got_spill > 0
     assert hits / (len(q) * k) >= 0.9, hits
+
+
+def _jaxpr_has_gather(jaxpr):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "gather":
+            return True
+        for v in eqn.params.values():
+            for j in (v if isinstance(v, (list, tuple)) else [v]):
+                inner = getattr(j, "jaxpr", j)
+                if hasattr(inner, "eqns") and _jaxpr_has_gather(inner):
+                    return True
+    return False
+
+
+def test_probe_kernel_jaxpr_has_no_gather():
+    """Mosaic cannot lower jnp's gather fallback. A sub-range slice
+    combined with a newaxis (codes[:, m0:m1, None]) silently becomes a
+    gather in this jax build, which only explodes at REAL capacity
+    shapes (M2 > m_block activates the K-split loop) — the first
+    16M x 768 run died on it at served-search time while every
+    interpret-mode test passed. Assert the traced kernel jaxpr stays
+    gather-free at a shape that exercises the K-split."""
+    import jax
+
+    m2, n_codes, dsub = 96, 256, 1       # m_block = 32 < m2: K-split on
+    d = m2 * dsub
+    nlist, cell_pad = 2, 128
+    n_g = nlist * cell_pad
+    S = jax.ShapeDtypeStruct
+    args = (
+        S((8, d), jnp.float32), S((nlist, d), jnp.float32),
+        S((n_g, m2), jnp.uint8), S((m2, n_codes, dsub), jnp.float32),
+        S((n_g,), jnp.float32), S((n_g,), jnp.bool_),
+        S((4, m2), jnp.uint8), S((4,), jnp.int32),
+        S((4,), jnp.float32), S((4,), jnp.bool_),
+        S((nlist,), jnp.int32),
+    )
+    closed = jax.make_jaxpr(
+        lambda *a: pallas_pq_search(*a, cell_pad=cell_pad, k=10, nprobe=2)
+    )(*args)
+
+    kernel_jaxprs = []
+
+    def collect(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                kernel_jaxprs.append(eqn.params["jaxpr"])
+            for v in eqn.params.values():
+                for j in (v if isinstance(v, (list, tuple)) else [v]):
+                    inner = getattr(j, "jaxpr", None)
+                    if inner is not None and hasattr(inner, "eqns"):
+                        collect(inner)
+
+    collect(closed.jaxpr)
+    assert kernel_jaxprs, "pallas_call not found in traced jaxpr"
+    for kj in kernel_jaxprs:
+        inner = getattr(kj, "jaxpr", kj)
+        assert not _jaxpr_has_gather(inner), (
+            "gather primitive inside the pallas kernel jaxpr — Mosaic "
+            "will fail to lower this at capacity shapes")

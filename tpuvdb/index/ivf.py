@@ -1315,6 +1315,13 @@ class IVFIndex:
         # one-hot ADC operand in VMEM (the XLA formulation writes ~100 GB
         # of HBM one-hots per batch-32 at the 8M x 768 / M=96 shape).
         use_pallas = jax.default_backend() == "tpu"
+        # the 32-query chunk bounds the XLA paths' (Q, nprobe*P, d)
+        # gather; the pallas probes never materialize it — their per-step
+        # VMEM is tile-sized regardless of Q — so they take the whole
+        # batch in ONE device program (a b256 search through a chunked
+        # path pays 8 dispatch round-trips where one suffices)
+        if use_pallas:
+            max_batch = max(max_batch, 1024)
         out_d, out_r = [], []
         for start in range(0, q.shape[0], max_batch):
             qc = q[start : start + max_batch]

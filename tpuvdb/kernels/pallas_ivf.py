@@ -561,7 +561,8 @@ def pallas_ivf_candidates_packed_int8(
 @functools.partial(
     jax.jit,
     static_argnames=("cell_pad", "k", "nprobe", "query_tile", "n_buckets",
-                     "interpret", "force_compact"),
+                     "interpret", "force_compact", "cps_override",
+                     "coarse_approx"),
 )
 def pallas_ivf_search(
     queries: jax.Array,       # (Q, d) f32
@@ -584,6 +585,12 @@ def pallas_ivf_search(
     cell_offsets: jax.Array = None, # (nlist,) i32 PACKED start row per cell
     force_compact: bool = False,    # tests: take the compact-prefetch
                                     # branch below its size threshold
+    cps_override: int = None,       # chunks per grid step (None -> auto);
+                                    # small batches amortize per-step cost
+                                    # over more parallel chunk DMAs
+    coarse_approx: bool = False,    # approx_max_k for coarse cell pick:
+                                    # TPU-native partial reduction instead
+                                    # of a full-sort top_k over nlist
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF probe: coarse centroid top-nprobe (per QUERY TILE: the tile
     probes the union of its queries' nearest cells), then the DMA kernel,
@@ -619,7 +626,15 @@ def pallas_ivf_search(
     # duplicates; SORTING makes duplicates adjacent, and pallas skips the
     # HBM->VMEM DMA when consecutive grid steps map to the same block, so
     # shared cells cost one fetch. The bucket fold dedupes their scores.
-    _, cells_pq = jax.lax.top_k(c_scores, nprobe)    # (Q, nprobe)
+    if coarse_approx:
+        # TPU-native partial-reduction top-k (no full sort over nlist).
+        # Coarse cell choice is already a heuristic — a >=0.97-recall
+        # approximate pick perturbs WHICH cells are probed, not the
+        # exactness of the scan; measured end recall is the arbiter.
+        _, cells_pq = jax.lax.approx_max_k(
+            c_scores, nprobe, recall_target=0.97)
+    else:
+        _, cells_pq = jax.lax.top_k(c_scores, nprobe)  # (Q, nprobe)
     cells = cells_pq.reshape(-1, qt * nprobe).astype(jnp.int32)
     cells = jnp.sort(cells, axis=1)                  # (tiles, qt*nprobe)
 
@@ -666,7 +681,8 @@ def pallas_ivf_search(
             # 8 chunks per grid step: one wider MXU dot per step, 8x
             # fewer grid steps. Width pads with duplicates of the LAST
             # (chunk, seg) pair — dups fold into the same slots.
-            cps = 8 if cells.shape[1] >= 8 else 1
+            cps = cps_override or (8 if cells.shape[1] >= 8 else 1)
+            cps = min(cps, cells.shape[1])
             pad_w = (-cells.shape[1]) % cps
             if pad_w:
                 cells = jnp.concatenate(
@@ -701,7 +717,8 @@ def pallas_ivf_search(
             # segments would (wide-fetch k=200 recall drops below the
             # oracle-test bound without it; measured at parity with it)
             n_segments *= 2
-            cps = 8 if cells.shape[1] * w128 >= 8 else 1
+            cps = cps_override or (8 if cells.shape[1] * w128 >= 8 else 1)
+            cps = min(cps, cells.shape[1] * w128)
             pad_u = (-cells.shape[1]) % cps
             if pad_u:
                 cells = jnp.concatenate(

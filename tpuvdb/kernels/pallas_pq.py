@@ -81,7 +81,14 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
         dots = None
         for m0 in range(0, m2, m_block):
             m1 = min(m0 + m_block, m2)
-            onehot = (codes[:, m0:m1, None] == jota).astype(jnp.bfloat16)
+            # lax.slice_in_dim + expand_dims, NOT codes[:, m0:m1, None]:
+            # this jax build routes a sub-range slice combined with a
+            # newaxis through rewriting_take's gather fallback, and
+            # Mosaic's _gather_lowering_rule rejects it ("Shape mismatch
+            # in input, indices and output") — which killed the first
+            # 16M x 768 full-stack run at served-search time
+            blk = jax.lax.slice_in_dim(codes, m0, m1, axis=1)
+            onehot = (jnp.expand_dims(blk, 2) == jota).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 lut_ref[:, m0 * n_codes : m1 * n_codes],
                 onehot.reshape(codes.shape[0], -1),
