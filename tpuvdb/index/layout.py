@@ -321,6 +321,19 @@ class ShardMirror:
                     * np.asarray(self._scale[slots])[:, None])
         return np.asarray(self._vec[slots], np.float32)
 
+    def rescore_into(self, q: np.ndarray, qsq: np.ndarray, fetch_w: int,
+                     slots: np.ndarray, opos: np.ndarray, out: np.ndarray):
+        """Fused native exact-rescore over this mirror's stored rows:
+        out[opos] = |q[opos//fetch_w] - stored|^2, streaming each int8/f32
+        row through registers once and reusing the precomputed ||v||^2
+        (no (n, d) f32 gather transient). Caller checks
+        native.rescore_available() and pre-fills out with +inf."""
+        from tpuvdb import native
+
+        native.rescore_rows(q, qsq, fetch_w, self._vec,
+                            self._scale if self.quantized else None,
+                            self._sq, slots, opos, out)
+
     def rows_raw(self, slots: np.ndarray):
         """Bulk rows in the STORED dtype: (codes, scales|None, sq) — one
         fancy-index gather each. int8 mirrors return their original

@@ -27,7 +27,11 @@ def _build() -> Optional[str]:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+    # -O3: the rescore kernels need the vectorizer's full cost model
+    # (int8->f32 widening dot); ISA selection stays runtime-safe via
+    # target_clones in the source, so no -march here — the .so is built
+    # per machine but may be reached over NFS by another
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            _SRC, "-o", _SO + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -128,6 +132,18 @@ def _load():
                 c.POINTER(c.c_int64), c.c_char_p, c.c_uint64,
                 c.POINTER(c.c_uint32), c.c_uint64, c.POINTER(c.c_uint64)]
 
+        if hasattr(lib, "rescore_rows_int8"):  # stale .so tolerance
+            f32p = c.POINTER(c.c_float)
+            i64p = c.POINTER(c.c_int64)
+            lib.rescore_rows_int8.restype = None
+            lib.rescore_rows_int8.argtypes = [
+                f32p, f32p, c.c_int64, c.c_int64, c.POINTER(c.c_int8),
+                f32p, f32p, i64p, i64p, c.c_int64, f32p]
+            lib.rescore_rows_f32.restype = None
+            lib.rescore_rows_f32.argtypes = [
+                f32p, f32p, c.c_int64, c.c_int64, f32p,
+                f32p, i64p, i64p, c.c_int64, f32p]
+
         lib.vf_open.restype = c.c_void_p
         lib.vf_open.argtypes = [c.c_char_p, c.c_uint64, c.c_uint64]
         lib.vf_data.restype = c.POINTER(c.c_uint8)
@@ -145,6 +161,46 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def rescore_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "rescore_rows_int8")
+
+
+def rescore_rows(q, qsq, fetch_w, vec, scale, sq, slots, opos, out):
+    """Fused exact-rescore epilogue (see src rescore_rows_*): writes
+    qsq[qi] - 2*scale*(q[qi].vec[slot]) + sq[slot] into out[opos] for each
+    candidate, streaming int8/f32 mirror rows through registers once
+    instead of materializing a (n, d) f32 gather. `vec` is the mirror's
+    backing array (int8 quantized or f32); `scale` is None for f32.
+    Caller guarantees: q/qsq/sq/out f32 C-contiguous, slots/opos int64,
+    out pre-filled with the missing-candidate sentinel."""
+    import numpy as np
+
+    lib = _load()
+    c = ctypes
+    f32p = c.POINTER(c.c_float)
+    i64p = c.POINTER(c.c_int64)
+    n = len(slots)
+    if n == 0:
+        return
+    slots_a = np.ascontiguousarray(slots, np.int64)
+    opos_a = np.ascontiguousarray(opos, np.int64)
+    if scale is not None:
+        lib.rescore_rows_int8(
+            q.ctypes.data_as(f32p), qsq.ctypes.data_as(f32p),
+            q.shape[1], fetch_w, vec.ctypes.data_as(c.POINTER(c.c_int8)),
+            scale.ctypes.data_as(f32p), sq.ctypes.data_as(f32p),
+            slots_a.ctypes.data_as(i64p), opos_a.ctypes.data_as(i64p),
+            n, out.ctypes.data_as(f32p))
+    else:
+        lib.rescore_rows_f32(
+            q.ctypes.data_as(f32p), qsq.ctypes.data_as(f32p),
+            q.shape[1], fetch_w, vec.ctypes.data_as(f32p),
+            sq.ctypes.data_as(f32p),
+            slots_a.ctypes.data_as(i64p), opos_a.ctypes.data_as(i64p),
+            n, out.ctypes.data_as(f32p))
 
 
 _fastlist = None

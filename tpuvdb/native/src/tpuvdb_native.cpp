@@ -781,4 +781,72 @@ void vf_close(void* h) {
   delete vf;
 }
 
+// ----------------------------------------------------- fused exact rescore
+//
+// Serving epilogue for the capacity tiers: re-rank device candidates by
+// exact distance straight from the shard mirror's stored rows. The numpy
+// path materializes every candidate as f32 (gather + dequant: a 63 MB
+// transient at b32 x fetch640 x 768-d) and then re-reads it twice more
+// (norm einsum + BLAS matvec) — ~250 MB of memory traffic per batch on a
+// one-core host. These kernels stream each int8/f32 row through registers
+// exactly once and reuse the mirror's precomputed ||v||^2, so the traffic
+// drops to the 15 MB of codes actually needed.
+//
+//   out[opos[i]] = qsq[qi] - 2*scale[slot]*(q[qi] . vec[slot]) + sq[slot]
+//   (qi = opos[i] / fetch_w; out is pre-filled with +inf by the caller so
+//    missing candidates keep their sentinel)
+//
+// Role parity: the exact-refine stage of the reference's serving path
+// (hnswlib returns approximate hits; here the int8/PQ probe overfetches
+// and this restores exact order — FAISS IVFPQ "refine" in role).
+
+__attribute__((target_clones("avx512f", "avx2", "default")))
+void rescore_rows_int8(const float* __restrict q, const float* __restrict qsq,
+                       int64_t d, int64_t fetch_w,
+                       const int8_t* __restrict vec,
+                       const float* __restrict scale,
+                       const float* __restrict sq,
+                       const int64_t* __restrict slots,
+                       const int64_t* __restrict opos, int64_t n,
+                       float* __restrict out) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t slot = slots[i];
+    if (i + 1 < n) {  // candidate rows are a random gather: hide the
+      const int8_t* nx = vec + slots[i + 1] * d;  // DRAM latency behind
+      for (int64_t j = 0; j < d; j += 64)         // this row's dot
+        __builtin_prefetch(nx + j, 0, 1);
+    }
+    const int64_t qi = opos[i] / fetch_w;
+    const int8_t* r = vec + slot * d;
+    const float* qr = q + qi * d;
+    float acc = 0.f;
+    for (int64_t j = 0; j < d; j++) acc += qr[j] * (float)r[j];
+    out[opos[i]] = qsq[qi] - 2.f * scale[slot] * acc + sq[slot];
+  }
+}
+
+__attribute__((target_clones("avx512f", "avx2", "default")))
+void rescore_rows_f32(const float* __restrict q, const float* __restrict qsq,
+                      int64_t d, int64_t fetch_w,
+                      const float* __restrict vec,
+                      const float* __restrict sq,
+                      const int64_t* __restrict slots,
+                      const int64_t* __restrict opos, int64_t n,
+                      float* __restrict out) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t slot = slots[i];
+    if (i + 1 < n) {
+      const float* nx = vec + slots[i + 1] * d;
+      for (int64_t j = 0; j < d; j += 16)
+        __builtin_prefetch(nx + j, 0, 1);
+    }
+    const int64_t qi = opos[i] / fetch_w;
+    const float* r = vec + slot * d;
+    const float* qr = q + qi * d;
+    float acc = 0.f;
+    for (int64_t j = 0; j < d; j++) acc += qr[j] * r[j];
+    out[opos[i]] = qsq[qi] - 2.f * acc + sq[slot];
+  }
+}
+
 }  // extern "C"
