@@ -1332,12 +1332,29 @@ class VectorDBEngine:
         """Resolve device rows to keys and compact live hits per row.
         Takes the engine lock only for the generation check + key
         resolution; the numpy assembly runs on the local snapshot."""
+        if rescore:
+            # the exact re-rank runs OUTSIDE the engine lock: candidate
+            # row payloads are immutable once written (slots are
+            # append-only; overwrite allocates a fresh slot and
+            # soft-deletes the old one), so reading them from a
+            # mirror-list snapshot is race-free. Only compaction
+            # invalidates slot identity — the generation re-check below
+            # catches that and retries, same as the device scan's.
+            # Holding the lock here serialized 25-160 ms of host re-rank
+            # per batch (PQ tier, b32 x fetch640 x 768-d) against every
+            # concurrent stream's assembly and all writes — on a
+            # one-core host that lock-hold was the PQ pipelining
+            # ceiling, while the CPU could have overlapped this stream's
+            # re-rank with other streams' relay-bound device probes.
+            with self._lock:
+                if self._generation != gen:
+                    return "retry", None  # compacted mid-search
+                mirrors = list(self.mirrors)
+            dists, rows = self._rescore_exact(
+                np.asarray(queries, np.float32), rows, layout, mirrors)
         with self._lock:
             if self._generation != gen:
                 return "retry", None  # compacted mid-search: slots moved
-            if rescore:
-                dists, rows = self._rescore_exact(
-                    np.asarray(queries, np.float32), rows, layout)
             # the helpers return the FULL device width (fetch_k padded
             # by the staged-delete count): staged-deleted slots resolve
             # to no key here, so compact live hits to the front and
@@ -1400,11 +1417,17 @@ class VectorDBEngine:
                 for i in range(qn)]
         return "ok", (out_d, keys)
 
-    def _rescore_exact(self, queries: np.ndarray, rows: np.ndarray, layout):
+    def _rescore_exact(self, queries: np.ndarray, rows: np.ndarray, layout,
+                       mirrors: Optional[list] = None):
         """Re-rank device candidates by exact f32 distance from the host
-        mirrors (caller holds the engine lock). Int8 scanning trades score
-        precision for 2x HBM capacity; this epilogue restores exact
-        ordering over the overfetched candidate set."""
+        mirrors. Int8 scanning trades score precision for 2x HBM
+        capacity; this epilogue restores exact ordering over the
+        overfetched candidate set. Runs lock-free against a mirror-list
+        snapshot (row payloads are write-once; the caller re-checks the
+        compaction generation afterwards) — pass `mirrors` captured under
+        the lock, or call with the lock held and the default."""
+        if mirrors is None:
+            mirrors = self.mirrors
         q = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
         Q, F = rows.shape
         flat = rows.ravel()
@@ -1424,10 +1447,10 @@ class VectorDBEngine:
                 shards = flat[ok] // layout.phys_cap
                 slots = flat[ok] % layout.phys_cap
                 pos = np.flatnonzero(ok)
-                for s in range(len(self.mirrors)):
+                for s in range(len(mirrors)):
                     m = shards == s
                     if m.any():
-                        self.mirrors[s].rescore_into(
+                        mirrors[s].rescore_into(
                             q, qsq, F, slots[m], pos[m], out)
             d = out.reshape(Q, F)
         else:
@@ -1440,10 +1463,10 @@ class VectorDBEngine:
                 shards = flat[ok] // layout.phys_cap
                 slots = flat[ok] % layout.phys_cap
                 pos = np.flatnonzero(ok)
-                for s in range(len(self.mirrors)):
+                for s in range(len(mirrors)):
                     m = shards == s
                     if m.any():
-                        vecs[pos[m]] = self.mirrors[s].rows_f32(slots[m])
+                        vecs[pos[m]] = mirrors[s].rows_f32(slots[m])
             vmat = vecs.reshape(Q, F, -1)
             v_sq = np.einsum("qfd,qfd->qf", vmat, vmat)
             qv = np.matmul(vmat, q[:, :, None])[:, :, 0]  # batched matvec
