@@ -522,6 +522,10 @@ class FederatedCoordinator:
                 d["nodes"] = nodes
                 d["shard_map"] = {str(k): v for k, v
                                   in self.registry.shard_map().items()}
+                # journal health (VERDICT r4 missing #1): operators see
+                # persist failures instead of discovering an empty map
+                # at the next coordinator restart
+                d["registry_persist"] = self.registry.persist_health()
                 return d
             return Response.fail(f"unknown method: {method}").to_dict()
         except Exception as e:

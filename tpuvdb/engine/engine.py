@@ -130,9 +130,23 @@ class VectorDBEngine:
             self._search_coalescer = SearchCoalescer(
                 self._search_batch_direct,
                 max_rows=self.config.search_coalesce_max)
-        # bumped whenever slot identity changes (compaction); lock-free
-        # searches validate against it before mapping rows -> keys
+        # TWO invalidation counters (advisor r4, engine.py:1356):
+        #  _generation      device-buffer epoch — bumped by compaction AND
+        #                   by the in-place IVF append flush; a search
+        #                   whose DEVICE probe overlapped a bump may have
+        #                   scored a row twice (delta copy + appended
+        #                   copy) and must retry.
+        #  _slot_generation slot identity — bumped ONLY by compaction
+        #                   (slot reuse). The post-rescore / key-resolution
+        #                   re-checks only need THIS one: an IVF append
+        #                   cannot invalidate candidate rows already
+        #                   fetched from the device or the immutable
+        #                   mirror payloads the rescore read, so a
+        #                   completed 25-160 ms exact re-rank survives
+        #                   flush churn instead of burning its lock-free
+        #                   attempts under sustained ingest.
         self._generation = 0
+        self._slot_generation = 0
         self._puts_since_ckpt = 0
         self._puts_since_compact = 0
         # monotonic count of accepted mutations (puts+deletes), persisted
@@ -1278,6 +1292,7 @@ class VectorDBEngine:
             fetch_k = min(fetch_k, layout.total_rows)
             self.stats["searches"] += 1
             gen = self._generation
+            slot_gen = self._slot_generation
             index = self._index
             # host-delta snapshot: staged AND mid-scatter (inflight)
             # slots, so freshly-put vectors stay visible across the
@@ -1325,10 +1340,11 @@ class VectorDBEngine:
             raise
         with self.timers.stage("search.assemble"):
             return self._assemble_results(queries, dists, rows, gen,
-                                          rescore, fetch_k, layout)
+                                          slot_gen, rescore, fetch_k,
+                                          layout)
 
-    def _assemble_results(self, queries, dists, rows, gen, rescore,
-                          fetch_k, layout):
+    def _assemble_results(self, queries, dists, rows, gen, slot_gen,
+                          rescore, fetch_k, layout):
         """Resolve device rows to keys and compact live hits per row.
         Takes the engine lock only for the generation check + key
         resolution; the numpy assembly runs on the local snapshot."""
@@ -1353,7 +1369,16 @@ class VectorDBEngine:
             dists, rows = self._rescore_exact(
                 np.asarray(queries, np.float32), rows, layout, mirrors)
         with self._lock:
-            if self._generation != gen:
+            # rescored searches validate SLOT IDENTITY only: the full
+            # device-buffer epoch was already certified before the
+            # rescore, and an IVF append flush during the 25-160 ms
+            # re-rank cannot invalidate rows already fetched or the
+            # mirror payloads it read — only compaction (slot reuse)
+            # can. Non-rescored searches still check the full epoch
+            # (duplicate-score protection for appends mid-device-scan).
+            stale = (self._slot_generation != slot_gen if rescore
+                     else self._generation != gen)
+            if stale:
                 return "retry", None  # compacted mid-search: slots moved
             # the helpers return the FULL device width (fetch_k padded
             # by the staged-delete count): staged-deleted slots resolve
@@ -1692,6 +1717,7 @@ class VectorDBEngine:
         self.mirrors = new_mirrors
         self.docstore = new_docstore
         self._generation += 1
+        self._slot_generation += 1  # compaction reuses slots
         self._index = None
         self._ivf = None
         self._ivf_layout = None

@@ -76,24 +76,49 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
     qt = pl.program_id(0)
     jota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_codes), 2)
     for c in range(cps):
-        codes = _maybe_unpack(code_refs[c][:], n_codes)   # (128, M2) i32
-        m2 = codes.shape[1]
+        bytes_blk = code_refs[c][:].astype(jnp.int32)     # (128, Mb) i32
+        mb = bytes_blk.shape[1]
+        nibble = n_codes == 16
+        # 4-bit fast-scan: the interleaved nibble unpack
+        # (stack + (128, Mb, 2) -> (128, 2Mb) reshape) is a shape cast
+        # Mosaic cannot lower; instead the LUT arrives split into
+        # [all-low-nibble | all-high-nibble] halves (wrapper reorders)
+        # and each byte block does TWO narrow dots — the ADC sum is
+        # order-independent, so no reshape is ever needed.
+        half = mb * n_codes  # lane offset of the high-nibble LUT half
         dots = None
-        for m0 in range(0, m2, m_block):
-            m1 = min(m0 + m_block, m2)
+        for m0 in range(0, mb, m_block):
+            m1 = min(m0 + m_block, mb)
             # lax.slice_in_dim + expand_dims, NOT codes[:, m0:m1, None]:
             # this jax build routes a sub-range slice combined with a
             # newaxis through rewriting_take's gather fallback, and
             # Mosaic's _gather_lowering_rule rejects it ("Shape mismatch
             # in input, indices and output") — which killed the first
             # 16M x 768 full-stack run at served-search time
-            blk = jax.lax.slice_in_dim(codes, m0, m1, axis=1)
-            onehot = (jnp.expand_dims(blk, 2) == jota).astype(jnp.bfloat16)
-            part = jax.lax.dot_general(
-                lut_ref[:, m0 * n_codes : m1 * n_codes],
-                onehot.reshape(codes.shape[0], -1),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (QT, 128)
+            blk = jax.lax.slice_in_dim(bytes_blk, m0, m1, axis=1)
+            if nibble:
+                lo = (jnp.expand_dims(blk & 15, 2) == jota
+                      ).astype(jnp.bfloat16)
+                hi = (jnp.expand_dims(blk >> 4, 2) == jota
+                      ).astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    lut_ref[:, m0 * n_codes : m1 * n_codes],
+                    lo.reshape(bytes_blk.shape[0], -1),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (QT, 128)
+                part = part + jax.lax.dot_general(
+                    lut_ref[:, half + m0 * n_codes : half + m1 * n_codes],
+                    hi.reshape(bytes_blk.shape[0], -1),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                onehot = (jnp.expand_dims(blk, 2) == jota
+                          ).astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    lut_ref[:, m0 * n_codes : m1 * n_codes],
+                    onehot.reshape(bytes_blk.shape[0], -1),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (QT, 128)
             dots = part if dots is None else dots + part  # = 2 q.r
         cell = cellof_ref[qt, cps * p + c]
         # single-column read via lane mask: Mosaic can't prove a dynamic
@@ -109,7 +134,7 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
         scores = dots + qc_col + bias_refs[c][:]
         _fold_chunk(scores, cells_ref[qt, cps * p + c],
                     segs_ref[qt, cps * p + c], run_val, run_idx,
-                    codes.shape[0], n_buckets)
+                    bytes_blk.shape[0], n_buckets)
 
     @pl.when(p == np_probe - 1)
     def _():
@@ -151,13 +176,16 @@ def pallas_pq_search(
     n_g = grouped_codes.shape[0]
     nlist = centroids.shape[0]
     m2, n_codes = codebooks.shape[0], codebooks.shape[1]
+    mb = grouped_codes.shape[1]              # stored BYTES per row
+    spb = 2 if n_codes == 16 else 1          # subspaces per byte
     # VMEM budget: the K-split one-hot transient is 128 x m_block*J bf16
-    # per in-flight block; clamp the SUBSPACE block so cps (per-step
-    # overhead amortization) never has to shrink — the pre-split kernel
-    # clamped cps to 3 at M=96/J=256, tripling per-chunk fixed cost at
-    # exactly the capacity shape the kernel exists for
-    m_block = max(1, min(m2, (2 << 20) // (128 * n_codes * 2)))
-    onehot_bytes = 128 * m_block * n_codes * 2
+    # per in-flight block (x2 nibble halves at the 4-bit tier); clamp
+    # the BYTE block so cps (per-step overhead amortization) never has
+    # to shrink — the pre-split kernel clamped cps to 3 at M=96/J=256,
+    # tripling per-chunk fixed cost at exactly the capacity shape the
+    # kernel exists for. m_block is in BYTE columns of the code array.
+    m_block = max(1, min(mb, (2 << 20) // (128 * n_codes * 2 * spb)))
+    onehot_bytes = 128 * m_block * n_codes * 2 * spb
     cps = max(1, min(cps, (24 << 20) // onehot_bytes))
     qt_n = min(query_tile, max(1, qn))
     pad_q = (-qn) % qt_n
@@ -203,6 +231,16 @@ def pallas_pq_search(
 
     lut = _pq_lut(qf, codebooks, rotation)                # (Qp, M2, J)
     lut_flat = lut.reshape(qp, m2 * n_codes).astype(jnp.bfloat16)
+    if n_codes == 16:
+        # kernel LUT layout for the 4-bit tier: [low-nibble subspaces |
+        # high-nibble subspaces] so the kernel scores packed bytes with
+        # two narrow dots and no Mosaic-hostile interleave reshape
+        # (subspace 2i is byte i's LOW nibble — pack_nibbles_np layout)
+        lut_kernel = jnp.concatenate(
+            [lut[:, 0::2, :].reshape(qp, -1),
+             lut[:, 1::2, :].reshape(qp, -1)], axis=1).astype(jnp.bfloat16)
+    else:
+        lut_kernel = lut_flat
     nlistp = -(-nlist // 128) * 128
     qc2p = (qc2 if nlistp == nlist else
             jnp.pad(qc2, ((0, 0), (0, nlistp - nlist))))
@@ -250,7 +288,7 @@ def pallas_pq_search(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(cells, segs, cellof, lut_flat, qc2p,
+    )(cells, segs, cellof, lut_kernel, qc2p,
       *([grouped_codes] * cps), *([bias] * cps))
 
     # spill region: small, dense, gather-free one-hot GEMM in plain XLA

@@ -132,17 +132,18 @@ def _load():
                 c.POINTER(c.c_int64), c.c_char_p, c.c_uint64,
                 c.POINTER(c.c_uint32), c.c_uint64, c.POINTER(c.c_uint64)]
 
-        if hasattr(lib, "rescore_rows_int8"):  # stale .so tolerance
+        if hasattr(lib, "rescore2_rows_int8"):  # stale .so tolerance
             f32p = c.POINTER(c.c_float)
             i64p = c.POINTER(c.c_int64)
-            lib.rescore_rows_int8.restype = None
-            lib.rescore_rows_int8.argtypes = [
-                f32p, f32p, c.c_int64, c.c_int64, c.POINTER(c.c_int8),
+            lib.rescore2_rows_int8.restype = None
+            lib.rescore2_rows_int8.argtypes = [
+                f32p, f32p, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+                c.POINTER(c.c_int8), f32p, f32p, i64p, i64p, c.c_int64,
+                f32p]
+            lib.rescore2_rows_f32.restype = None
+            lib.rescore2_rows_f32.argtypes = [
+                f32p, f32p, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
                 f32p, f32p, i64p, i64p, c.c_int64, f32p]
-            lib.rescore_rows_f32.restype = None
-            lib.rescore_rows_f32.argtypes = [
-                f32p, f32p, c.c_int64, c.c_int64, f32p,
-                f32p, i64p, i64p, c.c_int64, f32p]
 
         lib.vf_open.restype = c.c_void_p
         lib.vf_open.argtypes = [c.c_char_p, c.c_uint64, c.c_uint64]
@@ -165,7 +166,7 @@ def available() -> bool:
 
 def rescore_available() -> bool:
     lib = _load()
-    return lib is not None and hasattr(lib, "rescore_rows_int8")
+    return lib is not None and hasattr(lib, "rescore2_rows_int8")
 
 
 def rescore_rows(q, qsq, fetch_w, vec, scale, sq, slots, opos, out):
@@ -187,17 +188,42 @@ def rescore_rows(q, qsq, fetch_w, vec, scale, sq, slots, opos, out):
         return
     slots_a = np.ascontiguousarray(slots, np.int64)
     opos_a = np.ascontiguousarray(opos, np.int64)
+    # the C kernels read raw pointers with no stride/dtype information:
+    # a strided view or float64 array passed by a future caller would be
+    # silent garbage (or OOB reads). Turn pointer misuse into a loud
+    # error; ascontiguousarray is a no-op for the engine's call site,
+    # which already builds these contiguous (advisor r4).
+    q = np.ascontiguousarray(q, np.float32)
+    qsq = np.ascontiguousarray(qsq, np.float32)
+    sq = np.ascontiguousarray(sq, np.float32)
+    out_ok = (isinstance(out, np.ndarray) and out.dtype == np.float32
+              and out.flags.c_contiguous)
+    if not out_ok:
+        raise ValueError("rescore_rows: out must be f32 C-contiguous "
+                         "(written in place)")
+    if not (isinstance(vec, np.ndarray) and vec.flags.c_contiguous):
+        raise ValueError("rescore_rows: vec must be C-contiguous")
     if scale is not None:
-        lib.rescore_rows_int8(
+        if vec.dtype != np.int8:
+            raise ValueError("rescore_rows: int8 path needs int8 vec")
+        scale = np.ascontiguousarray(scale, np.float32)
+    elif vec.dtype != np.float32:
+        raise ValueError("rescore_rows: f32 path needs f32 vec")
+    n_rows = vec.shape[0]
+    out_n = out.size
+    if scale is not None:
+        lib.rescore2_rows_int8(
             q.ctypes.data_as(f32p), qsq.ctypes.data_as(f32p),
-            q.shape[1], fetch_w, vec.ctypes.data_as(c.POINTER(c.c_int8)),
+            q.shape[1], fetch_w, n_rows, out_n,
+            vec.ctypes.data_as(c.POINTER(c.c_int8)),
             scale.ctypes.data_as(f32p), sq.ctypes.data_as(f32p),
             slots_a.ctypes.data_as(i64p), opos_a.ctypes.data_as(i64p),
             n, out.ctypes.data_as(f32p))
     else:
-        lib.rescore_rows_f32(
+        lib.rescore2_rows_f32(
             q.ctypes.data_as(f32p), qsq.ctypes.data_as(f32p),
-            q.shape[1], fetch_w, vec.ctypes.data_as(f32p),
+            q.shape[1], fetch_w, n_rows, out_n,
+            vec.ctypes.data_as(f32p),
             sq.ctypes.data_as(f32p),
             slots_a.ctypes.data_as(i64p), opos_a.ctypes.data_as(i64p),
             n, out.ctypes.data_as(f32p))

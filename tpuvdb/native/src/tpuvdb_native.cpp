@@ -796,56 +796,84 @@ void vf_close(void* h) {
 //   (qi = opos[i] / fetch_w; out is pre-filled with +inf by the caller so
 //    missing candidates keep their sentinel)
 //
+// Bounds (advisor r4): slot/opos come from device search results; the
+// engine invariant masks dead/padded candidates to -1 before this call,
+// but the old kernel read out-of-bounds heap SILENTLY on a violated
+// invariant where the numpy path raised IndexError. Each candidate now
+// pays one compare against the mirror's physical row count (n_rows) and
+// the output extent (out_n = Q * fetch_w): a bad slot with a valid opos
+// writes +inf (predictable, sorts last); a bad opos is skipped.
+//
 // Role parity: the exact-refine stage of the reference's serving path
 // (hnswlib returns approximate hits; here the int8/PQ probe overfetches
 // and this restores exact order — FAISS IVFPQ "refine" in role).
 
 __attribute__((target_clones("avx512f", "avx2", "default")))
-void rescore_rows_int8(const float* __restrict q, const float* __restrict qsq,
-                       int64_t d, int64_t fetch_w,
-                       const int8_t* __restrict vec,
-                       const float* __restrict scale,
+void rescore2_rows_int8(const float* __restrict q,
+                        const float* __restrict qsq,
+                        int64_t d, int64_t fetch_w, int64_t n_rows,
+                        int64_t out_n,
+                        const int8_t* __restrict vec,
+                        const float* __restrict scale,
+                        const float* __restrict sq,
+                        const int64_t* __restrict slots,
+                        const int64_t* __restrict opos, int64_t n,
+                        float* __restrict out) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t slot = slots[i];
+    const int64_t op = opos[i];
+    if (op < 0 || op >= out_n) continue;
+    if (slot < 0 || slot >= n_rows) {
+      out[op] = __builtin_inff();
+      continue;
+    }
+    if (i + 1 < n) {  // candidate rows are a random gather: hide the
+      const int64_t ns = slots[i + 1];            // DRAM latency behind
+      if (ns >= 0 && ns < n_rows) {               // this row's dot
+        const int8_t* nx = vec + ns * d;
+        for (int64_t j = 0; j < d; j += 64) __builtin_prefetch(nx + j, 0, 1);
+      }
+    }
+    const int64_t qi = op / fetch_w;
+    const int8_t* r = vec + slot * d;
+    const float* qr = q + qi * d;
+    float acc = 0.f;
+    for (int64_t j = 0; j < d; j++) acc += qr[j] * (float)r[j];
+    out[op] = qsq[qi] - 2.f * scale[slot] * acc + sq[slot];
+  }
+}
+
+__attribute__((target_clones("avx512f", "avx2", "default")))
+void rescore2_rows_f32(const float* __restrict q,
+                       const float* __restrict qsq,
+                       int64_t d, int64_t fetch_w, int64_t n_rows,
+                       int64_t out_n,
+                       const float* __restrict vec,
                        const float* __restrict sq,
                        const int64_t* __restrict slots,
                        const int64_t* __restrict opos, int64_t n,
                        float* __restrict out) {
   for (int64_t i = 0; i < n; i++) {
     const int64_t slot = slots[i];
-    if (i + 1 < n) {  // candidate rows are a random gather: hide the
-      const int8_t* nx = vec + slots[i + 1] * d;  // DRAM latency behind
-      for (int64_t j = 0; j < d; j += 64)         // this row's dot
-        __builtin_prefetch(nx + j, 0, 1);
+    const int64_t op = opos[i];
+    if (op < 0 || op >= out_n) continue;
+    if (slot < 0 || slot >= n_rows) {
+      out[op] = __builtin_inff();
+      continue;
     }
-    const int64_t qi = opos[i] / fetch_w;
-    const int8_t* r = vec + slot * d;
-    const float* qr = q + qi * d;
-    float acc = 0.f;
-    for (int64_t j = 0; j < d; j++) acc += qr[j] * (float)r[j];
-    out[opos[i]] = qsq[qi] - 2.f * scale[slot] * acc + sq[slot];
-  }
-}
-
-__attribute__((target_clones("avx512f", "avx2", "default")))
-void rescore_rows_f32(const float* __restrict q, const float* __restrict qsq,
-                      int64_t d, int64_t fetch_w,
-                      const float* __restrict vec,
-                      const float* __restrict sq,
-                      const int64_t* __restrict slots,
-                      const int64_t* __restrict opos, int64_t n,
-                      float* __restrict out) {
-  for (int64_t i = 0; i < n; i++) {
-    const int64_t slot = slots[i];
     if (i + 1 < n) {
-      const float* nx = vec + slots[i + 1] * d;
-      for (int64_t j = 0; j < d; j += 16)
-        __builtin_prefetch(nx + j, 0, 1);
+      const int64_t ns = slots[i + 1];
+      if (ns >= 0 && ns < n_rows) {
+        const float* nx = vec + ns * d;
+        for (int64_t j = 0; j < d; j += 16) __builtin_prefetch(nx + j, 0, 1);
+      }
     }
-    const int64_t qi = opos[i] / fetch_w;
+    const int64_t qi = op / fetch_w;
     const float* r = vec + slot * d;
     const float* qr = q + qi * d;
     float acc = 0.f;
     for (int64_t j = 0; j < d; j++) acc += qr[j] * r[j];
-    out[opos[i]] = qsq[qi] - 2.f * acc + sq[slot];
+    out[op] = qsq[qi] - 2.f * acc + sq[slot];
   }
 }
 
