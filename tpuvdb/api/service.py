@@ -338,6 +338,16 @@ class DBService:
         cursor = int(p.get("cursor", 0))
         limit = min(int(p.get("limit", 1000)), 10_000)
         keys = self._export_keys_snapshot()
+        # optional CLUSTER-shard filter (streaming anti-entropy): the
+        # coordinator passes its own modulus explicitly — the node's
+        # engine shard_count is a device-level setting and need not match
+        # the cluster's key-routing shard count
+        if "shard" in p:
+            from tpuvdb.utils.sharding_utils import get_shard_id
+
+            want = int(p["shard"])
+            mod = int(p["shard_count"])
+            keys = [k for k in keys if get_shard_id(k, mod) == want]
         page = keys[cursor : cursor + limit]
         records = []
         with self.engine._lock:
