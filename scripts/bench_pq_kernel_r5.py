@@ -91,54 +91,101 @@ def main():
     cb4 = jnp.asarray(rng.standard_normal((2 * M, 16, D // (2 * M))) * 0.1,
                       jnp.float32)
 
-    def timeit(name, fn, reps=3):
-        fn()  # warm/compile
+    # Per-call timing through the axon relay pays a fixed dispatch tick
+    # (~26-45 ms) that would swamp every stage under ~50 ms — the r4
+    # accounting gap. Chaining iterations in a device fori_loop removes
+    # it, but wrapping the pallas probe in a loop is a fresh giant XLA
+    # program and the remote-compile service drops the connection on it
+    # (two broken-pipe kills at exactly that compile). So: stages whose
+    # loop-wrapped compile is cheap (coarse) chain on device; the probe
+    # stages reuse their already-cached per-call programs and subtract a
+    # tick measured on a trivial pre-compiled op right before each stage.
+    tick_op = jax.jit(lambda x: (x * 1.0000001).sum())
+    tick_x = jnp.zeros((8, 8), jnp.float32)
+    jax.block_until_ready(tick_op(tick_x))
+
+    def relay_tick(n=15):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(tick_op(tick_x))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    def timeit_chain(name, make_fn, reps=3):
+        """make_fn(q) -> scalar checksum, chained in one device loop."""
+        iters = args.iters
+
+        @jax.jit
+        def chained(q):
+            def body(i, acc):
+                # perturb q per iteration so XLA can't CSE the loop body
+                return acc + make_fn(q + (i * 1e-12))
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        jax.block_until_ready(chained(qs))  # warm/compile
         vals = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                fn()
-            vals.append((time.perf_counter() - t0) / args.iters)
+            jax.block_until_ready(chained(qs))
+            vals.append((time.perf_counter() - t0) / iters)
         dt = sorted(vals)[len(vals) // 2]
-        log(f"{name:>22}: {dt*1e3:9.3f} ms/b{Q}  ({Q/dt:9.1f} QPS)")
+        log(f"{name:>22}: {dt*1e3:9.3f} ms/b{Q}  ({Q/dt:9.1f} QPS)  [chained]")
+        return dt * 1e3
+
+    def timeit(name, make_fn, reps=None):
+        """Per-call wall time minus the relay dispatch tick; the checksum
+        fetch is 4 bytes so transfer time is in the tick, not the data."""
+        reps = reps or max(args.iters, 6)
+        fn = jax.jit(make_fn)
+        jax.block_until_ready(fn(qs))  # warm/compile (disk-cached)
+        tick = relay_tick()
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(qs))
+            vals.append(time.perf_counter() - t0)
+        vals.sort()
+        dt = max(vals[len(vals) // 2] - tick, 1e-9)
+        log(f"{name:>22}: {dt*1e3:9.3f} ms/b{Q}  ({Q/dt:9.1f} QPS)  "
+            f"[per-call - {tick*1e3:.1f} ms tick]")
         return dt * 1e3
 
     out = {}
 
     # stage: coarse GEMM + top_k alone
-    @jax.jit
     def coarse(q):
         c_sq = jnp.sum(cents * cents, axis=-1)
         qc2 = 2.0 * jnp.dot(q, cents.T,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
         _, cells = jax.lax.top_k(qc2 - c_sq[None, :], args.nprobe)
-        return cells
+        return jnp.sum(cells).astype(jnp.float32)
 
-    out["coarse_ms"] = timeit(
-        "coarse+topk", lambda: np.asarray(coarse(qs)))
+    out["coarse_ms"] = timeit_chain("coarse+topk", coarse)
 
     def run(cb, qt, cps):
-        d, i = pallas_pq_search(
-            qs, cents, codes, cb, gsq, gval,
-            s_codes, s_cells, s_sq, s_val, offs,
-            cell_pad=args.cell_pad, k=args.k, nprobe=args.nprobe,
-            query_tile=qt, cps=cps)
-        return np.asarray(d)
+        def fn(q):
+            d, i = pallas_pq_search(
+                q, cents, codes, cb, gsq, gval,
+                s_codes, s_cells, s_sq, s_val, offs,
+                cell_pad=args.cell_pad, k=args.k, nprobe=args.nprobe,
+                query_tile=qt, cps=cps)
+            return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+        return fn
 
-    out["probe8_qt8_ms"] = timeit("probe 8-bit qt8",
-                                  lambda: run(cb8, 8, 8))
-    out["probe4_qt8_ms"] = timeit("probe 4-bit qt8",
-                                  lambda: run(cb4, 8, 8))
+    out["probe8_qt8_ms"] = timeit("probe 8-bit qt8", run(cb8, 8, 8))
+    out["probe4_qt8_ms"] = timeit("probe 4-bit qt8", run(cb4, 8, 8))
     if args.sweep:
         for qt in (16, 32):
             out[f"probe8_qt{qt}_ms"] = timeit(
-                f"probe 8-bit qt{qt}", lambda qt=qt: run(cb8, qt, 8))
+                f"probe 8-bit qt{qt}", run(cb8, qt, 8))
             out[f"probe4_qt{qt}_ms"] = timeit(
-                f"probe 4-bit qt{qt}", lambda qt=qt: run(cb4, qt, 8))
+                f"probe 4-bit qt{qt}", run(cb4, qt, 8))
         for cps in (4, 16):
             out[f"probe4_cps{cps}_ms"] = timeit(
-                f"probe 4-bit cps{cps}", lambda c=cps: run(cb4, 8, c))
+                f"probe 4-bit cps{cps}", run(cb4, 8, cps))
 
     out.update(rows=args.rows, d=D, m=M, q=Q, k=args.k,
                nprobe=args.nprobe, nlist=nlist, cell_pad=args.cell_pad)

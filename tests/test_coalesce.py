@@ -60,7 +60,9 @@ def test_groups_actually_stack():
         return (np.zeros((q.shape[0], k), np.float32),
                 [["x"] * k for _ in range(q.shape[0])])
 
-    co = SearchCoalescer(direct, max_rows=4096)
+    # inflight=1 pins the single-leader regime so the stacking behavior
+    # is deterministic (with slots free, followers would overlap instead)
+    co = SearchCoalescer(direct, max_rows=4096, inflight=1)
 
     def call(i):
         if i > 0:
@@ -126,6 +128,38 @@ def test_warm_search_ladder():
     # coalescing off: only the base shape
     eng2, _ = _mk_engine(n=500, coalesce=False)
     assert eng2.warm_search(5, 48) == [48]
+
+
+def test_groups_overlap_in_flight():
+    """With inflight > 1, a caller arriving while a leader's device call
+    is in flight must NOT wait for it (the r4 regression: a single
+    leader lock serialized groups, forfeiting round-trip overlap on
+    dispatch-tick-dominated transports)."""
+    import time
+
+    leader_in_direct = threading.Event()
+    release_leader = threading.Event()
+
+    def direct(q, k, overfetch):
+        if not leader_in_direct.is_set():
+            leader_in_direct.set()
+            assert release_leader.wait(5)
+        return (np.zeros((q.shape[0], k), np.float32),
+                [["x"] * k for _ in range(q.shape[0])])
+
+    co = SearchCoalescer(direct, max_rows=4096, inflight=2)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lead = pool.submit(
+            co.search, np.zeros((8, 4), np.float32), 3, False)
+        assert leader_in_direct.wait(5)
+        t0 = time.perf_counter()
+        follow = co.search(np.zeros((8, 4), np.float32), 3, False)
+        follow_s = time.perf_counter() - t0
+        assert follow[0].shape == (8, 3)
+        assert not lead.done()      # follower finished while leader waits
+        release_leader.set()
+        assert lead.result(5)[0].shape == (8, 3)
+    assert follow_s < 2.0
 
 
 def test_solo_caller_shape_unchanged():

@@ -60,8 +60,17 @@ def main():
     if real is not None:
         corpus_np, queries_real = real
         n, dim = corpus_np.shape
+        dataset_note = f"real SIFT1M {n}x{dim}"
         log(f"using real SIFT1M: {n} x {dim}")
     else:
+        import os as _os
+
+        dataset_note = (
+            "synthetic-adversarial (real dataset absent: "
+            f"TPUVDB_DATASET_DIR={_os.environ.get('TPUVDB_DATASET_DIR', '<unset>')}"
+            " has no sift/sift_base.fvecs — mount SIFT1M/Deep to get real"
+            " recall numbers, zero builder work needed)")
+    if real is None:
         # adversarial synthetic (VERDICT r1 #3: recall on NON-gaussian
         # data): zipf-sized tight clusters + near-duplicate shells +
         # a gaussian background — the distributions that broke recall
@@ -261,6 +270,7 @@ def main():
         "best_path": best_name,
         "batch": best["batch"],
         "corpus": [n, dim],
+        "dataset": dataset_note,
         "paths": results,
         "engine": engine_stats,
         "capacity_pq": capacity or None,

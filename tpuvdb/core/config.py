@@ -97,6 +97,9 @@ class DBConfig:
     # paid once per GROUP instead of once per stream.
     search_coalesce: bool = True
     search_coalesce_max: int = 4096  # max stacked queries per group
+    # concurrent stacked device calls per group key: overlap vs stacking
+    # (coalesce.py module doc; 1 = the r4 serialize-all-groups behavior)
+    search_coalesce_inflight: int = 4
     search_mode: str = "approx"    # "approx" = hardware PartialReduce top-k
                                    # (recall@10 ~0.98, ~25x faster on TPU);
                                    # "exact" = bitwise-exact top-k merge

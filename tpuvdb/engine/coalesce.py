@@ -10,13 +10,23 @@ more than over 512 — so T concurrent batches SHOULD share one sweep.
 
 This is the WAL group-commit shape applied to reads (the write analog is
 api/batching.py's BatchingWriter): callers enqueue their batch under a
-mutex, then contend on a per-(k, overfetch) leader lock. Whoever holds
-the lock drains EVERY queued batch, stacks the queries, runs ONE direct
-search, and resolves each caller's slice. Later acquirers find their
-future already resolved and return immediately. No worker thread, no
-coalescing window: a solo caller's group is just itself (same batch
-shape, same compile, one uncontended mutex of added cost), and overlap
-emerges exactly when concurrency exists.
+mutex, then contend on a per-(k, overfetch) leader SEMAPHORE. Whoever
+acquires a slot drains every queued batch (up to max_rows), stacks the
+queries, runs ONE direct search, and resolves each caller's slice. No
+worker thread, no coalescing window: a solo caller's group is just
+itself, and stacking emerges exactly when calls back up.
+
+The semaphore width (`inflight`) is the round-4 regression fix: a single
+leader LOCK serialized whole groups, so a transport with a long fixed
+dispatch tick (the axon relay pays ~45 ms per device call; even a
+colocated host pays launch + sync) lost the request overlap the
+un-coalesced path had — BENCH_r04 measured 22.6k pipelined QPS vs r3's
+44.7k direct at identical shapes, with mostly 2-3-deep groups stacking
+~1.5k rows per serialized tick. With N slots, up to N stacked device
+calls overlap in flight; when the device is fast the coalescer degrades
+gracefully to overlapped direct calls (groups of 1), and when calls
+back up deeper than N the stacking resumes. Both regimes beat either
+pure strategy: see docs/BENCH_NOTES "serving coalesce A/B" (round 5).
 
 Groups are keyed by (k, overfetch) so every member shares the leader's
 fetch width and rescore semantics; mixed-k workloads simply form
@@ -37,14 +47,18 @@ import numpy as np
 
 
 class SearchCoalescer:
-    def __init__(self, direct: Callable, max_rows: int = 4096):
+    def __init__(self, direct: Callable, max_rows: int = 4096,
+                 inflight: int = 4):
         """direct: fn(queries, k, overfetch) -> (dists, keys) — the
-        engine's un-coalesced search path (retry loop included)."""
+        engine's un-coalesced search path (retry loop included).
+        inflight: max concurrent device calls per (k, overfetch) group
+        key — the overlap/stacking trade described in the module doc."""
         self._direct = direct
         self._max_rows = max(1, max_rows)
+        self._inflight = max(1, inflight)
         self._mu = threading.Lock()
         self._pending: Dict[Tuple[int, bool], List] = {}
-        self._leader: Dict[Tuple[int, bool], threading.Lock] = {}
+        self._leader: Dict[Tuple[int, bool], threading.Semaphore] = {}
         # observability: {batches-per-group: count} — how much stacking
         # the workload actually gets (engine info surfaces it)
         self.group_sizes: Dict[int, int] = {}
@@ -54,21 +68,29 @@ class SearchCoalescer:
         fut: Future = Future()
         with self._mu:
             self._pending.setdefault(key, []).append((queries, fut))
-            lock = self._leader.setdefault(key, threading.Lock())
+            sem = self._leader.setdefault(
+                key, threading.Semaphore(self._inflight))
         # Loop: a drained group is capped at max_rows, so one _serve may
-        # resolve only batches queued AHEAD of ours — keep taking the
-        # leader lock (serving whoever is queued) until our own future
-        # resolves. A solo caller passes through exactly once.
+        # resolve only batches queued AHEAD of ours — keep taking a
+        # leader slot (serving whoever is queued) until our own batch is
+        # either resolved or in flight under another leader. A solo
+        # caller passes through exactly once.
         while not fut.done():
-            with lock:
-                if not fut.done():
-                    self._serve(key, k, overfetch)
+            with sem:
+                if fut.done():
+                    break
+                took_any = self._serve(key, k, overfetch)
+            if not fut.done() and not took_any:
+                # queue was empty, so OUR batch was claimed by a leader
+                # that is still in flight — block instead of spinning
+                break
         return fut.result()
 
-    def _serve(self, key, k: int, overfetch: bool):
-        """Caller holds the leader lock. Drain whole queued batches up to
+    def _serve(self, key, k: int, overfetch: bool) -> bool:
+        """Caller holds a leader slot. Drain whole queued batches up to
         max_rows (never split a batch; a single oversized batch still
-        runs alone) and resolve their futures from one direct call."""
+        runs alone) and resolve their futures from one direct call.
+        Returns whether any batch was taken."""
         with self._mu:
             queued = self._pending.get(key, [])
             group, rows = [], 0
@@ -79,14 +101,14 @@ class SearchCoalescer:
                 group.append((q, f))
                 rows += q.shape[0]
         if not group:
-            return
+            return False
         self.group_sizes[len(group)] = self.group_sizes.get(
             len(group), 0) + 1
         try:
             if len(group) == 1:
                 dists, keys = self._direct(group[0][0], k, overfetch)
                 group[0][1].set_result((dists, keys))
-                return
+                return True
             stacked = np.concatenate(
                 [np.asarray(q, np.float32) for q, _ in group])
             # pad the stack to the next power of two: group sizes vary
@@ -107,3 +129,4 @@ class SearchCoalescer:
             for _, f in group:
                 if not f.done():
                     f.set_exception(e)
+        return True

@@ -129,7 +129,8 @@ class VectorDBEngine:
 
             self._search_coalescer = SearchCoalescer(
                 self._search_batch_direct,
-                max_rows=self.config.search_coalesce_max)
+                max_rows=self.config.search_coalesce_max,
+                inflight=self.config.search_coalesce_inflight)
         # TWO invalidation counters (advisor r4, engine.py:1356):
         #  _generation      device-buffer epoch — bumped by compaction AND
         #                   by the in-place IVF append flush; a search

@@ -75,51 +75,51 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
 
     qt = pl.program_id(0)
     jota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_codes), 2)
+    dn = (((1,), (1,)), ((), ()))
     for c in range(cps):
         bytes_blk = code_refs[c][:].astype(jnp.int32)     # (128, Mb) i32
         mb = bytes_blk.shape[1]
-        nibble = n_codes == 16
-        # 4-bit fast-scan: the interleaved nibble unpack
-        # (stack + (128, Mb, 2) -> (128, 2Mb) reshape) is a shape cast
-        # Mosaic cannot lower; instead the LUT arrives split into
-        # [all-low-nibble | all-high-nibble] halves (wrapper reorders)
-        # and each byte block does TWO narrow dots — the ADC sum is
-        # order-independent, so no reshape is ever needed.
-        half = mb * n_codes  # lane offset of the high-nibble LUT half
         dots = None
-        for m0 in range(0, mb, m_block):
-            m1 = min(m0 + m_block, mb)
-            # lax.slice_in_dim + expand_dims, NOT codes[:, m0:m1, None]:
-            # this jax build routes a sub-range slice combined with a
-            # newaxis through rewriting_take's gather fallback, and
-            # Mosaic's _gather_lowering_rule rejects it ("Shape mismatch
-            # in input, indices and output") — which killed the first
-            # 16M x 768 full-stack run at served-search time
-            blk = jax.lax.slice_in_dim(bytes_blk, m0, m1, axis=1)
-            if nibble:
-                lo = (jnp.expand_dims(blk & 15, 2) == jota
-                      ).astype(jnp.bfloat16)
-                hi = (jnp.expand_dims(blk >> 4, 2) == jota
-                      ).astype(jnp.bfloat16)
+        if n_codes == 16:
+            # 4-bit fast-scan: neither the interleaved nibble unpack
+            # ((128, Mb, 2) -> (128, 2Mb)) nor the one-hot collapse
+            # ((128, Mb, 16) -> (128, 16Mb)) is a shape cast Mosaic can
+            # lower — a 16-lane granule can't legally fold into the
+            # 128-lane dim. Score one CODE VALUE at a time instead:
+            # slab_j = (code == j) over all byte columns is a clean 2D
+            # (128, Mb) compare, its LUT counterpart a static Mb-wide
+            # column slab (wrapper orders the LUT [half][code][byte]),
+            # and the ADC sum accumulates across 2x16 K=Mb dots. At
+            # M=96: 32 MXU passes/chunk vs the 8-bit one-hot's 192.
+            lo = bytes_blk & 15
+            hi = bytes_blk >> 4
+            for j in range(n_codes):
                 part = jax.lax.dot_general(
-                    lut_ref[:, m0 * n_codes : m1 * n_codes],
-                    lo.reshape(bytes_blk.shape[0], -1),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    lut_ref[:, j * mb:(j + 1) * mb],
+                    (lo == j).astype(jnp.bfloat16), dn,
                     preferred_element_type=jnp.float32)   # (QT, 128)
                 part = part + jax.lax.dot_general(
-                    lut_ref[:, half + m0 * n_codes : half + m1 * n_codes],
-                    hi.reshape(bytes_blk.shape[0], -1),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    lut_ref[:, (n_codes + j) * mb:(n_codes + j + 1) * mb],
+                    (hi == j).astype(jnp.bfloat16), dn,
                     preferred_element_type=jnp.float32)
-            else:
+                dots = part if dots is None else dots + part
+        else:
+            for m0 in range(0, mb, m_block):
+                m1 = min(m0 + m_block, mb)
+                # lax.slice_in_dim + expand_dims, NOT codes[:, m0:m1, None]:
+                # this jax build routes a sub-range slice combined with a
+                # newaxis through rewriting_take's gather fallback, and
+                # Mosaic's _gather_lowering_rule rejects it ("Shape mismatch
+                # in input, indices and output") — which killed the first
+                # 16M x 768 full-stack run at served-search time
+                blk = jax.lax.slice_in_dim(bytes_blk, m0, m1, axis=1)
                 onehot = (jnp.expand_dims(blk, 2) == jota
                           ).astype(jnp.bfloat16)
                 part = jax.lax.dot_general(
                     lut_ref[:, m0 * n_codes : m1 * n_codes],
-                    onehot.reshape(bytes_blk.shape[0], -1),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    onehot.reshape(bytes_blk.shape[0], -1), dn,
                     preferred_element_type=jnp.float32)   # (QT, 128)
-            dots = part if dots is None else dots + part  # = 2 q.r
+                dots = part if dots is None else dots + part  # = 2 q.r
         cell = cellof_ref[qt, cps * p + c]
         # single-column read via lane mask: Mosaic can't prove a dynamic
         # lane index is 128-aligned, so dynamic-slice on dim 1 won't
@@ -232,13 +232,15 @@ def pallas_pq_search(
     lut = _pq_lut(qf, codebooks, rotation)                # (Qp, M2, J)
     lut_flat = lut.reshape(qp, m2 * n_codes).astype(jnp.bfloat16)
     if n_codes == 16:
-        # kernel LUT layout for the 4-bit tier: [low-nibble subspaces |
-        # high-nibble subspaces] so the kernel scores packed bytes with
-        # two narrow dots and no Mosaic-hostile interleave reshape
-        # (subspace 2i is byte i's LOW nibble — pack_nibbles_np layout)
+        # kernel LUT layout for the 4-bit tier: [lo half | hi half],
+        # each half ordered [code value j][byte column b] — the slab the
+        # kernel's per-code-value dot reads, so packed bytes score with
+        # 2x16 clean 2D compares and no Mosaic-hostile reshape anywhere
+        # (subspace 2b is byte b's LOW nibble — pack_nibbles_np layout)
         lut_kernel = jnp.concatenate(
-            [lut[:, 0::2, :].reshape(qp, -1),
-             lut[:, 1::2, :].reshape(qp, -1)], axis=1).astype(jnp.bfloat16)
+            [jnp.swapaxes(lut[:, 0::2, :], 1, 2).reshape(qp, -1),
+             jnp.swapaxes(lut[:, 1::2, :], 1, 2).reshape(qp, -1)],
+            axis=1).astype(jnp.bfloat16)
     else:
         lut_kernel = lut_flat
     nlistp = -(-nlist // 128) * 128
