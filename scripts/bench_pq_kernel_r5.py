@@ -102,13 +102,13 @@ def main():
     # tick measured on a trivial pre-compiled op right before each stage.
     tick_op = jax.jit(lambda x: (x * 1.0000001).sum())
     tick_x = jnp.zeros((8, 8), jnp.float32)
-    jax.block_until_ready(tick_op(tick_x))
+    float(tick_op(tick_x))  # value fetch: the only true exec barrier here
 
     def relay_tick(n=15):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            jax.block_until_ready(tick_op(tick_x))
+            float(tick_op(tick_x))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
@@ -124,27 +124,32 @@ def main():
                 return acc + make_fn(q + (i * 1e-12))
             return jax.lax.fori_loop(0, iters, body, 0.0)
 
-        jax.block_until_ready(chained(qs))  # warm/compile
+        float(chained(qs))  # warm/compile; value fetch = exec barrier
         vals = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(chained(qs))
+            float(chained(qs))
             vals.append((time.perf_counter() - t0) / iters)
         dt = sorted(vals)[len(vals) // 2]
         log(f"{name:>22}: {dt*1e3:9.3f} ms/b{Q}  ({Q/dt:9.1f} QPS)  [chained]")
         return dt * 1e3
 
-    def timeit(name, make_fn, reps=None):
+    # checksum reducer: separate tiny program taking the probe OUTPUT as
+    # an argument — wrapping the probe in an outer jit would capture the
+    # 768 MB code table as a closure constant and ship it through
+    # remote_compile (measured: broken pipe at exactly that upload)
+    chk = jax.jit(lambda d: jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0)))
+
+    def timeit(name, fn, reps=None):
         """Per-call wall time minus the relay dispatch tick; the checksum
         fetch is 4 bytes so transfer time is in the tick, not the data."""
         reps = reps or max(args.iters, 6)
-        fn = jax.jit(make_fn)
-        jax.block_until_ready(fn(qs))  # warm/compile (disk-cached)
+        float(chk(fn(qs)))  # warm/compile (disk-cached)
         tick = relay_tick()
         vals = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(qs))
+            float(chk(fn(qs)))  # 4-byte fetch: the only true exec barrier
             vals.append(time.perf_counter() - t0)
         vals.sort()
         dt = max(vals[len(vals) // 2] - tick, 1e-9)
@@ -172,7 +177,7 @@ def main():
                 s_codes, s_cells, s_sq, s_val, offs,
                 cell_pad=args.cell_pad, k=args.k, nprobe=args.nprobe,
                 query_tile=qt, cps=cps)
-            return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+            return d
         return fn
 
     out["probe8_qt8_ms"] = timeit("probe 8-bit qt8", run(cb8, 8, 8))

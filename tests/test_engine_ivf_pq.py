@@ -237,3 +237,59 @@ def test_pq_deep_rescore_window(rng):
     eng2._ivf_search_rows = spy2
     eng2.search_batch(q, 5)
     assert seen2["fetch_k"] == 16 * 5
+
+
+def test_pq_adaptive_rescore_matches_full_window(rng):
+    """The error-bounded adaptive re-rank (config.ivf_pq_adaptive_rescore)
+    must serve the same top-k as the full fixed window while gathering
+    fewer candidate rows from the host mirrors."""
+    corpus = {}
+    engines = []
+    for adaptive in (True, False):
+        eng = VectorDBEngine(pq_config(
+            shard_capacity=4096, ivf_delta_max=100_000,
+            ivf_pq_adaptive_rescore=adaptive))
+        engines.append(eng)
+    # clustered rows: ADC error actually matters here
+    cents = rng.standard_normal((8, 16)).astype(np.float32) * 3
+    for i in range(1500):
+        v = (cents[i % 8]
+             + rng.standard_normal(16).astype(np.float32) * 0.2)
+        corpus[f"k{i}"] = v
+    from tpuvdb.core.types import VectorData as VD
+
+    batch = [VD(key=k, vector=v) for k, v in corpus.items()]
+    for eng in engines:
+        assert eng.put_batch(batch).success
+        eng.flush()
+    ada, full = engines
+    assert ada._ivf.pq_err > 0.0  # build calibrated the bound
+    q = np.stack([corpus[f"k{i}"] for i in range(32)])
+    q = q + rng.standard_normal(q.shape).astype(np.float32) * 0.05
+    d_a, k_a = ada.search_batch(q, 10)
+    d_f, k_f = full.search_batch(q, 10)
+    for i in range(len(q)):
+        assert k_a[i][:10] == k_f[i][:10], i
+    np.testing.assert_allclose(d_a[:, :10], d_f[:, :10], rtol=1e-5)
+    # and it actually skipped host work
+    assert ada.stats["rescore_skipped_rows"] > 0
+    assert full.stats["rescore_skipped_rows"] == 0
+
+
+def test_pq_err_survives_checkpoint_restart(rng, tmp_path):
+    """pq_err rides the warm checkpoint state like the codebooks: a
+    restarted engine keeps the adaptive window without retraining, on
+    both the warm-rebuild and packed-restore paths."""
+    d = str(tmp_path / "db")
+    cfg = pq_config(ivf_delta_max=10_000, checkpoint_every_puts=10**9)
+    eng = VectorDBEngine(cfg, data_dir=d)
+    vecs = fill(eng, rng, 400)
+    eng.flush()
+    err0 = eng._ivf.pq_err
+    assert err0 > 0.0
+    eng.close()
+    eng2 = VectorDBEngine(cfg, data_dir=d)
+    r = eng2.search(SearchRequest(query_vector=vecs["k7"], top_k=3))
+    assert r.success and r.search_result.keys[0] == "k7"
+    assert eng2._ivf.pq_err == pytest.approx(err0)
+    eng2.close()

@@ -155,6 +155,18 @@ class DBConfig:
     # 100. PQ searches use max(this, rescore_overfetch); candidates stay
     # ~64*k rows/query of host gather — microseconds against the probe.
     ivf_pq_rescore_overfetch: int = 64
+    # Adaptive exact-rescore window: the probe's candidate list is
+    # ADC-ordered and ADC scores the RECONSTRUCTION exactly, so with a
+    # calibrated reconstruction-error quantile E (pq.calibrate_pq_err,
+    # stored on the index and in checkpoints) the true distance obeys
+    # d >= (sqrt(d_adc) - E)^2. The host re-rank exacts the first 4k
+    # candidates, then only those whose bound undercuts the running kth
+    # exact distance — typically a small fraction of the 64k-wide fixed
+    # window, which is the serving-path difference between a ~0.5 MB and
+    # a ~50 KB random host gather per query at 768-d. False-skip mass is
+    # the calibration tail (1e-3 quantile); disable to force the full
+    # fixed window.
+    ivf_pq_adaptive_rescore: bool = True
     # Checkpoint the packed IVF-PQ device state (code cells + slot maps)
     # so restart is ONE HBM upload + an append of the replayed WAL tail,
     # instead of re-running assign+encode over every mirror row (778 s at

@@ -163,6 +163,9 @@ class VectorDBEngine:
             "puts": 0, "gets": 0, "deletes": 0, "searches": 0,
             "flushes": 0, "compactions": 0, "checkpoints": 0,
             "wal_replayed": 0,
+            # adaptive exact-rescore accounting: candidates the error
+            # bound let the host skip vs candidates actually gathered
+            "rescored_rows": 0, "rescore_skipped_rows": 0,
         }
 
         if data_dir is not None:
@@ -269,6 +272,11 @@ class VectorDBEngine:
                     # OPQ rotation pairs with the codebooks it trained with
                     self._ivf_opq_warm = self._ivf_warm[5]
                     self._ivf_opq_state = self._ivf_warm[5]
+                if len(self._ivf_warm) > 6:
+                    # adaptive-rescore calibration pairs with the
+                    # codebooks too (pq.calibrate_pq_err at training)
+                    self._ivf_pq_err_warm = self._ivf_warm[6]
+                    self._ivf_pq_err = self._ivf_warm[6]
                 # WAL tail replay re-increments on top of the checkpoint
                 self._mut_count = mut_ckpt
                 # carry forward NOW: a cadence checkpoint taken before the
@@ -848,6 +856,8 @@ class VectorDBEngine:
                 self._ivf_pq_warm = None
                 warm_rot = getattr(self, "_ivf_opq_warm", None)
                 self._ivf_opq_warm = None
+                warm_err = getattr(self, "_ivf_pq_err_warm", 0.0)
+                self._ivf_pq_err_warm = 0.0
                 # packed restore: the drift/churn guard above just
                 # accepted the checkpoint's clustering (warm_cents is its
                 # centroids); the packed npz is that same clustering's
@@ -873,6 +883,7 @@ class VectorDBEngine:
                         opq=cfg.ivf_opq,
                         pq_rotation=warm_rot,
                         pq_bits=cfg.ivf_pq_bits,
+                        pq_err=warm_err,
                         # nprobe must follow the ACTUAL cell count: warm
                         # centroids override nlist inside build, and
                         # probing an engine-side nlist fraction of a much
@@ -893,6 +904,7 @@ class VectorDBEngine:
                                          trained_live, mut_train)
                 self._ivf_pq_state = self._ivf.pq_codebooks_np()
                 self._ivf_opq_state = self._ivf.pq_rotation_np()
+                self._ivf_pq_err = getattr(self._ivf, "pq_err", 0.0)
                 # compile the append-path programs NOW (rebuilds are the
                 # expected slow path) so the first serving-path append
                 # doesn't stall puts/searches on fresh XLA compiles
@@ -1309,6 +1321,13 @@ class VectorDBEngine:
                     delta.append((layout.row_of(s, sl),
                                   self.mirrors[s].vector_at(sl).copy()))
             ivf = self._ivf
+            # adaptive rescore bound: only meaningful when the device
+            # candidates are ADC-scored (PQ tier) and the build left a
+            # calibration (pq_err > 0; 0 = full fixed window)
+            rescore_err = 0.0
+            if (rescore and ivf_mode and self.config.ivf_pq_subq > 0
+                    and self.config.ivf_pq_adaptive_rescore):
+                rescore_err = float(getattr(ivf, "pq_err", 0.0) or 0.0)
             if ivf_mode:
                 # IVF's standing delta (flushed-but-unclustered inserts)
                 # joins the same host-side exact scan
@@ -1342,10 +1361,11 @@ class VectorDBEngine:
         with self.timers.stage("search.assemble"):
             return self._assemble_results(queries, dists, rows, gen,
                                           slot_gen, rescore, fetch_k,
-                                          layout)
+                                          layout, rescore_err=rescore_err,
+                                          k=k)
 
     def _assemble_results(self, queries, dists, rows, gen, slot_gen,
-                          rescore, fetch_k, layout):
+                          rescore, fetch_k, layout, rescore_err=0.0, k=0):
         """Resolve device rows to keys and compact live hits per row.
         Takes the engine lock only for the generation check + key
         resolution; the numpy assembly runs on the local snapshot."""
@@ -1367,8 +1387,14 @@ class VectorDBEngine:
                 if self._generation != gen:
                     return "retry", None  # compacted mid-search
                 mirrors = list(self.mirrors)
-            dists, rows = self._rescore_exact(
-                np.asarray(queries, np.float32), rows, layout, mirrors)
+            q32 = np.asarray(queries, np.float32)
+            if rescore_err > 0.0 and k > 0:
+                dists, rows = self._rescore_adaptive(
+                    q32, rows, np.asarray(dists, np.float32),
+                    rescore_err, k, layout, mirrors)
+            else:
+                dists, rows = self._rescore_exact(q32, rows, layout,
+                                                  mirrors)
         with self._lock:
             # rescored searches validate SLOT IDENTITY only: the full
             # device-buffer epoch was already certified before the
@@ -1501,6 +1527,90 @@ class VectorDBEngine:
         order = np.argsort(d, axis=1, kind="stable")
         return (np.take_along_axis(d, order, 1),
                 np.take_along_axis(rows, order, 1))
+
+    def _rescore_adaptive(self, q: np.ndarray, rows: np.ndarray,
+                          adc_d: np.ndarray, err: float, k: int, layout,
+                          mirrors) -> Tuple[np.ndarray, np.ndarray]:
+        """Error-bounded exact re-rank (config.ivf_pq_adaptive_rescore).
+
+        The PQ probe's candidates arrive ADC-ascending, and ADC distance
+        is EXACT to the reconstruction x_hat, so with the calibrated
+        error-norm quantile E := index.pq_err the true distance is
+        bounded: d_exact >= (sqrt(d_adc) - E)^2. Phase 1 exact-rescores
+        the first max(4k, 32) candidates and takes the running kth exact
+        distance D_k; phase 2 rescores only the remaining candidates
+        whose bound undercuts D_k — everything else provably (up to the
+        calibration tail) cannot enter the top-k and keeps its ADC
+        estimate, clamped to D_k so a tail violation can never displace
+        an exact top-k hit. Collapses a fixed 64k-row host gather
+        (~0.5 MB/query of random 768-d reads — the measured serving
+        bottleneck of the PQ tier on a one-core host) to a
+        data-dependent one.
+
+        Role parity: the reference serves hnswlib's ordering directly
+        (/root/reference/src/datanode/handler.py:364); the exact refine
+        here replaces the precision hnswlib keeps by storing full f32
+        vectors, at 1/8 the memory."""
+        Q, F = rows.shape
+        w0 = min(F, max(4 * k, 32))
+        mask = np.zeros((Q, F), bool)
+        mask[:, :w0] = True
+        d = self._exact_masked(q, rows, mask, layout, mirrors)
+        kk = min(k - 1, w0 - 1)
+        dk = np.partition(d[:, :w0], kk, axis=1)[:, kk]     # (Q,) kth exact
+        lb = np.square(np.maximum(
+            np.sqrt(np.maximum(adc_d, 0.0)) - err, 0.0))
+        mask2 = (~mask) & (rows >= 0) & (lb < dk[:, None])
+        if mask2.any():
+            d2 = self._exact_masked(q, rows, mask2, layout, mirrors)
+            d = np.where(mask2, d2, d)
+        done = (mask | mask2) & (rows >= 0)
+        # unrescored candidates keep their ADC estimate, floored at D_k:
+        # by the bound they cannot beat D_k, and the floor keeps a
+        # calibration-tail violation from jumping the exact top-k
+        d = np.where(done, d,
+                     np.where(rows >= 0,
+                              np.maximum(adc_d, dk[:, None]), np.inf))
+        n_done = int(done.sum())
+        self.stats["rescored_rows"] += n_done
+        self.stats["rescore_skipped_rows"] += int((rows >= 0).sum()) - n_done
+        order = np.argsort(d, axis=1, kind="stable")
+        return (np.take_along_axis(d, order, 1).astype(np.float32),
+                np.take_along_axis(rows, order, 1))
+
+    def _exact_masked(self, q: np.ndarray, rows: np.ndarray,
+                      mask: np.ndarray, layout, mirrors) -> np.ndarray:
+        """Exact f32 distances for the masked candidate positions only
+        (np.inf elsewhere). Native fused path when available; numpy
+        per-candidate fallback otherwise."""
+        Q, F = rows.shape
+        flat = rows.ravel()
+        sel = mask.ravel() & (flat >= 0)
+        out = np.full(Q * F, np.inf, np.float32)
+        if not sel.any():
+            return out.reshape(Q, F)
+        qsq = np.einsum("qd,qd->q", q, q).astype(np.float32)
+        shards = flat[sel] // layout.phys_cap
+        slots = flat[sel] % layout.phys_cap
+        pos = np.flatnonzero(sel)
+        if native.rescore_available():
+            for s in range(len(mirrors)):
+                m = shards == s
+                if m.any():
+                    mirrors[s].rescore_into(q, qsq, F, slots[m], pos[m],
+                                            out)
+        else:
+            d_dim = q.shape[1]
+            vecs = np.zeros((len(pos), d_dim), np.float32)
+            for s in range(len(mirrors)):
+                m = shards == s
+                if m.any():
+                    vecs[np.flatnonzero(m)] = mirrors[s].rows_f32(slots[m])
+            qrows = q[pos // F]
+            out[pos] = (qsq[pos // F]
+                        - 2.0 * np.einsum("nd,nd->n", qrows, vecs)
+                        + np.einsum("nd,nd->n", vecs, vecs))
+        return out.reshape(Q, F)
 
     def _flat_search_rows(self, queries: np.ndarray, k: int, index, delta, n_del):
         """Device scan + host delta scan over staged-but-unflushed writes.
@@ -1764,7 +1874,8 @@ class VectorDBEngine:
                 ts_ = getattr(self, "_ivf_train_state", None)
                 ivf_warm = ((*ts_, self._mut_count,
                              getattr(self, "_ivf_pq_state", None),
-                             getattr(self, "_ivf_opq_state", None))
+                             getattr(self, "_ivf_opq_state", None),
+                             getattr(self, "_ivf_pq_err", 0.0))
                             if ts_ is not None else None)
                 # packed IVF-PQ device state: reference-capture under the
                 # lock (cheap), fetch + write OFF the lock below. PQ-only

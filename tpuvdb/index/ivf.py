@@ -799,6 +799,8 @@ class IVFIndex:
         pq_codebooks: Optional[jax.Array] = None,  # (M, 256, d/M) f32
         spill_cells: Optional[np.ndarray] = None,  # (S,) i32 residual cells
         pq_rotation: Optional[jax.Array] = None,   # (d, d) OPQ rotation
+        pq_err: float = 0.0,  # calibrated ||x - x_hat|| quantile (adaptive
+                              # rescore bound; 0 = uncalibrated -> full window)
     ):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         # host copies cached when the ctor got numpy inputs (build always
@@ -837,6 +839,7 @@ class IVFIndex:
         self.pq = pq_codebooks is not None
         self.pq_rotation = (jnp.asarray(pq_rotation, jnp.float32)
                             if pq_rotation is not None else None)
+        self.pq_err = float(pq_err)
         if self.pq:
             if spill_cells is None:
                 spill_cells = np.zeros(int(spill.shape[0]), np.int32)
@@ -904,6 +907,7 @@ class IVFIndex:
         }
         if self.pq:
             cap["pq_codebooks"] = self.pq_codebooks_np().copy()
+            cap["pq_err"] = np.float64(self.pq_err)
         if self.pq_rotation is not None:
             cap["pq_rotation"] = self.pq_rotation_np().copy()
         return cap
@@ -951,6 +955,7 @@ class IVFIndex:
             spill_cells=np.asarray(sc) if sc is not None else None,
             pq_rotation=(np.asarray(rot, np.float32)
                          if rot is not None else None),
+            pq_err=float(st["pq_err"]) if "pq_err" in st else 0.0,
         )
 
     def live_phys_rows(self) -> np.ndarray:
@@ -1023,6 +1028,7 @@ class IVFIndex:
         opq: bool = False,                         # learned OPQ rotation
         pq_rotation: Optional[np.ndarray] = None,  # warm-start rotation
         pq_bits: int = 8,                          # 8 | 4 (fast-scan)
+        pq_err: float = 0.0,                       # warm-start calibration
     ) -> "IVFIndex":
         """Memory-bounded build: the corpus is read through `source` —
         k-means sample and cell members by gather, the assignment pass in
@@ -1117,6 +1123,14 @@ class IVFIndex:
                 pq_codebooks = train_pq(sample - centroids[sa],
                                         m_subq=pq_m, seed=seed,
                                         n_codes=pq_j)
+            # calibrate the adaptive-rescore error bound on the same
+            # residual sample the codebooks trained on (numpy subsample,
+            # no device program) — checkpointed alongside the codebooks
+            from tpuvdb.kernels.pq import calibrate_pq_err
+
+            pq_err = calibrate_pq_err(sample - centroids[sa],
+                                      pq_codebooks, rotation=pq_rotation,
+                                      seed=seed)
         del sample
         memlog("build: trained (cents+codebooks)")
 
@@ -1278,6 +1292,7 @@ class IVFIndex:
             pq_codebooks=pq_codebooks,
             spill_cells=scell if pq_codebooks is not None else None,
             pq_rotation=pq_rotation,
+            pq_err=pq_err if pq_codebooks is not None else 0.0,
         )
 
     # ----------------------------------------------------------------- search

@@ -468,6 +468,44 @@ def encode_pq_chunked(
     return codes, rsq
 
 
+def calibrate_pq_err(residuals: np.ndarray, codebooks: np.ndarray,
+                     rotation: Optional[np.ndarray] = None,
+                     quantile: float = 0.999, max_sample: int = 2048,
+                     seed: int = 0) -> float:
+    """Quantile of the per-row reconstruction error NORM ||r - r_hat||
+    over sample residuals — the calibration constant behind the adaptive
+    exact-rescore window (engine._rescore_exact).
+
+    Because the ADC probe scores candidates by d_adc = ||q - x_hat||^2
+    (exact distance to the reconstruction), the true distance obeys
+    d_exact >= (sqrt(d_adc) - ||e||)^2 with e = x - x_hat. A candidate
+    whose bound sits above the running kth exact distance cannot enter
+    the top-k (up to the quantile's tail mass), so the host re-rank can
+    skip it — that is what turns the fixed 64x-k rescore gather into a
+    data-dependent one. Pure numpy on a small subsample: no device
+    program, no relay compile, ~ms at build time. Rotation preserves
+    norms, so the rotated-space error norm IS the original-space one."""
+    r = np.asarray(residuals, np.float32)
+    if len(r) == 0:
+        return 0.0
+    if len(r) > max_sample:
+        keep = np.random.default_rng(seed).choice(
+            len(r), size=max_sample, replace=False)
+        r = r[keep]
+    cb = np.asarray(codebooks, np.float32)
+    if rotation is not None:
+        r = r @ np.asarray(rotation, np.float32)
+    m, _, dsub = cb.shape
+    x = r.reshape(len(r), m, dsub)
+    dots = np.einsum("smd,mjd->smj", x, cb)
+    csq = np.einsum("mjd,mjd->mj", cb, cb)
+    code = np.argmax(2.0 * dots - csq[None], axis=2)     # (S, m)
+    r_hat = cb[np.arange(m)[None, :], code]              # (S, m, dsub)
+    err = r - r_hat.reshape(len(r), -1)
+    nrm = np.sqrt(np.einsum("sd,sd->s", err, err))
+    return float(np.quantile(nrm, quantile))
+
+
 def decode_pq(codes: np.ndarray, codebooks: np.ndarray,
               rotation: Optional[np.ndarray] = None) -> np.ndarray:
     """Reconstruct (n, d) f32 rows from codes — host-side helper for

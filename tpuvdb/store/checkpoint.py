@@ -179,6 +179,10 @@ class CheckpointManager:
                 extra["pq_codebooks"] = np.asarray(ivf_warm[4], np.float32)
             if len(ivf_warm) > 5 and ivf_warm[5] is not None:
                 extra["pq_rotation"] = np.asarray(ivf_warm[5], np.float32)
+            # 7th element: the adaptive-rescore calibration that pairs
+            # with the codebooks (kernels/pq.calibrate_pq_err)
+            if len(ivf_warm) > 6 and ivf_warm[6]:
+                extra["pq_err"] = np.float64(ivf_warm[6])
             np.savez(os.path.join(tmp, "ivf_warm.npz"),
                      centroids=np.asarray(cents, np.float32),
                      trained_live=np.int64(trained_live),
@@ -323,8 +327,8 @@ class CheckpointManager:
 
     def load_ivf_warm(self):
         """(centroids, trained_live, mut_at_train, mut_at_ckpt,
-        pq_codebooks|None, pq_rotation|None) of the newest checkpoint, or
-        None (older checkpoints / flat engines)."""
+        pq_codebooks|None, pq_rotation|None, pq_err) of the newest
+        checkpoint, or None (older checkpoints / flat engines)."""
         path = self.latest()
         if path is None:
             return None
@@ -341,6 +345,8 @@ class CheckpointManager:
             mc = int(z["mut_at_ckpt"]) if "mut_at_ckpt" in z else 0
             cb = z["pq_codebooks"] if "pq_codebooks" in z else None
             rot = z["pq_rotation"] if "pq_rotation" in z else None
-            return z["centroids"], int(z["trained_live"]), mt, mc, cb, rot
+            err = float(z["pq_err"]) if "pq_err" in z else 0.0
+            return (z["centroids"], int(z["trained_live"]), mt, mc, cb,
+                    rot, err)
         except Exception:
             return None  # torn/corrupt extras never block recovery
