@@ -674,3 +674,76 @@ def test_sync_all_streams_shard_by_shard(cluster, rng):
     # and the data still converges: every key serves from the cluster
     for i in range(0, n_keys, 97):
         assert coord.get(f"s{i}").success
+
+
+def test_push_shard_uses_batched_replicate(cluster, rng, monkeypatch):
+    """Anti-entropy pushes go out as replicate_batch chunks (one wire
+    round-trip + one WAL group per ~512 records), not one replicate call
+    per record — and still converge newest-wins."""
+    coord, nodes = cluster
+    for i in range(60):
+        v = rng.standard_normal(8).astype(np.float32)
+        assert coord.put(VectorData(key=f"b{i}", vector=v)).success
+    calls = {"replicate": 0, "replicate_batch": 0}
+    orig = FederatedCoordinator._call_node
+
+    def counting(self, node_id, method, params):
+        if method in calls:
+            calls[method] += 1
+        return orig(self, node_id, method, params)
+
+    monkeypatch.setattr(FederatedCoordinator, "_call_node", counting)
+    # a fresh empty node joins: ownership moves, so the next sync has
+    # real records to push to it
+    svc = DBService(node_config())
+    srv = DBServer(svc, port=0)
+    srv.start_background()
+    try:
+        coord.register_node("n3", srv.address)
+        assert coord.sync_all().success
+        assert calls["replicate_batch"] > 0
+        assert calls["replicate"] == 0  # no per-record fallback needed
+        # every key still serves with the right payload after the sync
+        for i in range(0, 60, 7):
+            assert coord.get(f"b{i}").success
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_push_shard_falls_back_per_record(cluster, rng, monkeypatch):
+    """A peer without the replicate_batch RPC (rolling upgrade) gets the
+    per-record path and the sync still converges."""
+    coord, nodes = cluster
+    from tpuvdb.api.service import DBService as _S
+
+    # simulate an old node: batched RPC unknown on every target
+    monkeypatch.setattr(
+        _S, "rpc_replicate_batch",
+        lambda self, p: {"success": False,
+                         "message": "unknown method: replicate_batch"},
+        raising=True)
+    for i in range(20):
+        v = rng.standard_normal(8).astype(np.float32)
+        assert coord.put(VectorData(key=f"f{i}", vector=v)).success
+    calls = {"replicate": 0}
+    orig = FederatedCoordinator._call_node
+
+    def counting(self, node_id, method, params):
+        if method == "replicate":
+            calls["replicate"] += 1
+        return orig(self, node_id, method, params)
+
+    monkeypatch.setattr(FederatedCoordinator, "_call_node", counting)
+    svc = DBService(node_config())
+    srv = DBServer(svc, port=0)
+    srv.start_background()
+    try:
+        coord.register_node("n3", srv.address)
+        assert coord.sync_all().success
+        assert calls["replicate"] > 0
+        for i in range(0, 20, 3):
+            assert coord.get(f"f{i}").success
+    finally:
+        srv.shutdown()
+        svc.close()

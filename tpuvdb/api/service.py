@@ -384,6 +384,31 @@ class DBService:
             return self.engine.delete(p["data"]["key"]).to_dict()
         return Response.fail(f"unknown op_type: {op}").to_dict()
 
+    def rpc_replicate_batch(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        """Batched peer replication: N ops in ONE wire round-trip and one
+        WAL group commit. The anti-entropy push path (federation
+        _push_shard) measured ~15 ms per record as individual replicate
+        calls — a 100k-row rejoin sync was minutes of pure HTTP framing.
+        Put timestamps are preserved (newest-wins merge semantics are the
+        caller's; put_batch stores what it is given). Deletes apply
+        individually after the puts (rare on this path: prune only)."""
+        ops = p.get("ops", [])
+        puts = [VectorData.from_dict(o["data"]) for o in ops
+                if o.get("op_type", "put") == "put"]
+        dels = [o["data"]["key"] for o in ops
+                if o.get("op_type") == "delete"]
+        applied = 0
+        if puts:
+            r = self.engine.put_batch(puts,
+                                      replay_mode=bool(p.get("no_wal")))
+            if not r.success:
+                return r.to_dict()
+            applied += len(puts)
+        for key in dels:
+            if self.engine.delete(key).success:
+                applied += 1
+        return Response.ok(f"applied {applied}").to_dict()
+
     # ------------------------------------------------- application layer
 
     def text_search(self, text: str, topk: int = 5) -> Dict[str, Any]:

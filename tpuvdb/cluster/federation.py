@@ -380,27 +380,54 @@ class FederatedCoordinator:
             self._sync_peak_records = held
         return freshest, exports
 
+    # records per replicate_batch call: bounds the target's WAL group /
+    # wire frame (~512 * 2 KB = ~1 MB of f32 payload at 512-d)
+    _PUSH_BATCH = 512
+
     def _push_shard(self, node_id: str, freshest, mine,
                     prune: bool) -> Tuple[int, int]:
         """Push one shard's freshest records to one of its owners; with
-        prune, delete owned keys no peer has. Returns (pushed, pruned)."""
-        pushed = pruned = 0
+        prune, delete owned keys no peer has. Returns (pushed, pruned).
+
+        Ops go out in replicate_batch chunks — one wire round-trip and
+        one target-side WAL group commit per _PUSH_BATCH records instead
+        of per record (measured ~15 ms/record as individual replicate
+        calls on the 1-core federation bench: a 100k-row sync was ~25
+        minutes of HTTP framing; batched it is seconds). Nodes that
+        predate the RPC get the per-record fallback."""
+        ops = []
         for key, rec in freshest.items():
             have = mine.get(key)
             if have is None or (have.get("timestamp", 0)
                                 < rec.get("timestamp", 0)):
-                r = self._call_node(node_id, "replicate",
-                                    {"op_type": "put", "data": rec})
-                if r is not None and r.get("success"):
-                    pushed += 1
+                ops.append({"op_type": "put", "data": rec})
         if prune:
-            for key in mine:
-                if key not in freshest:
-                    r = self._call_node(node_id, "replicate",
-                                        {"op_type": "delete",
-                                         "data": {"key": key}})
-                    if r is not None and r.get("success"):
-                        pruned += 1
+            ops.extend({"op_type": "delete", "data": {"key": key}}
+                       for key in mine if key not in freshest)
+        pushed = pruned = 0
+        fallback = False
+        for lo in range(0, len(ops), self._PUSH_BATCH):
+            chunk = ops[lo : lo + self._PUSH_BATCH]
+            r = self._call_node(node_id, "replicate_batch", {"ops": chunk})
+            if r is not None and r.get("success"):
+                pushed += sum(1 for o in chunk if o["op_type"] == "put")
+                pruned += sum(1 for o in chunk if o["op_type"] == "delete")
+                continue
+            if r is not None and "unknown method" in r.get("message", ""):
+                fallback = True
+                break
+            # transport or apply failure: stop pushing to this node (the
+            # caller marks shard convergence by epoch, not per record)
+            return pushed, pruned
+        if not fallback:
+            return pushed, pruned
+        for o in ops:
+            r = self._call_node(node_id, "replicate", o)
+            if r is not None and r.get("success"):
+                if o["op_type"] == "put":
+                    pushed += 1
+                else:
+                    pruned += 1
         return pushed, pruned
 
     def _export_all(self, node_id: str,
