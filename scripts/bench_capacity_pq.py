@@ -277,6 +277,12 @@ def main():
         log(f"engine serving b{b}: {single_b:,.0f} QPS single-stream, "
             f"{piped_b:,.0f} QPS pipelined x8")
     single, piped = serving[args.batch]
+    resc = {k: int(eng.stats.get(k, 0))
+            for k in ("rescored_rows", "rescore_skipped_rows")}
+    tot = resc["rescored_rows"] + resc["rescore_skipped_rows"]
+    if tot:
+        resc["skip_frac"] = round(resc["rescore_skipped_rows"] / tot, 4)
+    log(f"adaptive rescore: {resc}")
 
     # ---- durability: checkpoint carries codebooks + centroids
     t0 = time.perf_counter()
@@ -331,6 +337,8 @@ def main():
         "restart_split": restart_split,
         "peak_rss_gb": round(rss_gb(), 2),
         "anon_rss_gb": round(anon_gb(), 2),
+        "adaptive_rescore": resc,
+        "pq_err": round(getattr(eng._ivf, "pq_err", 0.0), 4),
     }
     line = json.dumps(out)
     print(line)

@@ -159,13 +159,16 @@ def main():
 
     out = {}
 
-    # stage: coarse GEMM + top_k alone
+    # stage: coarse GEMM + cell pick alone (mirrors the probe's defaults:
+    # HIGH-precision GEMM + approx_max_k partial reduction; the HIGHEST +
+    # full-sort form measured 4.3/4.0 ms of a ~10 ms b32 probe)
     def coarse(q):
         c_sq = jnp.sum(cents * cents, axis=-1)
         qc2 = 2.0 * jnp.dot(q, cents.T,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-        _, cells = jax.lax.top_k(qc2 - c_sq[None, :], args.nprobe)
+                            precision=jax.lax.Precision.HIGH)
+        _, cells = jax.lax.approx_max_k(qc2 - c_sq[None, :], args.nprobe,
+                                        recall_target=0.97)
         return jnp.sum(cells).astype(jnp.float32)
 
     out["coarse_ms"] = timeit_chain("coarse+topk", coarse)

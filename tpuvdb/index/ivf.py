@@ -576,7 +576,7 @@ def _ivf_search(
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     c_scores = 2.0 * jnp.dot(qf, centroids.T,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+                             precision=jax.lax.Precision.HIGH) - c_sq[None, :]
     _, cells = jax.lax.top_k(c_scores, nprobe)  # (Q, nprobe)
 
     # 2. candidate rows: each probed cell is a PACKED run starting at
@@ -640,7 +640,7 @@ def _ivf_search_int8(
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     c_scores = 2.0 * jnp.dot(qf, centroids.T,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+                             precision=jax.lax.Precision.HIGH) - c_sq[None, :]
     _, cells = jax.lax.top_k(c_scores, nprobe)
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)
     starts = jnp.take(cell_offsets, cells, axis=0)
@@ -710,7 +710,7 @@ def _ivf_search_pq(
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     qc2 = 2.0 * jnp.dot(qf, centroids.T,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (Q, nlist)
+                        precision=jax.lax.Precision.HIGH)  # (Q, nlist)
     c_scores = qc2 - c_sq[None, :]
     _, cells = jax.lax.top_k(c_scores, nprobe)
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell_pad), 2)

@@ -618,7 +618,7 @@ def pallas_ivf_search(
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     c_scores = 2.0 * jnp.dot(qf, centroids.T,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST) - c_sq[None, :]
+                             precision=jax.lax.Precision.HIGH) - c_sq[None, :]
     # per-tile union of every query's OWN top-nprobe cells. (The old
     # tile-max heuristic took only nprobe cells for the whole tile, which
     # under many small cells left most queries' best cells unprobed —

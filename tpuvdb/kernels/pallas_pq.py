@@ -145,7 +145,7 @@ def _pq_probe_kernel(cells_ref, segs_ref, cellof_ref, lut_ref, qc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "cell_pad", "query_tile", "cps",
-                     "interpret"),
+                     "coarse_approx", "interpret"),
 )
 def pallas_pq_search(
     queries: jax.Array,        # (Q, d) f32
@@ -165,6 +165,7 @@ def pallas_pq_search(
     rotation: Optional[jax.Array] = None,
     query_tile: int = 8,
     cps: int = 8,
+    coarse_approx: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF-PQ probe. Returns (dist, grouped_row) with spill rows at
@@ -194,12 +195,27 @@ def pallas_pq_search(
         qf = jnp.concatenate([qf, jnp.zeros((pad_q, d), jnp.float32)])
     qp = qf.shape[0]
 
-    # coarse quantizer + the centroid term the kernel reads per chunk
+    # coarse quantizer + the centroid term the kernel reads per chunk.
+    # Precision HIGH (bf16x3, ~f32-accurate at 3 MXU passes), not
+    # HIGHEST (6 passes): measured 4.3 ms of a ~10 ms probe at the
+    # 8M x 768 / nlist 5682 shape was this one GEMM, and the qc2 term
+    # both picks cells AND feeds the ADC distance, so plain bf16
+    # (DEFAULT) would cost real distance precision where HIGH does not.
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     qc2 = 2.0 * jnp.dot(qf, centroids.T,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (Qp, nlist)
-    _, cells_pq = jax.lax.top_k(qc2 - c_sq[None, :], min(nprobe, nlist))
+                        precision=jax.lax.Precision.HIGH)  # (Qp, nlist)
+    if coarse_approx and jax.default_backend() == "tpu":
+        # TPU PartialReduce instead of a full sort over nlist: measured
+        # 4.0 ms of a ~10 ms b32 probe at nlist 5682 was the coarse
+        # top_k (the GEMM itself is ~0.4 ms at HIGH). Cell choice is a
+        # heuristic; a recall_target=0.97 approximate pick perturbs
+        # WHICH cells are probed — end recall is certified by the
+        # capacity run's sweep (same contract as pallas_ivf's lever).
+        _, cells_pq = jax.lax.approx_max_k(
+            qc2 - c_sq[None, :], min(nprobe, nlist), recall_target=0.97)
+    else:
+        _, cells_pq = jax.lax.top_k(qc2 - c_sq[None, :], min(nprobe, nlist))
 
     # packed-layout chunk expansion + rank segments (pallas_ivf semantics:
     # sorted duplicates share a DMA and a fold slot; over-scan is exact)
