@@ -1558,8 +1558,18 @@ class VectorDBEngine:
         d = self._exact_masked(q, rows, mask, layout, mirrors)
         kk = min(k - 1, w0 - 1)
         dk = np.partition(d[:, :w0], kk, axis=1)[:, kk]     # (Q,) kth exact
-        lb = np.square(np.maximum(
-            np.sqrt(np.maximum(adc_d, 0.0)) - err, 0.0))
+        # d_exact = d_adc - ||e||^2 - 2 (q - x) . e  with e the candidate's
+        # reconstruction error. The worst-case bound (sqrt(d_adc) - E)^2
+        # charges the full cross term 2 sqrt(d) E; but (q - x) is
+        # independent of the quantization error's direction, so
+        # (q - x) . e concentrates at ||q - x|| ||e|| / sqrt(dim) — a
+        # z=4 normal tail (~3e-5 per candidate, and a tail event only
+        # matters if that candidate ALSO belonged in the top-k) buys a
+        # ~sqrt(dim)/4 tighter cross term. E is the calibrated 0.999
+        # error-NORM quantile (pq.calibrate_pq_err).
+        z_over_sqrtd = 4.0 / np.sqrt(q.shape[1])
+        lb = (adc_d - err * err
+              - 2.0 * np.sqrt(np.maximum(adc_d, 0.0)) * (err * z_over_sqrtd))
         mask2 = (~mask) & (rows >= 0) & (lb < dk[:, None])
         if mask2.any():
             d2 = self._exact_masked(q, rows, mask2, layout, mirrors)
