@@ -89,13 +89,17 @@ class DBConfig:
     flush_batch: int = 1024        # staged inserts per device flush
     # group-commit coalescing of CONCURRENT search_batch calls: while one
     # device call is in flight, arriving batches queue; the next caller
-    # to win the per-(k, overfetch) leader lock stacks every queued batch
+    # to take a per-(k, overfetch) leader slot stacks every queued batch
     # into ONE device call and splits the results (engine/coalesce.py).
-    # A solo caller pays one uncontended mutex — its batch shape and
-    # latency are unchanged. Under T concurrent streams the device (and,
-    # on relay-attached devices, the ~30 ms per-call dispatch tick) is
-    # paid once per GROUP instead of once per stream.
-    search_coalesce: bool = True
+    # DEFAULT OFF, set by measurement (BENCH_NOTES r5 "serving coalesce
+    # A/B": at 1M x 128 / 8 streams, coalescing was a wash at b32
+    # (2508 vs 2431 pipelined QPS) and -9% at b512 (27.2k vs 29.9k) —
+    # the 8-stream load forms groups of 1, so stacking buys nothing and
+    # the pow2 pad + slicing costs a little. Turn ON for many-stream
+    # SMALL-batch serving over a high-dispatch-cost transport (e.g. b32
+    # PQ probes through a ~25 ms-tick relay), which is the regime the
+    # mechanism was built for.
+    search_coalesce: bool = False
     search_coalesce_max: int = 4096  # max stacked queries per group
     # concurrent stacked device calls per group key: overlap vs stacking
     # (coalesce.py module doc; 1 = the r4 serialize-all-groups behavior)
