@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--overfetch", type=int, default=None,
+                    help="ivf_pq_rescore_overfetch (default: config's 64)."
+                         " The adaptive rescore makes deep windows cheap"
+                         " on the host, so 4-bit tiers can buy recall"
+                         " with fetch width instead of code bits")
     ap.add_argument("--skip-restart", action="store_true")
     ap.add_argument("--out", default=None,
                     help="also write the JSON result to this file")
@@ -92,6 +97,8 @@ def main():
         ivf_nlist=args.nlist, ivf_nprobe=args.nprobe,
         ivf_kmeans_iters=8, ivf_train_sample=262_144,
         rescore_mode="exact", rescore_overfetch=10,  # fetch 100 at k=10
+        **({"ivf_pq_rescore_overfetch": args.overfetch}
+           if args.overfetch else {}),
         wal_enabled=False,  # bulk load; durability = explicit checkpoint
         checkpoint_every_puts=10 ** 12, compact_every_puts=10 ** 12,
         flush_batch=1 << 30,

@@ -1337,9 +1337,32 @@ class IVFIndex:
         # path pays 8 dispatch round-trips where one suffices)
         if use_pallas:
             max_batch = max(max_batch, 1024)
+        if self.pq and use_pallas:
+            # the PQ probe prefetches its host-EXPANDED per-tile chunk
+            # list (cells/segs/cellof: tiles x qt*nprobe*w128 i32 EACH)
+            # into SMEM; past ~2 MB total Mosaic refuses the scoped
+            # allocation (measured: b256 at nprobe 64 / cell_pad 2048 =
+            # 3 x 1 MB -> compile HTTP 500). Chunk the query batch so the
+            # three arrays stay inside a fixed entry budget — same
+            # per-call programs, one extra dispatch per extra chunk.
+            qt_ = 8
+            per_tile = qt_ * nprobe * (self.cell_pad // 128)
+            budget_entries = 150_000  # ~0.6 MB/array, 1.8 MB total
+            max_tiles = max(1, budget_entries // max(per_tile, 1))
+            max_batch = min(max_batch, max_tiles * qt_)
         out_d, out_r = [], []
+        # when the batch splits, pad every chunk (incl. the tail) to ONE
+        # fixed shape so a b256 search at a deep nprobe compiles a single
+        # program instead of one per remainder (a fresh XLA compile
+        # through the remote relay is minutes)
+        pad_chunks = q.shape[0] > max_batch
         for start in range(0, q.shape[0], max_batch):
             qc = q[start : start + max_batch]
+            n_real = qc.shape[0]
+            if pad_chunks and n_real < max_batch:
+                qc = np.concatenate(
+                    [qc, np.zeros((max_batch - n_real, qc.shape[1]),
+                                  np.float32)])
             if self.pq and use_pallas and self.grouped.shape[0] >= 128:
                 from tpuvdb.kernels.pallas_pq import pallas_pq_search
 
@@ -1405,8 +1428,8 @@ class IVFIndex:
             rows[g & ~in_spill] = self.row_ids[gid[g & ~in_spill]]
             sp = g & in_spill
             rows[sp] = self.spill_row_ids[gid[sp] - self.grouped.shape[0]]
-            out_d.append(dist)
-            out_r.append(rows)
+            out_d.append(dist[:n_real])
+            out_r.append(rows[:n_real])
         return np.concatenate(out_d), np.concatenate(out_r)
 
     # ------------------------------------------------------------- mutations
