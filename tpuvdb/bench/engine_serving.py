@@ -41,7 +41,12 @@ def run_engine_serving(
     kernel_ms_per_batch: Optional[float] = None,
     storage_dtype: str = "bfloat16",
     search_mode: str = "pallas",
-    coalesce: bool = True,
+    # default matches DBConfig.search_coalesce=False: the recorded A/B
+    # (docs/BENCH_SERVING_AB_r5.json) measured direct dispatch faster at
+    # the driver's 8-stream b512 flat-scan load (29.9k vs 27.2k piped),
+    # with coalescing forming groups of ONE there — stacking only pays in
+    # the many-small-batch regime the coalescer was built for
+    coalesce: bool = False,
     log=print,
 ) -> Dict:
     from tpuvdb.core.config import DBConfig

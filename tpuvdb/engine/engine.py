@@ -56,6 +56,21 @@ def dataclasses_asdict_safe(obj):
     return _dc.asdict(obj) if _dc.is_dataclass(obj) else obj
 
 
+def _sorted_top(d: np.ndarray, rows: np.ndarray, top: Optional[int]):
+    """Ascending (d, rows), truncated to `top` columns when that is
+    narrower than the input. A full stable argsort of the (Q, fetch)
+    rescore window was measurable serving overhead once the window grew
+    to the PQ tier's 64x-k overfetch — callers only ever consume the
+    caller-visible top, so partition first and sort just that slice."""
+    if top is not None and top < d.shape[1]:
+        part = np.argpartition(d, top - 1, axis=1)[:, :top]
+        d = np.take_along_axis(d, part, 1)
+        rows = np.take_along_axis(rows, part, 1)
+    order = np.argsort(d, axis=1, kind="stable")
+    return (np.take_along_axis(d, order, 1),
+            np.take_along_axis(rows, order, 1))
+
+
 class VectorDBEngine:
     def __init__(
         self,
@@ -1295,6 +1310,12 @@ class VectorDBEngine:
                        and self.config.rescore_overfetch > 0
                        and self.config.rescore_mode != "none"
                        and not fused_device)
+            # caller-visible width: the rescore window below can inflate
+            # the DEVICE fetch 64x past what any caller consumes; key
+            # resolution and the final sort are bounded by out_k, not by
+            # the internal window (b256 x fetch640 resolved 164k keys per
+            # batch — measured as serving overhead on the one-core host)
+            out_k = min(fetch_k, layout.total_rows)
             if rescore:
                 ovf = self.config.rescore_overfetch
                 if ivf_mode and self.config.ivf_pq_subq > 0:
@@ -1362,10 +1383,11 @@ class VectorDBEngine:
             return self._assemble_results(queries, dists, rows, gen,
                                           slot_gen, rescore, fetch_k,
                                           layout, rescore_err=rescore_err,
-                                          k=k)
+                                          k=k, out_k=out_k, n_del=n_del)
 
     def _assemble_results(self, queries, dists, rows, gen, slot_gen,
-                          rescore, fetch_k, layout, rescore_err=0.0, k=0):
+                          rescore, fetch_k, layout, rescore_err=0.0, k=0,
+                          out_k=None, n_del=0):
         """Resolve device rows to keys and compact live hits per row.
         Takes the engine lock only for the generation check + key
         resolution; the numpy assembly runs on the local snapshot."""
@@ -1388,13 +1410,20 @@ class VectorDBEngine:
                     return "retry", None  # compacted mid-search
                 mirrors = list(self.mirrors)
             q32 = np.asarray(queries, np.float32)
+            # the rescore consumes the FULL device window (recall lives
+            # there) but returns only the caller-visible top plus slack:
+            # headroom for staged-deleted candidates (n_del, same pad the
+            # device fetch carried) so the slow path below can still
+            # refill a full out_k of LIVE hits after dropping dead rows
+            top_w = (None if out_k is None
+                     else min(rows.shape[1], out_k + 32 + n_del))
             if rescore_err > 0.0 and k > 0:
                 dists, rows = self._rescore_adaptive(
                     q32, rows, np.asarray(dists, np.float32),
-                    rescore_err, k, layout, mirrors)
+                    rescore_err, k, layout, mirrors, top=top_w)
             else:
                 dists, rows = self._rescore_exact(q32, rows, layout,
-                                                  mirrors)
+                                                  mirrors, top=top_w)
         with self._lock:
             # rescored searches validate SLOT IDENTITY only: the full
             # device-buffer epoch was already certified before the
@@ -1415,21 +1444,22 @@ class VectorDBEngine:
             # live hits (found by review after the flush-hysteresis
             # change stopped flushing deletes before every search)
             qn, width = rows.shape
+            res_k = fetch_k if out_k is None else min(out_k, width)
             # (0) FUSED fast path (the common serving case: no deletes in
             # the candidate set, no device pad rows): resolve ONLY the
-            # first fetch_k columns in one FFI crossing — kv_rows_keys
-            # decomposes shard/slot in C with prefetch and reports the
-            # miss count, so liveness is certified by the same call that
-            # materializes the keys (width >= fetch_k always: the device
-            # fetch is padded UP from fetch_k). The previous two-pass
-            # shape (bitmap over the full width, then keys) was the
-            # serving hot spot: 2.8 ms/batch at Q=512 on a 1M corpus vs
-            # 0.9 ms of device scan.
-            r_cut = np.ascontiguousarray(rows[:, :fetch_k]).reshape(-1)
+            # caller-visible res_k columns in one FFI crossing —
+            # kv_rows_keys decomposes shard/slot in C with prefetch and
+            # reports the miss count, so liveness is certified by the
+            # same call that materializes the keys (width >= res_k
+            # always: the device fetch is padded UP from it). The
+            # previous two-pass shape (bitmap over the full width, then
+            # keys) was the serving hot spot: 2.8 ms/batch at Q=512 on a
+            # 1M corpus vs 0.9 ms of device scan.
+            r_cut = np.ascontiguousarray(rows[:, :res_k]).reshape(-1)
             keys, n_missing = self.docstore.keys_rows(
-                r_cut, layout.phys_cap, row=fetch_k)
+                r_cut, layout.phys_cap, row=res_k)
             if n_missing == 0:
-                out_d = np.asarray(dists, np.float32)[:, :fetch_k]
+                out_d = np.asarray(dists, np.float32)[:, :res_k]
                 return "ok", (out_d, keys)
             # (1) slow path — some candidate is dead / padded /
             # staged-deleted: take the LIVENESS bitmap over the full
@@ -1442,13 +1472,13 @@ class VectorDBEngine:
                     flat[nn] // layout.phys_cap, flat[nn] % layout.phys_cap)
             live = live.reshape(qn, width)
             # (2) compact live hits to the front per row (pure numpy),
-            # truncate to the fetch_k output width
+            # truncate to the caller-visible res_k output width
             order = np.argsort(~live, axis=1, kind="stable")
-            live_sorted = np.take_along_axis(live, order, axis=1)[:, :fetch_k]
+            live_sorted = np.take_along_axis(live, order, axis=1)[:, :res_k]
             d_sorted = np.take_along_axis(
-                np.asarray(dists, np.float32), order, axis=1)[:, :fetch_k]
-            r_sorted = np.take_along_axis(rows, order, axis=1)[:, :fetch_k]
-            pad = fetch_k - r_sorted.shape[1]
+                np.asarray(dists, np.float32), order, axis=1)[:, :res_k]
+            r_sorted = np.take_along_axis(rows, order, axis=1)[:, :res_k]
+            pad = res_k - r_sorted.shape[1]
             if pad:
                 live_sorted = np.pad(live_sorted, ((0, 0), (0, pad)))
                 d_sorted = np.pad(d_sorted, ((0, 0), (0, pad)))
@@ -1465,12 +1495,13 @@ class VectorDBEngine:
                 for pos, key in zip(np.flatnonzero(sel).tolist(), resolved):
                     keys_flat[pos] = key
         out_d = np.where(live_sorted, d_sorted, np.inf).astype(np.float32)
-        keys = [keys_flat[i * fetch_k : (i + 1) * fetch_k]
+        keys = [keys_flat[i * res_k : (i + 1) * res_k]
                 for i in range(qn)]
         return "ok", (out_d, keys)
 
     def _rescore_exact(self, queries: np.ndarray, rows: np.ndarray, layout,
-                       mirrors: Optional[list] = None):
+                       mirrors: Optional[list] = None,
+                       top: Optional[int] = None):
         """Re-rank device candidates by exact f32 distance from the host
         mirrors. Int8 scanning trades score precision for 2x HBM
         capacity; this epilogue restores exact ordering over the
@@ -1524,13 +1555,13 @@ class VectorDBEngine:
             qv = np.matmul(vmat, q[:, :, None])[:, :, 0]  # batched matvec
             d = qsq[:, None] - 2.0 * qv + v_sq
             d = np.where(rows >= 0, d, np.inf).astype(np.float32)
-        order = np.argsort(d, axis=1, kind="stable")
-        return (np.take_along_axis(d, order, 1),
-                np.take_along_axis(rows, order, 1))
+        return _sorted_top(d, rows, top)
 
     def _rescore_adaptive(self, q: np.ndarray, rows: np.ndarray,
                           adc_d: np.ndarray, err: float, k: int, layout,
-                          mirrors) -> Tuple[np.ndarray, np.ndarray]:
+                          mirrors,
+                          top: Optional[int] = None,
+                          ) -> Tuple[np.ndarray, np.ndarray]:
         """Error-bounded exact re-rank (config.ivf_pq_adaptive_rescore).
 
         The PQ probe's candidates arrive ADC-ascending, and ADC distance
@@ -1568,8 +1599,12 @@ class VectorDBEngine:
         # ~sqrt(dim)/4 tighter cross term. E is the calibrated 0.999
         # error-NORM quantile (pq.calibrate_pq_err).
         z_over_sqrtd = 4.0 / np.sqrt(q.shape[1])
-        lb = (adc_d - err * err
-              - 2.0 * np.sqrt(np.maximum(adc_d, 0.0)) * (err * z_over_sqrtd))
+        # empty-slot candidates carry +inf ADC distance; inf - inf would
+        # be nan in the bound, so clamp to a finite sentinel first (they
+        # are excluded by rows >= 0 regardless)
+        adc_f = np.nan_to_num(adc_d, posinf=np.finfo(np.float32).max / 4)
+        lb = (adc_f - err * err
+              - 2.0 * np.sqrt(np.maximum(adc_f, 0.0)) * (err * z_over_sqrtd))
         mask2 = (~mask) & (rows >= 0) & (lb < dk[:, None])
         if mask2.any():
             d2 = self._exact_masked(q, rows, mask2, layout, mirrors)
@@ -1584,9 +1619,7 @@ class VectorDBEngine:
         n_done = int(done.sum())
         self.stats["rescored_rows"] += n_done
         self.stats["rescore_skipped_rows"] += int((rows >= 0).sum()) - n_done
-        order = np.argsort(d, axis=1, kind="stable")
-        return (np.take_along_axis(d, order, 1).astype(np.float32),
-                np.take_along_axis(rows, order, 1))
+        return _sorted_top(d.astype(np.float32), rows, top)
 
     def _exact_masked(self, q: np.ndarray, rows: np.ndarray,
                       mask: np.ndarray, layout, mirrors) -> np.ndarray:
