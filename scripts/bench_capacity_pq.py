@@ -46,6 +46,12 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024 / 1024
 
 
+def _mem_stages():
+    from tpuvdb.utils.hostmem import MEM_STAGES
+
+    return MEM_STAGES
+
+
 def anon_gb() -> float:
     try:
         with open("/proc/self/smaps_rollup") as f:
@@ -75,6 +81,10 @@ def main():
                          " The adaptive rescore makes deep windows cheap"
                          " on the host, so 4-bit tiers can buy recall"
                          " with fetch width instead of code bits")
+    ap.add_argument("--opq", action="store_true",
+                    help="learned OPQ rotation of the residual space — "
+                         "the recall lever for the 4-bit tier (192 "
+                         "4-wide subspaces punish correlated dims)")
     ap.add_argument("--skip-restart", action="store_true")
     ap.add_argument("--out", default=None,
                     help="also write the JSON result to this file")
@@ -82,7 +92,7 @@ def main():
 
     from tpuvdb.core.config import DBConfig
     from tpuvdb.engine.engine import VectorDBEngine
-    from tpuvdb.utils.hostmem import keep_malloc_warm
+    from tpuvdb.utils.hostmem import keep_malloc_warm, memlog
 
     keep_malloc_warm()  # first-touch costs ~100 MB/s on this host class
     N, DIM, K = args.rows, args.dim, args.k
@@ -94,6 +104,7 @@ def main():
         mirror_init_cap=per_shard, mirror_dtype="int8",
         mirror_backend="mmap",
         index_type="ivf", ivf_pq_subq=args.subq, ivf_pq_bits=args.bits,
+        ivf_opq=args.opq,
         ivf_nlist=args.nlist, ivf_nprobe=args.nprobe,
         ivf_kmeans_iters=8, ivf_train_sample=262_144,
         rescore_mode="exact", rescore_overfetch=10,  # fetch 100 at k=10
@@ -135,6 +146,7 @@ def main():
     ingest_s = time.perf_counter() - t0
     log(f"ingest: {N / ingest_s:,.0f} rows/s ({ingest_s:.0f}s), "
         f"rss {rss_gb():.2f} GB, anon {anon_gb():.2f} GB")
+    memlog("bench: ingest done")
 
     # ---- streaming IVF-PQ build
     t0 = time.perf_counter()
@@ -173,6 +185,7 @@ def main():
             best_d = np.take_along_axis(alld, sel, 1)
             best_r = np.take_along_axis(allr, sel, 1)
     log(f"oracle scan: {time.perf_counter()-t0:.0f}s")
+    memlog("bench: oracle done")
     oracle_keys = []
     for qi in range(len(queries)):
         ks = set()
@@ -267,7 +280,7 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     serving = {}
-    for b in sorted({args.batch, 256}):
+    for b in sorted({args.batch, 256, 1024}):
         qbatch = rng.standard_normal((b, DIM)).astype(np.float32) * 0.1
         qbatch += cents[rng.integers(0, n_clusters, b)]
         eng.search_batch(qbatch, K)  # warm (compiles this batch shape)
@@ -290,6 +303,7 @@ def main():
     if tot:
         resc["skip_frac"] = round(resc["rescore_skipped_rows"] / tot, 4)
     log(f"adaptive rescore: {resc}")
+    memlog("bench: serving done")
 
     # ---- durability: checkpoint carries codebooks + centroids
     t0 = time.perf_counter()
@@ -346,6 +360,11 @@ def main():
         "anon_rss_gb": round(anon_gb(), 2),
         "adaptive_rescore": resc,
         "pq_err": round(getattr(eng._ivf, "pq_err", 0.0), 4),
+        "opq": args.opq,
+        # phase-boundary anon RSS (utils.hostmem.memlog): the per-stage
+        # table the capacity story needs — which build phase owns the
+        # high-water mark, not just one end-to-end peak
+        "rss_stages": [list(t) for t in _mem_stages()],
     }
     line = json.dumps(out)
     print(line)

@@ -1706,7 +1706,11 @@ class VectorDBEngine:
                     np.full((qn, k), -1, np.int64))
         dev_k = k + n_del
         dev_k = 1 << (dev_k - 1).bit_length()  # pow2: avoid k recompiles
-        dists, rows = ivf.search(queries, dev_k)
+        # fetch only what the caller + delete-pad consume, 128-rounded so
+        # staged-delete churn recompiles the shrink program at most once
+        # per 128-step (see IVFIndex.search out_w)
+        out_w = min(dev_k, -(-(k + n_del) // 128) * 128)
+        dists, rows = ivf.search(queries, dev_k, out_w=out_w)
         rows = rows.astype(np.int64)
         if delta:
             mat = np.stack([v for _, v in delta])

@@ -34,6 +34,16 @@ import numpy as np
 from tpuvdb.kernels.kmeans import kmeans
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _shrink_results(dist, gid, w: int):
+    """Fetch-shrink epilogue: slice the pow2-padded top-k to the width the
+    caller will consume and downcast dists to bf16 for the wire (the host
+    exact re-rank restores precision). One tiny program per (shape, w)
+    pair — w is 128-rounded by callers so staged-delete churn doesn't
+    recompile it."""
+    return gid[:, :w].astype(jnp.int32), dist[:, :w].astype(jnp.bfloat16)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -1314,12 +1324,19 @@ class IVFIndex:
     def search(
         self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
         max_batch: int = 32, valid_override=None,
+        out_w: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (dists, physical_rows); -1 rows for empty slots.
         Queries are chunked to bound the (Q, nprobe*P, d) gather.
         valid_override: (grouped_valid, spill_valid) device arrays from
         masked_valid() — filtered searches scan with the same compiled
-        programs, just a different validity operand."""
+        programs, just a different validity operand.
+        out_w: fetch only the first out_w result columns, with dists in
+        bf16 — k is pow2-quantized for compile stability, but the relay
+        link moves ~24 MB/s serialized with a ~30 ms sync tick, so the
+        device->host result transfer is a first-order serving cost (a
+        b256 x 1024-wide f32+i32 fetch is 2 MB ~ 80 ms). The exact host
+        re-rank restores full score precision afterwards."""
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = np.asarray(queries, np.float32)
         gval, sval = (valid_override if valid_override is not None
@@ -1418,9 +1435,11 @@ class IVFIndex:
                 )
             # one transfer for both results (each fresh-result fetch pays a
             # relay sync tick; see index/exact.py search)
+            if out_w is not None and 0 < out_w < k:
+                gid, dist = _shrink_results(dist, gid, out_w)
             gid, dist = jax.device_get((gid, dist))
             gid = np.asarray(gid)
-            dist = np.asarray(dist)
+            dist = np.asarray(dist, dtype=np.float32)
             # map grouped/spill ids back to physical rows
             rows = np.full_like(gid, -1, dtype=np.int64)
             g = gid >= 0

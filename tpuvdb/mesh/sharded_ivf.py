@@ -834,7 +834,12 @@ class ShardedIVFIndex:
 
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None,
-               valid_override=None) -> Tuple[np.ndarray, np.ndarray]:
+               valid_override=None,
+               out_w: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        # out_w (fetch-shrink, see index.ivf.IVFIndex.search) is accepted
+        # for engine-call compatibility; the mesh program's collective
+        # merge already returns exactly k columns, so there is nothing
+        # narrower to fetch here.
         nprobe = min(nprobe or self.nprobe, self.centroids.shape[1])
         local_rows = self.grouped.shape[1]
         spill_rows = self.spill.shape[1]

@@ -58,12 +58,19 @@ def anon_gb() -> float:
     return -1.0
 
 
+#: phase-boundary (tag, anon_gb) samples, appended by memlog() whether or
+#: not TPUVDB_MEMLOG logging is on — capacity benches publish this as the
+#: RSS-per-stage table instead of one end-to-end peak number
+MEM_STAGES: list = []
+
+
 def memlog(tag: str) -> None:
-    """Phase-boundary memory tracer, enabled by TPUVDB_MEMLOG=1: logs
-    anon RSS so capacity-build regressions name their phase instead of
-    one end-to-end peak number."""
+    """Phase-boundary memory tracer: records anon RSS per stage (always)
+    and logs it when TPUVDB_MEMLOG=1, so capacity-build regressions name
+    their phase."""
     import os
 
+    MEM_STAGES.append((tag, round(anon_gb(), 2)))
     if os.environ.get("TPUVDB_MEMLOG"):
         import logging
 
