@@ -223,6 +223,33 @@ def main():
     log(f"recall@{K} vs exact-over-stored: {recall:.4f} "
         f"(nprobe {nprobe_used})")
 
+    def write_partial(stage, extra):
+        """Durable progress: long capacity runs write their artifact
+        incrementally so a truncated run still leaves its completed
+        stages on disk (out is rewritten whole at each boundary)."""
+        if not args.out:
+            return
+        part = {
+            "metric": (f"engine_capacity_pq_{N//10**6}m{DIM}"
+                       + ("" if args.bits == 8 else f"_b{args.bits}")),
+            "rows": N, "dim": DIM, "pq_subq": args.subq,
+            "pq_bits": args.bits, "opq": args.opq, "stage": stage,
+            "ingest_rows_per_s": round(N / ingest_s, 1),
+            "build_s": round(build_s, 1),
+            "codes_gib_hbm": round(code_gib, 2),
+            "recall_at_10": round(recall, 4),
+            "recall_sweep": {str(k_): round(v, 4)
+                             for k_, v in sweep.items()},
+            "peak_rss_gb": round(rss_gb(), 2),
+            "anon_rss_gb": round(anon_gb(), 2),
+            "rss_stages": [list(t) for t in _mem_stages()],
+        }
+        part.update(extra)
+        with open(args.out, "w") as f:
+            f.write(json.dumps(part) + "\n")
+
+    write_partial("recall", {})
+
     # ---- kernel-path probe QPS (device-chained, relay dispatch excluded)
     import functools
 
@@ -304,6 +331,14 @@ def main():
         resc["skip_frac"] = round(resc["rescore_skipped_rows"] / tot, 4)
     log(f"adaptive rescore: {resc}")
     memlog("bench: serving done")
+    write_partial("serving", {
+        "kernel_probe": kernel,
+        "engine_qps_single": round(single, 1),
+        "engine_qps_pipelined": round(piped, 1),
+        "serving_by_batch": {str(b): [round(s_, 1), round(p_, 1)]
+                             for b, (s_, p_) in serving.items()},
+        "adaptive_rescore": resc,
+    })
 
     # ---- durability: checkpoint carries codebooks + centroids
     t0 = time.perf_counter()
@@ -361,6 +396,7 @@ def main():
         "adaptive_rescore": resc,
         "pq_err": round(getattr(eng._ivf, "pq_err", 0.0), 4),
         "opq": args.opq,
+        "stage": "complete",
         # phase-boundary anon RSS (utils.hostmem.memlog): the per-stage
         # table the capacity story needs — which build phase owns the
         # high-water mark, not just one end-to-end peak
