@@ -1364,7 +1364,12 @@ class IVFIndex:
             # per-call programs, one extra dispatch per extra chunk.
             qt_ = 8
             per_tile = qt_ * nprobe * (self.cell_pad // 128)
-            budget_entries = 150_000  # ~0.6 MB/array, 1.8 MB total
+            # SMEM is 1 MB TOTAL on v5e and all three prefetched arrays
+            # live there together (measured: "Used 2.25M of 1.00M smem"
+            # at 3 x 768K in the r5 8M run, which the old 150k budget
+            # allowed). 75k entries/array = 300 KB x 3 = 900 KB, inside
+            # the limit with headroom for the scalar spill slots.
+            budget_entries = 75_000
             max_tiles = max(1, budget_entries // max(per_tile, 1))
             max_batch = min(max_batch, max_tiles * qt_)
         out_d, out_r = [], []
