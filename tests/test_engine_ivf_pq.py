@@ -293,3 +293,43 @@ def test_pq_err_survives_checkpoint_restart(rng, tmp_path):
     assert r.success and r.search_result.keys[0] == "k7"
     assert eng2._ivf.pq_err == pytest.approx(err0)
     eng2.close()
+
+
+def test_search_width_is_caller_visible(rng):
+    """r5: the returned width is bounded by what the caller asked for
+    (k, or the overfetch slack), NOT the internal 64x-k rescore window —
+    resolving 640 keys/query for a k=10 caller measured as serving
+    overhead (docs/BENCH_NOTES.md, PQ served path accounting)."""
+    eng = VectorDBEngine(pq_config(shard_capacity=512, ivf_delta_max=2048))
+    fill(eng, rng, 1200)
+    eng.flush()
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    d, keys = eng.search_batch(q, 5)
+    assert d.shape == (3, 5)
+    assert all(len(row) == 5 for row in keys)
+    assert all(k_ is not None for row in keys for k_ in row)
+    # overfetch=True widens to the post-filter slack, still << the window
+    d2, keys2 = eng.search_batch(q, 5, overfetch=True)
+    assert d2.shape[1] == max(2 * 5, 5 + 16)
+    # ascending order within the returned width survives the truncation
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+
+
+def test_search_width_refills_after_deletes(rng):
+    """Staged deletes inside the candidate set must not eat the caller's
+    width: the truncated return still carries k LIVE hits (slow-path
+    compaction + the rescore top slack covers the staged-delete pad)."""
+    eng = VectorDBEngine(pq_config(shard_capacity=512, ivf_delta_max=2048,
+                                   flush_batch=1 << 30))
+    vecs = fill(eng, rng, 1200)
+    eng.flush()
+    # query near a known row, then delete that row and its neighbors
+    target = vecs["k7"]
+    d0, keys0 = eng.search_batch(target.reshape(1, -1), 8)
+    victims = [k_ for k_ in keys0[0][:4] if k_ is not None]
+    for k_ in victims:
+        assert eng.delete(k_).success
+    d1, keys1 = eng.search_batch(target.reshape(1, -1), 8)
+    live = [k_ for k_ in keys1[0] if k_ is not None]
+    assert len(live) == 8, live
+    assert not (set(live) & set(victims))
