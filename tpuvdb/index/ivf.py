@@ -1364,13 +1364,18 @@ class IVFIndex:
             # per-call programs, one extra dispatch per extra chunk.
             qt_ = 8
             per_tile = qt_ * nprobe * (self.cell_pad // 128)
-            # SMEM is 1 MB TOTAL on v5e and all three prefetched arrays
-            # live there together (measured: "Used 2.25M of 1.00M smem"
-            # at 3 x 768K in the r5 8M run, which the old 150k budget
-            # allowed). 75k entries/array = 300 KB x 3 = 900 KB, inside
-            # the limit with headroom for the scalar spill slots.
-            budget_entries = 75_000
+            # SMEM is 1 MB TOTAL on v5e, all three prefetched arrays
+            # live there together, and the allocator rounds each array
+            # UP to a power of two: a 288 KB request (9 x 8192 x 4 B at
+            # nprobe 64) measured as "Used 1.50M of 1.00M smem" — 3 x
+            # 512 KB — while r4's exactly-256 KB arrays fit at 768 KB
+            # total. Cap at 32k entries/array (128 KB, <= 256 KB after
+            # rounding, 768 KB total worst case) and floor the tile
+            # count to a power of two so pow2 per_tile shapes stay
+            # exactly pow2-sized.
+            budget_entries = 32_768
             max_tiles = max(1, budget_entries // max(per_tile, 1))
+            max_tiles = 1 << (max_tiles.bit_length() - 1)
             max_batch = min(max_batch, max_tiles * qt_)
         out_d, out_r = [], []
         # when the batch splits, pad every chunk (incl. the tail) to ONE
